@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Source-agnostic stream transforms — the reference's core dataflow
+  * (Kafka -> parse -> keyBy -> tumbling window -> count/sum -> sink),
+  * re-expressed as pure DataFrame -> DataFrame functions.
+  *
+  * The reference (liyue2008/kafka-flink-exactlyonce-example, reconstructed
+  * in SURVEY.md §2 Part A — /root/reference is empty, see SURVEY.md §0)
+  * keys a Kafka string stream and maintains per-key windowed counts with
+  * exactly-once delivery. Here the SAME function body serves:
+  *   - the batch twins in `SparkEntry.queries` (DuckDB-oracled), and
+  *   - Structured Streaming flavors in the scalatest suite
+  *     (MemoryStream -> transform -> sink, with watermarks).
+  * One definition, two callers: this is what makes the streaming semantics
+  * testable against a batch oracle.
+  *
+  * Scale notes (100 TB): every transform is a keyed hash aggregation —
+  * Spark plans partial (map-side) + final agg, shuffling only compacted
+  * partial state on (window, key). Streaming state is bounded by the
+  * watermark; RocksDB state store handles >memory key spaces.
+  */
+object Pipeline {
+
+  /** A4-A6 flagship: per-key count+sum over 10-minute tumbling windows. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        expr(graft.queries.Det.sumDec2("value")).as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding window: 30-minute window sliding every 10 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("cnt"))
+
+  /** Session windows per user, 30-minute inactivity gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        expr(graft.queries.Det.sumDec2("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("cnt"), col("sum_value"))
+
+  /** Dedup by event_id (streaming flavor: dropDuplicatesWithinWatermark). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One reader per driver-generated table (schemas: FIXTURES.md).
+  *
+  * All readers take (spark, sfDir) so the same query code runs at any scale
+  * factor — the bench sweeps `SPARK_GRAFT_SF_DIR`. At 100 TB these would be
+  * partitioned parquet directories instead of single files; `spark.read
+  * .parquet` handles both transparently, and every downstream query relies
+  * only on Catalyst pushdown/pruning (never a pre-collected local copy), so
+  * the code is scale-factor-agnostic by construction.
+  */
+object Tables {
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "region")
+  def nation(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "nation")
+  def customer(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "customer")
+  def supplier(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "supplier")
+  def part(spark: SparkSession, sf: String): DataFrame     = read(spark, sf, "part")
+  def orders(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "orders")
+  def lineitem(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "lineitem")
+  def documents(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "documents")
+  def embeddings(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "embeddings")
+
+  /** `events.ts` is parquet timestamp[ns] (pandas-written), which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL). We read it as a raw Long via
+    * the legacy conf and truncate nanos -> micros, which is bit-identical to
+    * how DuckDB reads the same file into its microsecond TIMESTAMP (verified:
+    * min/max agree to the microsecond). Conf is runtime-settable and only
+    * affects ns columns, so setting it here keeps every caller correct.
+    */
+  def events(spark: SparkSession, sf: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, sf, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,430 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory: scans, filters/projections, joins (all
+  * physical flavors), aggregations, sorts/top-k, set ops — SURVEY.md §2
+  * B.1-B.4, B.6, B.7.
+  *
+  * The reference (SURVEY.md §2 Part A, reconstructed — /root/reference is
+  * empty) has no relational surface beyond keyed windowed counting; these
+  * are the driver-mandated extension, written Spark-first: declarative
+  * DataFrame plans so Catalyst does pushdown/pruning/join-selection, and
+  * every query obeys the oracle determinism rules (total-order ORDER BY,
+  * decimal-exact float aggregation per [[Det]], no maps/structs in output).
+  *
+  * Scale notes (100 TB): no collect(), no driver-side state. Small dims
+  * (region/nation) broadcast; large-large joins shuffle on their equi-keys
+  * and AQE handles skew; aggregates are partial+final hash aggs.
+  */
+object Relational {
+  import Det._
+
+  // ---------------------------------------------------------------- B.1 scans
+  def qScanProject(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def qScanCount(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf).agg(count(lit(1)).as("n_rows"))
+
+  // ------------------------------------------------------------- B.2 filters
+  /** TPC-H Q6 shape: range + between predicates, all pushed to parquet. */
+  def qFilterRange(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .filter(expr("l_shipdate >= timestamp'1996-01-01' AND l_shipdate < timestamp'1997-01-01'"))
+      .filter(col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(expr(sumAsDouble(discRevDec)).as("revenue"), count(lit(1)).as("n"))
+
+  def qFilterInLike(s: SparkSession, sf: String): DataFrame =
+    Tables.part(s, sf)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_name").like("%bolt%") && col("p_type").isNotNull &&
+        !(col("p_size") < 5))
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+      .orderBy("p_partkey")
+
+  /** Per-row double arithmetic: raw IEEE ops, same shape as the oracle —
+    * bit-identical without rounding (Det rule 1). */
+  def qProjectExpr(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .withColumn("revenue", expr("l_extendedprice * (1 - l_discount)"))
+      .withColumn("charge", expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)"))
+      .withColumn("flag_class",
+        when(col("l_returnflag") === "A", "accepted")
+          .when(col("l_returnflag") === "R", "returned")
+          .otherwise("none"))
+      .select("l_orderkey", "l_linenumber", "revenue", "charge", "flag_class")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // --------------------------------------------------------------- B.3 joins
+  /** Tiny build side — explicitly broadcast (at 100 TB the fact side never
+    * moves; region/nation stay dimension-table small). */
+  def qJoinBroadcast(s: SparkSession, sf: String): DataFrame = {
+    val n = Tables.nation(s, sf); val r = Tables.region(s, sf)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+  }
+
+  def qJoinHash(s: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(s, sf); val c = Tables.customer(s, sf)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), expr(sumDec2("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Both sides large: pin sort-merge via hint (the default large-large
+    * strategy at scale; AQE may still improve it at runtime). */
+  def qJoinSortMerge(s: SparkSession, sf: String): DataFrame = {
+    val l = Tables.lineitem(s, sf); val o = Tables.orders(s, sf)
+    l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), expr(sumAsDouble(revDec)).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  def qJoinOuter(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf); val o = Tables.orders(s, sf)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        expr(s"coalesce(${sumDec2("o_totalprice")}, 0.0)").as("sum_price"))
+      .orderBy("c_custkey")
+  }
+
+  /** FULL OUTER of per-nation customer vs supplier aggregates. */
+  def qJoinFull(s: SparkSession, sf: String): DataFrame = {
+    val cn = Tables.customer(s, sf).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(s, sf).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** EXISTS: orders having a high-quantity lineitem. */
+  def qJoinSemi(s: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(s, sf)
+    val l = Tables.lineitem(s, sf).filter(col("l_quantity") > 45)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** NOT EXISTS: customers with no orders. */
+  def qJoinAnti(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf); val o = Tables.orders(s, sf)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  def qJoinCross(s: SparkSession, sf: String): DataFrame =
+    Tables.region(s, sf).crossJoin(Tables.nation(s, sf))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** Equi + range condition: lineitems shipped within 90 days of order date
+    * (SMJ with range post-filter; the equi key carries the shuffle). */
+  def qJoinThetaRange(s: SparkSession, sf: String): DataFrame = {
+    val l = Tables.lineitem(s, sf); val o = Tables.orders(s, sf)
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), expr(sumDec2("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // -------------------------------------------------------- B.4 aggregations
+  /** TPC-H Q1 pricing summary (partial+final hash agg). */
+  def qAggQ1(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .filter(expr("l_shipdate <= timestamp'2000-01-01'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        expr(sumDec2("l_quantity")).as("sum_qty"),
+        expr(sumDec2("l_extendedprice")).as("sum_base_price"),
+        expr(sumAsDouble(revDec)).as("sum_disc_price"),
+        expr(sumAsDouble(chargeDec)).as("sum_charge"),
+        expr(avgDec2("l_quantity")).as("avg_qty"),
+        expr(avgDec2("l_extendedprice")).as("avg_price"),
+        expr(avgDec2("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def qAggDistinct(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** HLL sketch distinct — NOT oracled (approximate); scalatest checks ±5%
+    * vs exact. At extreme cardinality this is the scalable path (fixed-size
+    * sketch vs an exact-distinct shuffle expansion). */
+  def qAggApproxDistinct(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  def qAggRollup(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf); val n = Tables.nation(s, sf); val r = Tables.region(s, sf)
+    // SQL route: re-selecting rollup grouping columns through coalesce trips
+    // Spark's ambiguous-self-join lineage check on the DataFrame API
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("c_acctbal"))
+      .createOrReplaceTempView("graft_cnr")
+    s.sql(
+      s"""SELECT coalesce(r_name, 'ALL') AS rname, coalesce(n_name, 'ALL') AS nname,
+         |       count(*) AS n_cust, ${sumDec2("c_acctbal")} AS sum_bal
+         |FROM graft_cnr GROUP BY ROLLUP(r_name, n_name) ORDER BY rname, nname""".stripMargin)
+  }
+
+  def qAggCube(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), expr(sumDec2("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("rflag", "lstatus")
+
+  def qAggGroupingSets(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf); val n = Tables.nation(s, sf)
+    c.join(n, c("c_nationkey") === n("n_nationkey")).createOrReplaceTempView("graft_cn")
+    s.sql(
+      s"""SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(n_name, 'ALL') AS nname,
+         |       count(*) AS n, ${sumDec2("c_acctbal")} AS sum_bal
+         |FROM graft_cn
+         |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+         |ORDER BY seg, nname""".stripMargin)
+  }
+
+  def qAggHaving(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .groupBy("c_mktsegment")
+      .agg(expr(avgDec2("c_acctbal")).as("avg_bal"), count(lit(1)).as("n"))
+      .filter(col("avg_bal") > 4400.0)
+      .orderBy("c_mktsegment")
+
+  /** min/max/arg-min by group (sort-agg shape, deterministic arg via PK). */
+  def qAggSorted(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .groupBy("c_nationkey")
+      .agg(
+        min("c_acctbal").as("min_bal"),
+        max("c_acctbal").as("max_bal"),
+        min_by(col("c_name"), col("c_custkey")).as("first_name"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  // ------------------------------------------------------ B.6 sorts / top-k
+  /** Global top-10 — TakeOrderedAndProject: each partition keeps 10, driver
+    * merges 10×P rows; never a full global sort at scale. */
+  def qSortLimit(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  def qTopkPerGroup(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(s, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "rn", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rn")
+  }
+
+  // ------------------------------------------------------------- B.7 set ops
+  def qUnionAll(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf).filter(col("c_acctbal") > 9000)
+      .select(lit("c").as("src"), col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+    val p = Tables.supplier(s, sf).filter(col("s_acctbal") > 9000)
+      .select(lit("s").as("src"), col("s_suppkey").as("id"), col("s_acctbal").as("bal"))
+    c.unionAll(p).orderBy("src", "id")
+  }
+
+  def qUnionDistinct(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf).select(col("c_nationkey").as("nationkey"))
+    val p = Tables.supplier(s, sf).select(col("s_nationkey").as("nationkey"))
+    c.union(p).distinct().orderBy("nationkey")
+  }
+
+  def qIntersect(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, sf).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  def qExcept(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, sf).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  // ------------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> qScanProject _,
+    "q_scan_count" -> qScanCount _,
+    "q_filter_range" -> qFilterRange _,
+    "q_filter_in_like" -> qFilterInLike _,
+    "q_project_expr" -> qProjectExpr _,
+    "q_join_broadcast" -> qJoinBroadcast _,
+    "q_join_hash" -> qJoinHash _,
+    "q_join_sortmerge" -> qJoinSortMerge _,
+    "q_join_outer" -> qJoinOuter _,
+    "q_join_full" -> qJoinFull _,
+    "q_join_semi" -> qJoinSemi _,
+    "q_join_anti" -> qJoinAnti _,
+    "q_join_cross" -> qJoinCross _,
+    "q_join_theta_range" -> qJoinThetaRange _,
+    "q_agg_q1" -> qAggQ1 _,
+    "q_agg_distinct" -> qAggDistinct _,
+    "q_agg_approx_distinct" -> qAggApproxDistinct _,
+    "q_agg_rollup" -> qAggRollup _,
+    "q_agg_cube" -> qAggCube _,
+    "q_agg_groupingsets" -> qAggGroupingSets _,
+    "q_agg_having" -> qAggHaving _,
+    "q_agg_sorted" -> qAggSorted _,
+    "q_sort_limit" -> qSortLimit _,
+    "q_topk_per_group" -> qTopkPerGroup _,
+    "q_union_all" -> qUnionAll _,
+    "q_union_distinct" -> qUnionDistinct _,
+    "q_intersect" -> qIntersect _,
+    "q_except" -> qExcept _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_scan_count" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "q_filter_range" ->
+      s"""SELECT ${sumAsDouble(discRevDec)} AS revenue, count(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q_filter_in_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3') AND p_name LIKE '%bolt%'
+        |  AND p_type IS NOT NULL AND NOT (p_size < 5)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS revenue,
+        |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+        |       CASE WHEN l_returnflag = 'A' THEN 'accepted'
+        |            WHEN l_returnflag = 'R' THEN 'returned' ELSE 'none' END AS flag_class
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_join_hash" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders, ${sumDec2("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_sortmerge" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines, ${sumAsDouble(revDec)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_outer" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+         |       coalesce(${sumDec2("o_totalprice")}, 0.0) AS sum_price
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """WITH cn AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1),
+        |     sn AS (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(ck, sk) AS nationkey, coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON ck = sk ORDER BY nationkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_cross" ->
+      "SELECT count(*) AS n_pairs FROM region CROSS JOIN nation",
+    "q_join_theta_range" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${sumDec2("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sumDec2("l_quantity")} AS sum_qty,
+         |       ${sumDec2("l_extendedprice")} AS sum_base_price,
+         |       ${sumAsDouble(revDec)} AS sum_disc_price,
+         |       ${sumAsDouble(chargeDec)} AS sum_charge,
+         |       ${avgDec2("l_quantity")} AS avg_qty,
+         |       ${avgDec2("l_extendedprice")} AS avg_price,
+         |       ${avgDec2("l_discount")} AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_rollup" ->
+      s"""SELECT coalesce(r_name, 'ALL') AS rname, coalesce(n_name, 'ALL') AS nname,
+         |       count(*) AS n_cust, ${sumDec2("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |              JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name) ORDER BY rname, nname""".stripMargin,
+    "q_agg_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag, coalesce(l_linestatus, 'ALL') AS lstatus,
+         |       count(*) AS n, ${sumDec2("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rflag, lstatus""".stripMargin,
+    "q_agg_groupingsets" ->
+      s"""SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(n_name, 'ALL') AS nname,
+         |       count(*) AS n, ${sumDec2("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ()) ORDER BY seg, nname""".stripMargin,
+    "q_agg_having" ->
+      s"""SELECT c_mktsegment, ${avgDec2("c_acctbal")} AS avg_bal, count(*) AS n
+         |FROM customer GROUP BY c_mktsegment
+         |HAVING ${avgDec2("c_acctbal")} > 4400.0 ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_sorted" ->
+      """SELECT c_nationkey, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |       arg_min(c_name, c_custkey) AS first_name, count(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT p_brand, row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn,
+        |       p_partkey, p_retailprice
+        |FROM part QUALIFY rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "q_union_all" ->
+      """SELECT 'c' AS src, c_custkey AS id, c_acctbal AS bal FROM customer WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT 's' AS src, s_suppkey AS id, s_acctbal AS bal FROM supplier WHERE s_acctbal > 9000
+        |ORDER BY src, id""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+  )
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.{Pipeline, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch twins of the streaming pipeline (SURVEY.md §2 B.9).
+  *
+  * The reference's whole dataflow is keyed windowed counting over a stream
+  * (SURVEY.md §2 Part A, A4-A6 — reconstructed; /root/reference is empty).
+  * Streaming output can't be DuckDB-hash-matched, so each capability has a
+  * batch twin here that calls the SAME transform in [[graft.Pipeline]] the
+  * streaming tests use — single definition, two callers. The scalatest
+  * suite runs the MemoryStream flavor with watermarks and the exactly-once
+  * restart protocol.
+  */
+object StreamTwins {
+
+  def qStreamTumbling(s: SparkSession, sf: String): DataFrame =
+    Pipeline.tumblingCounts(Tables.events(s, sf))
+      .orderBy("win_start", "event_type")
+
+  def qStreamSliding(s: SparkSession, sf: String): DataFrame =
+    Pipeline.slidingCounts(Tables.events(s, sf))
+      .orderBy("win_start", "event_type")
+
+  def qStreamSession(s: SparkSession, sf: String): DataFrame =
+    Pipeline.sessionCounts(Tables.events(s, sf))
+      .orderBy("user_id", "sess_start")
+
+  def qStreamDedup(s: SparkSession, sf: String): DataFrame =
+    Pipeline.dedupEvents(Tables.events(s, sf))
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> qStreamTumbling _,
+    "q_stream_sliding" -> qStreamSliding _,
+    "q_stream_session" -> qStreamSession _,
+    "q_stream_dedup" -> qStreamDedup _,
+  )
+
+  // DuckDB reads events.ts (parquet timestamp[ns]) truncated to µs — same
+  // values Spark sees after Tables.events' nanos->micros conversion.
+  // time_bucket's default origin (2000-01-01) is 10-min-aligned to the
+  // epoch, matching Spark window()'s epoch alignment.
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start,
+         |       time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS win_end,
+         |       event_type, count(*) AS cnt, ${Det.sumDec2("value")} AS sum_value
+         |FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT win_start, win_start + INTERVAL 30 MINUTE AS win_end, event_type, count(*) AS cnt
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) - k * INTERVAL 10 MINUTE AS win_start, event_type
+        |  FROM events CROSS JOIN (VALUES (0), (1), (2)) AS t(k))
+        |GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_session" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), numbered AS (
+         |  SELECT user_id, ts, value,
+         |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end,
+         |       user_id, count(*) AS cnt, ${Det.sumDec2("value")} AS sum_value
+         |FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, ts, value FROM events ORDER BY event_id""".stripMargin,
+  )
+}
