@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY.md §2 B.8): string / date / math /
+  * array (incl. higher-order) / json / cast+case.
+  *
+  * Everything here is built-in `org.apache.spark.sql.functions` — fully
+  * codegen'd, Catalyst-visible (no UDF opacity), vectorizable. Type
+  * alignment with DuckDB is explicit where engines' return types differ
+  * (Spark length->INT vs DuckDB BIGINT, Spark ceil->BIGINT vs DuckDB
+  * DOUBLE, etc.) — the oracle SQL carries the normalizing casts.
+  */
+object Funcs {
+
+  def qStrFuncs(s: SparkSession, sf: String): DataFrame =
+    Tables.part(s, sf)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        length(col("p_name")).as("len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        size(split(col("p_name"), " ")).as("n_words"))
+      .orderBy("p_partkey")
+
+  def qDateFuncs(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("plus30"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_95"),
+        last_day(col("o_orderdate")).as("eom"))
+      .orderBy("o_orderkey")
+
+  def qMathFuncs(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") * lit(-1)).as("abs_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Higher-order functions over the embedding vector — the whole point:
+    * vector math stays inside codegen'd Catalyst expressions, no UDF. */
+  def qArrayFuncs(s: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(s, sf)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        col("embedding").getItem(0).cast("double").as("first_comp"),
+        element_at(col("embedding"), -1).cast("double").as("last_comp"),
+        array_max(col("embedding")).cast("double").as("max_comp"),
+        array_min(col("embedding")).cast("double").as("min_comp"),
+        expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("sq_norm"))
+      .orderBy("vec_id")
+
+  /** JSON extraction + map build/flatten round-trip: props JSON -> k,
+    * per-(user,event_type) aggregates packed into a map and exploded back
+    * to rows (maps never surface in the output — oracle rule). */
+  def qJsonMap(s: SparkSession, sf: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(s, sf)
+      .withColumn("k", k)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).cast("long").as("sum_k"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), struct(col("cnt"), col("sum_k"))))).as("m"))
+      .select(col("user_id"), explode(col("m")))
+      .select(
+        col("user_id"), col("key").as("event_type"),
+        col("value.cnt").as("cnt"), col("value.sum_k").as("sum_k"))
+      .orderBy("user_id", "event_type")
+  }
+
+  def qCastCase(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("int").as("qty_int"),
+        col("l_orderkey").cast("string").as("key_str"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        col("l_shipdate").cast("date").cast("string").as("ship_str"),
+        when(col("l_returnflag") === "R",
+          when(col("l_quantity") >= 25, "big_return").otherwise("small_return"))
+          .otherwise(when(col("l_linestatus") === "O", "open").otherwise("closed"))
+          .as("status_class"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_funcs" -> qStrFuncs _,
+    "q_date_funcs" -> qDateFuncs _,
+    "q_math_funcs" -> qMathFuncs _,
+    "q_array_funcs" -> qArrayFuncs _,
+    "q_json_map" -> qJsonMap _,
+    "q_cast_case" -> qCastCase _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up, substring(p_name, 1, 5) AS sub5,
+        |       CAST(length(p_name) AS INT) AS len,
+        |       concat_ws('-', p_brand, p_type) AS brand_type,
+        |       replace(p_name, ' ', '_') AS snake,
+        |       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |       trim('  ' || p_name || '  ') AS trimmed,
+        |       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        |       date_trunc('month', o_orderdate) AS month_start,
+        |       o_orderdate + INTERVAL 30 DAY AS plus30,
+        |       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+        |       last_day(o_orderdate) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_extendedprice * -1) AS abs_price,
+        |       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |       sqrt(l_extendedprice) AS sqrt_price,
+        |       l_quantity * l_quantity AS qty_sq,
+        |       round(ln(l_extendedprice), 6) AS ln_price,
+        |       greatest(l_discount, l_tax) AS max_rate,
+        |       least(l_discount, l_tax) AS min_rate,
+        |       l_orderkey % 7 AS key_mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INT) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS first_comp,
+        |       CAST(embedding[-1] AS DOUBLE) AS last_comp,
+        |       CAST(list_max(embedding) AS DOUBLE) AS max_comp,
+        |       CAST(list_min(embedding) AS DOUBLE) AS min_comp,
+        |       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_json_map" ->
+      """SELECT user_id, event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q_cast_case" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(floor(l_quantity) AS INT) AS qty_int,
+        |       CAST(l_orderkey AS VARCHAR) AS key_str,
+        |       CAST(l_shipdate AS DATE) AS ship_date,
+        |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+        |       CASE WHEN l_returnflag = 'R'
+        |            THEN CASE WHEN l_quantity >= 25 THEN 'big_return' ELSE 'small_return' END
+        |            ELSE CASE WHEN l_linestatus = 'O' THEN 'open' ELSE 'closed' END
+        |       END AS status_class
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2 B.5) + the as-of join (B.3 q_join_asof).
+  *
+  * Every window spec is partitioned (by priority / customer / user) — no
+  * global unpartitioned orderBy anywhere, so at 100 TB each partition's
+  * window evaluates independently after one hash shuffle. Running and
+  * framed sums use decimal-exact arithmetic ([[Det]]): window aggregation
+  * order (Spark streams frames; DuckDB may use segment trees) then cannot
+  * affect the result.
+  */
+object Windows {
+
+  /** rank/dense_rank over price (ties share rank), row_number tie-broken
+    * by PK — deterministic in both engines. */
+  def qWinRank(s: SparkSession, sf: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    val byPricePk = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, sf)
+      .withColumn("rnk", rank().over(byPrice))
+      .withColumn("drnk", dense_rank().over(byPrice))
+      .withColumn("rn", row_number().over(byPricePk))
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice", "rnk", "drnk")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Running revenue per customer (rowsBetween unboundedPreceding..current),
+    * decimal-exact so prefix-sum association order is irrelevant. */
+  def qWinRunning(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, sf)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "running_spend")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Per-user event deltas: value - lag(value), gap to next event in µs. */
+  def qWinLagLead(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, sf)
+      .withColumn("delta_value", col("value") - lag("value", 1).over(w))
+      .withColumn("gap_us", unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts")))
+      .select("event_id", "user_id", "ts", "value", "delta_value", "gap_us")
+      .orderBy("event_id")
+  }
+
+  /** Trailing-1h average value per user — RANGE frame over epoch µs.
+    * avg decomposed as exact decimal sum / count so both engines' frame
+    * aggregation strategies agree bit-for-bit. */
+  def qWinRangeFrame(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc)
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("trailing_avg",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .select("event_id", "user_id", "ts_us", "value", "trailing_avg")
+      .orderBy("event_id")
+  }
+
+  /** Quartile + percent_rank of customers within their nation. */
+  def qWinNtile(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, sf)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .select("c_custkey", "c_nationkey", "c_acctbal", "quartile", "pct_rank")
+      .orderBy("c_custkey")
+  }
+
+  /** As-of join (B.3): each event matched to the same user's most recent
+    * prior event. Spark has no native as-of join; within a partitioned
+    * sort, lag() IS the as-of match — one shuffle on user_id, no
+    * range-join explosion, linear at any scale. */
+  def qJoinAsof(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, sf)
+      .withColumn("prior_event_id", lag("event_id", 1).over(w))
+      .withColumn("prior_ts", lag("ts", 1).over(w))
+      .withColumn("prior_value", lag("value", 1).over(w))
+      .select("event_id", "user_id", "ts", "prior_event_id", "prior_ts", "prior_value")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> qWinRank _,
+    "q_win_running" -> qWinRunning _,
+    "q_win_lag_lead" -> qWinLagLead _,
+    "q_win_range_frame" -> qWinRangeFrame _,
+    "q_win_ntile" -> qWinNtile _,
+    "q_join_asof" -> qJoinAsof _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_orderpriority,
+        |       row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |       o_orderkey, o_totalprice,
+        |       rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+        |       dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+        |FROM orders ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_win_lag_lead" ->
+      """SELECT event_id, user_id, ts, value,
+        |       value - lag(value, 1) OVER w AS delta_value,
+        |       epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS gap_us
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_win_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS trailing_avg
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |       ntile(4) OVER w AS quartile, percent_rank() OVER w AS pct_rank
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_asof" ->
+      """SELECT event_id, user_id, ts,
+        |       lag(event_id, 1) OVER w AS prior_event_id,
+        |       lag(ts, 1) OVER w AS prior_ts,
+        |       lag(value, 1) OVER w AS prior_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+  )
+}
