@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ StreamTwins.queries ++ Windows.queries ++ Funcs.queries
+    Relational.queries ++ StreamTwins.queries ++ Windows.queries ++
+      Funcs.queries ++ Llm.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ StreamTwins.oracle ++ Windows.oracle ++ Funcs.oracle
+    Relational.oracle ++ StreamTwins.oracle ++ Windows.oracle ++
+      Funcs.oracle ++ Llm.oracle
 }

@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{ScoredKey, SimHash, TopKAggregator}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (SURVEY.md §2 B.10) + UDF/UDAF/UDTF surface
+  * (B.11): the operations a training-data pipeline runs at 100 TB.
+  *
+  * Scale design, per operator:
+  *  - exact dedup: shuffle on content hash — linear, no pairwise compare.
+  *  - near dedup: MinHash signatures + LSH banding turn O(n²) pair search
+  *    into a shuffle on (band, band_hash); only bucket-colliding candidates
+  *    get exact Jaccard verification (equi-join on (doc, shingle)).
+  *  - top-k similarity: probes broadcast against the corpus, per-partition
+  *    scoring, TakeOrdered per probe. At real scale the corpus side gets
+  *    LSH/IVF-bucketed first (see q_dedup_near's banding for the pattern);
+  *    brute force is the correctness baseline.
+  *  - text analysis: per-row expressions + hash aggs, all codegen'd.
+  */
+object Llm {
+
+  // --------------------------------------------------------- exact dedup
+  /** Content-hash dedup: keep min doc_id per sha256(text). */
+  def qDedupExact(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies", "content_hash")
+      .orderBy("keeper_id")
+
+  // ------------------------------------------------- MinHash + LSH near-dup
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  /** Fixed hash family seeds, bounded to 31 bits so a*h + b stays well
+    * under 2^63 (Spark 4 ANSI mode makes long overflow an error, not a
+    * wrap). Deterministic across runs/JVMs. */
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue - 2).toLong + 1)
+    val b = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** Distinct character 5-gram shingles per document. */
+  private def shingleSet(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(expr("transform(sequence(0, length(text) - 5), i -> substring(text, i + 1, 5))")).as("sh"))
+      .distinct()
+
+  /** Near-duplicate pairs: 5-gram shingles -> 32 MinHashes -> 8 bands of 4
+    * -> bucket join -> exact-Jaccard verify >= 0.8. NOT oracled (LSH recall
+    * is probabilistic below ~0.9 similarity); scalatest asserts recall 1.0
+    * on exact duplicates and precision vs brute-force Jaccard. */
+  def qDedupNear(s: SparkSession, sf: String): DataFrame = {
+    val sh = shingleSet(Tables.documents(s, sf)).cache()
+    val hashed = sh.withColumn("h", pmod(xxhash64(col("sh")), lit(MersennePrime)))
+    val minhashAggs = (0 until NumHashes).map { i =>
+      min(pmod(col("h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")
+    }
+    val sig = hashed.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val rows = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
+    val left = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
+    val right = bands.select(col("band_idx").as("band_idx_r"), col("band_hash").as("band_hash_r"),
+      col("doc_id").as("b_id"))
+    val candidates = left.join(right,
+        col("band_idx") === col("band_idx_r") && col("band_hash") === col("band_hash_r") &&
+          col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // exact verification on candidates only (linear in candidate count)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sa = sh.select(col("doc_id").as("a_id"), col("sh"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("sh"))
+    val inter = candidates.join(sa, Seq("a_id")).join(sb, Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
+      .withColumn("jaccard", col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  // --------------------------------------------------- similarity search
+  /** Brute-force cosine top-5 for every 50th vector as probe. Probes are
+    * broadcast (tiny side); scoring is per-partition over the corpus with
+    * no shuffle until the per-probe top-k. */
+  def qSimTopk(s: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.embeddings(s, sf)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+    val scored = corpus.crossJoin(broadcast(probes))
+      .withColumn("dot",
+        expr("aggregate(zip_with(pvec, nvec, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("pnorm",
+        expr("sqrt(aggregate(pvec, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("nnorm",
+        expr("sqrt(aggregate(nvec, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("cos", round(col("dot") / (col("pnorm") * col("nnorm")), 6))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("probe_id", "rnk", "neighbor_id", "cos")
+      .orderBy("probe_id", "rnk")
+  }
+
+  // -------------------------------------------------------- text analysis
+  /** Global top-20 tokens (the reference's keyed counting applied to text). */
+  def qTextTokens(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+
+  def qTextStats(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("CAST(sum(n_chars) AS DOUBLE) / count(*)").as("avg_chars"),
+        expr("CAST(sum(n_tokens) AS DOUBLE) / count(*)").as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** Text + vector modalities flowing through one plan. */
+  def qMultimodal(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf); val e = Tables.embeddings(s, sf)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .filter(col("lang") === "en" && col("label") < 5 && col("text").like("%spark%"))
+      .select(
+        col("doc_id"), col("label"), col("n_chars"),
+        expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("emb_norm"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ UDF/UDAF/UDTF
+  /** Scala UDF exhibit: simhash64 fingerprint (see [[SimHash]]). NOT
+    * oracled (custom semantics); scalatest pins golden values. */
+  def qUdfScalar(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("doc_id"), SimHash.simhash(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Typed Aggregator exhibit: bounded-buffer top-3 orders per priority. */
+  def qUdafTopk(s: SparkSession, sf: String): DataFrame = {
+    val topk = udaf(new TopKAggregator(3))
+    Tables.orders(s, sf)
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(
+        col("o_orderpriority"), (col("pos") + 1).as("rn"),
+        col("col.key").as("o_orderkey"), col("col.score").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** UDTF-shape generator: text -> one row per 5-char shingle position.
+    * No custom Generator needed — explode(transform(sequence(...))). */
+  def qUdtfShingles(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, length(text) - 5), i -> substring(text, i + 1, 5))")))
+      .select(col("doc_id"), col("pos"), col("col").as("shingle"))
+      .orderBy("doc_id", "pos")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_near" -> qDedupNear _,
+    "q_sim_topk" -> qSimTopk _,
+    "q_text_tokens" -> qTextTokens _,
+    "q_text_stats" -> qTextStats _,
+    "q_multimodal" -> qMultimodal _,
+    "q_udf_scalar" -> qUdfScalar _,
+    "q_udaf_topk" -> qUdafTopk _,
+    "q_udtf_shingles" -> qUdtfShingles _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, sha256(text) AS content_hash
+        |FROM documents GROUP BY sha256(text) ORDER BY keeper_id""".stripMargin,
+    "q_sim_topk" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id % 50 = 0
+        |), corpus AS (
+        |  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nvec FROM embeddings
+        |), scored AS (
+        |  SELECT probe_id, neighbor_id,
+        |         round(list_sum(list_transform(range(1, 65), i -> pvec[i] * nvec[i])) /
+        |               (sqrt(list_sum(list_transform(pvec, x -> x * x))) *
+        |                sqrt(list_sum(list_transform(nvec, x -> x * x)))), 6) AS cos
+        |  FROM corpus, probes)
+        |SELECT probe_id,
+        |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk,
+        |       neighbor_id, cos
+        |FROM scored QUALIFY rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id, label, n_chars,
+        |       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS emb_norm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |WHERE lang = 'en' AND label < 5 AND text LIKE '%spark%'
+        |ORDER BY doc_id""".stripMargin,
+    "q_udaf_topk" ->
+      """SELECT o_orderpriority,
+        |       row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |       o_orderkey, o_totalprice
+        |FROM orders QUALIFY rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_udtf_shingles" ->
+      """SELECT doc_id, CAST(i AS INT) AS pos, substring(text, CAST(i AS INT) + 1, 5) AS shingle
+        |FROM documents, UNNEST(range(0, CAST(length(text) AS INT) - 4)) AS t(i)
+        |WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin,
+  )
+}
