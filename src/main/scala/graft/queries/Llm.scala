@@ -56,8 +56,13 @@ object Llm {
     * -> bucket join -> exact-Jaccard verify >= 0.8. NOT oracled (LSH recall
     * is probabilistic below ~0.9 similarity); scalatest asserts recall 1.0
     * on exact duplicates and precision vs brute-force Jaccard. */
-  def qDedupNear(s: SparkSession, sf: String): DataFrame = {
-    val sh = shingleSet(Tables.documents(s, sf)).cache()
+  def qDedupNear(s: SparkSession, sf: String): DataFrame =
+    nearDupPairs(Tables.documents(s, sf))
+
+  /** Core near-dup pipeline over any (doc_id, text) frame (tested directly
+    * on hand-built frames in LlmSpec). */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val sh = shingleSet(docs).cache()
     val hashed = sh.withColumn("h", pmod(xxhash64(col("sh")), lit(MersennePrime)))
     val minhashAggs = (0 until NumHashes).map { i =>
       min(pmod(col("h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")

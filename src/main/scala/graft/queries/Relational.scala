@@ -41,7 +41,8 @@ object Relational {
 
   def qFilterInLike(s: SparkSession, sf: String): DataFrame =
     Tables.part(s, sf)
-      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#4",
+          "Brand#5", "Brand#6", "Brand#7", "Brand#8", "Brand#9") &&
         col("p_name").like("%bolt%") && col("p_type").isNotNull &&
         !(col("p_size") < 5))
       .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
@@ -121,9 +122,11 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
-  /** NOT EXISTS: customers with no orders. */
+  /** NOT EXISTS: customers with no large order (plain "no orders" is empty
+    * in this data — every customer ordered; a 0-row result would mask bugs). */
   def qJoinAnti(s: SparkSession, sf: String): DataFrame = {
-    val c = Tables.customer(s, sf); val o = Tables.orders(s, sf)
+    val c = Tables.customer(s, sf)
+    val o = Tables.orders(s, sf).filter(col("o_totalprice") > 300000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -319,7 +322,7 @@ object Relational {
          |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
     "q_filter_in_like" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
-        |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3') AND p_name LIKE '%bolt%'
+        |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5','Brand#6','Brand#7','Brand#8','Brand#9') AND p_name LIKE '%bolt%'
         |  AND p_type IS NOT NULL AND NOT (p_size < 5)
         |ORDER BY p_partkey""".stripMargin,
     "q_project_expr" ->
@@ -356,7 +359,7 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
     "q_join_cross" ->
       "SELECT count(*) AS n_pairs FROM region CROSS JOIN nation",

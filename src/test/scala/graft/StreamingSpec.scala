@@ -1,0 +1,126 @@
+package graft
+
+import graft.streaming.ExactlyOnceSink
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import java.nio.file.Files
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class DupEv(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming flavors of the reference's pipeline (SURVEY.md §2 A4-A9):
+  * the SAME Pipeline transforms as the oracle-checked batch twins, driven
+  * through MemoryStream, plus watermark late-drop, streaming dedup, and
+  * the exactly-once restart protocol.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling counts: streaming result equals batch twin on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Ev(ts("2024-01-01 00:01:00"), "click", 1.5),
+      Ev(ts("2024-01-01 00:04:00"), "click", 2.5),
+      Ev(ts("2024-01-01 00:07:00"), "view", 4.0),
+      Ev(ts("2024-01-01 00:12:00"), "click", 8.0))
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = Pipeline.tumblingCounts(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_out")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = Pipeline.tumblingCounts(rows.toDF())
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(r => (r.getString(2), r.getLong(3))) ==
+      Seq(("click", 2L), ("view", 1L), ("click", 1L)))
+  }
+
+  test("watermark drops rows later than the threshold (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = Pipeline.tumblingCounts(mem.toDF().withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 00:01:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      mem.addData(Ev(ts("2024-01-01 02:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      // this event is 2h older than the watermark -> must be dropped
+      mem.addData(Ev(ts("2024-01-01 00:02:00"), "click", 99.0))
+      q.processAllAvailable()
+      // close the remaining window so it flushes
+      mem.addData(Ev(ts("2024-01-01 04:00:00"), "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_out").collect()
+    val clickWindow = out.filter(_.getString(2) == "click")
+    assert(clickWindow.length == 1)
+    assert(clickWindow.head.getLong(3) == 1L, "late row must not be counted")
+    assert(clickWindow.head.getDouble(4) == 1.0)
+  }
+
+  test("streaming dedup within watermark keeps first occurrence only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DupEv]
+    val deduped = mem.toDF().withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(
+        DupEv(1L, ts("2024-01-01 00:01:00"), 7L, "click", 1.0),
+        DupEv(1L, ts("2024-01-01 00:02:00"), 7L, "click", 1.0),
+        DupEv(2L, ts("2024-01-01 00:03:00"), 8L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(DupEv(1L, ts("2024-01-01 00:04:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
+  test("exactly-once sink: restart from checkpoint neither loses nor duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("eo_out").toString
+    val cpDir = Files.createTempDirectory("eo_cp").toString
+    val mem = MemoryStream[Int]
+    def start() = mem.toDF().select(col("value"))
+      .writeStream
+      .option("checkpointLocation", cpDir)
+      .foreachBatch(ExactlyOnceSink.parquetSink(outDir))
+      .start()
+
+    val q1 = start()
+    mem.addData(1 to 10: _*)
+    q1.processAllAvailable()
+    q1.stop() // "kill" the job mid-stream
+    mem.addData(11 to 20: _*)
+    val q2 = start() // restart from the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(s"$outDir/batch=*")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (1 to 20).toSeq, "no loss, no duplication across restart")
+  }
+
+  test("exactly-once sink: replaying the same batch id is a no-op") {
+    val outDir = Files.createTempDirectory("eo_replay").toString
+    val sink = ExactlyOnceSink.parquetSink(outDir)
+    val df = spark.range(5).toDF("value")
+    sink(df, 0L)
+    sink(df, 0L) // crash-replay of an already-committed epoch
+    val got = spark.read.parquet(s"$outDir/batch=0")
+    assert(got.count() == 5)
+  }
+}
