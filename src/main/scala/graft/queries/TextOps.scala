@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder mandate
+  * beyond SURVEY.md §2 B.10): language ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * All four are per-row expressions or broadcast-joined lexicon lookups —
+  * no shuffle except the langid argmax (hash on doc_id) — so they stream
+  * over any corpus size. Everything is built-in-function based (codegen'd).
+  */
+object TextOps {
+
+  /** Tiny per-language stopword lexicon. Real deployments swap in a full
+    * lexicon table; the operator shape (broadcast join + per-doc argmax)
+    * is what scales, not the word list. */
+  private val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "fast", "en" -> "big", "en" -> "slow",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "nicht",
+    "es" -> "el", "es" -> "los", "es" -> "que", "es" -> "una",
+    "fr" -> "le", "fr" -> "les", "fr" -> "une", "fr" -> "est",
+    "zh" -> "de", "zh" -> "shi")
+
+  /** N-gram-style heuristic language ID: tokens joined against a broadcast
+    * (lang, word) lexicon, hit counts per candidate language, deterministic
+    * argmax (hits desc, lang asc), 'und' when nothing matches. */
+  def qTextLangid(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, sf)
+    val lex = lexicon.toDF("cand_lang", "word")
+    val tokens = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("word"))
+    val scores = tokens.join(broadcast(lex), Seq("word"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand_lang").asc)
+    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang"), col("hits"))
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("labeled_lang"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document quality signals: token count, chars/token, stopword
+    * ratio, and a bounded rational score (no transcendentals -> exact
+    * cross-engine match). */
+  def qTextQuality(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("n_stop",
+        expr("size(filter(split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'value' OR t = 'data'))"))
+      .withColumn("chars_per_token", expr("CAST(n_chars AS DOUBLE) / n_tokens"))
+      .withColumn("stop_ratio", expr("CAST(n_stop AS DOUBLE) / n_tokens"))
+      .withColumn("quality_score",
+        expr("(CAST(n_tokens AS DOUBLE) / (n_tokens + 100)) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)"))
+      .select("doc_id", "n_tokens", "n_stop", "chars_per_token", "stop_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  /** Whitespace tokens + BPE-ish subword estimate (<=4-char pieces per
+    * word, summed via a fold — all inside codegen). */
+  def qTextTokenCount(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .withColumn("ws_tokens", expr("size(split(text, ' '))"))
+      .withColumn("bpe_pieces",
+        expr("aggregate(transform(split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select("doc_id", "ws_tokens", "bpe_pieces")
+      .orderBy("doc_id")
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the text's bytes —
+    * a content fingerprint computable as a sequential fold on both engines
+    * (modulus keeps every intermediate far from long overflow, which ANSI
+    * mode would reject). */
+  def qTextFingerprint(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .withColumn("fingerprint",
+        expr("aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_langid" -> qTextLangid _,
+    "q_text_quality" -> qTextQuality _,
+    "q_text_token_count" -> qTextTokenCount _,
+    "q_text_fingerprint" -> qTextFingerprint _,
+  )
+
+  private val lexValues = lexicon
+    .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" ->
+      s"""WITH lex(cand_lang, word) AS (VALUES $lexValues),
+         |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+         |sc AS (SELECT doc_id, cand_lang, count(*) AS hits
+         |       FROM tok JOIN lex USING (word) GROUP BY doc_id, cand_lang),
+         |best AS (SELECT doc_id, cand_lang, hits,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |         FROM sc QUALIFY rn = 1)
+         |SELECT d.doc_id, d.lang AS labeled_lang,
+         |       coalesce(b.cand_lang, 'und') AS pred_lang,
+         |       coalesce(b.hits, 0) AS hits
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'value' OR t = 'data')) AS INT) AS n_stop,
+        |       CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'value' OR t = 'data')) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+        |       (CAST(len(string_split(text, ' ')) AS DOUBLE) / (len(string_split(text, ' ')) + 100)) *
+        |       (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'value' OR t = 'data')) AS DOUBLE) / len(string_split(text, ' '))) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |       CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

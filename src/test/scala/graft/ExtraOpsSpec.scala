@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.{Media, VectorOps, Llm}
+import org.apache.spark.sql.functions._
+
+/** Cross-validation for the non-oracled extra operators. */
+class ExtraOpsSpec extends SparkSuite {
+
+  test("multimodal decode stub equals the SQL arithmetic path") {
+    val viaStub = Media.qMultimodalDecode(spark, sf001)
+      .select(col("doc_id"), col("byte_len").cast("long"), col("width").cast("long"),
+        col("height").cast("long"), col("n_frames").cast("long"))
+      .collect().toSeq
+    val viaSql = Media.qMultimodalMeta(spark, sf001)
+      .select(col("doc_id"), col("byte_len").cast("long"), col("width"),
+        col("height"), col("n_frames"))
+      .collect().toSeq
+    assert(viaStub == viaSql)
+  }
+
+  test("SRP-LSH results are a subset of brute-force rankings with self at rank 1") {
+    val brute = Llm.qSimTopk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = VectorOps.qSimLsh(spark, sf001).collect()
+    val byProbe = lsh.groupBy(_.getLong(0))
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (probe, rows) =>
+      val rank1 = rows.minBy(_.getInt(1))
+      assert(rank1.getLong(2) == probe, "bucketed search must retrieve the probe itself")
+      assert(rank1.getDouble(3) == 1.0)
+    }
+    // rank-1 brute-force neighbor (the probe itself) always survives bucketing
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    byProbe.keys.foreach(p => assert(lshPairs.contains((p, p))))
+    assert(brute.nonEmpty)
+  }
+
+  test("simhash-banded dedup: every reported pair has small hamming, ordered output") {
+    val rows = VectorOps.qDedupSimhash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, h) => assert(a < b && h <= 8) }
+    // the shingle-identical near-dup pair (12, 360) must land close
+    assert(rows.exists { case (a, b, _) => a == 12 && b == 360 })
+  }
+}
