@@ -46,11 +46,15 @@ object Llm {
     (a, b)
   }
 
-  /** Distinct character 5-gram shingles per document. */
-  private def shingleSet(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(expr("transform(sequence(0, length(text) - 5), i -> substring(text, i + 1, 5))")).as("sh"))
-      .distinct()
+  /** Character 5-gram shingles per document (NOT deduplicated), pre-hashed
+    * to 64-bit longs. explode(sequence) + a codegen'd substring instead of
+    * a transform(...) lambda (higher-order lambdas are interpreted —
+    * CodegenFallback — and dominated the near-dup runtime), and hashing at
+    * the source means no downstream shuffle ever carries shingle strings. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, length(text) - 5)")).as("i"))
+      .select(col("doc_id"), xxhash64(expr("substring(text, i + 1, 5)")).as("sh"))
 
   /** Near-duplicate pairs: 5-gram shingles -> 32 MinHashes -> 8 bands of 4
     * -> bucket join -> exact-Jaccard verify >= 0.8. NOT oracled (LSH recall
@@ -62,8 +66,12 @@ object Llm {
   /** Core near-dup pipeline over any (doc_id, text) frame (tested directly
     * on hand-built frames in LlmSpec). */
   def nearDupPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleSet(docs).cache()
-    val hashed = sh.withColumn("h", pmod(xxhash64(col("sh")), lit(MersennePrime)))
+    // MinHash mins are invariant under shingle multiplicity, so the
+    // signature path streams raw (non-distinct) shingles — no global
+    // 2M-row distinct shuffle; exact sets are materialized only for the
+    // (orders-of-magnitude smaller) candidate subset below.
+    val shRaw = shingles(docs)
+    val hashed = shRaw.withColumn("h", pmod(col("sh"), lit(MersennePrime)))
     val minhashAggs = (0 until NumHashes).map { i =>
       min(pmod(col("h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")
     }
@@ -81,11 +89,30 @@ object Llm {
         col("band_idx") === col("band_idx_r") && col("band_hash") === col("band_hash_r") &&
           col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // exact verification on candidates only (linear in candidate count)
+    // cheap sieve before exact verification: estimate Jaccard from the
+    // signatures already in hand (fraction of agreeing minhashes) and keep
+    // only pairs estimated >= 0.55 — same-vocab corpora produce tens of
+    // thousands of low-similarity band collisions that would otherwise all
+    // pay the exact shingle-join price. P(true j>=0.8 estimated < 0.55 over
+    // 32 hashes) ~ 7e-5, and exact duplicates always estimate 1.0.
+    val sigA = sig.select(col("doc_id").as("a_id") +:
+      (0 until NumHashes).map(i => col(s"m$i").as(s"a_m$i")): _*)
+    val sigB = sig.select(col("doc_id").as("b_id") +:
+      (0 until NumHashes).map(i => col(s"m$i").as(s"b_m$i")): _*)
+    val estMatches = (0 until NumHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val strong = candidates.join(sigA, Seq("a_id")).join(sigB, Seq("b_id"))
+      .filter(estMatches >= (NumHashes * 0.55).toInt)
+      .select("a_id", "b_id")
+    // exact verification on the sieved candidates only
+    val candDocs = strong.select(col("a_id").as("doc_id"))
+      .union(strong.select(col("b_id").as("doc_id"))).distinct()
+    val sh = shRaw.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct().cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val sa = sh.select(col("doc_id").as("a_id"), col("sh"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh"))
-    val inter = candidates.join(sa, Seq("a_id")).join(sb, Seq("b_id", "sh"))
+    val inter = strong.join(sa, Seq("a_id")).join(sb, Seq("b_id", "sh"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))

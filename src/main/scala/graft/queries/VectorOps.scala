@@ -23,16 +23,46 @@ object VectorOps {
       "(sqrt(aggregate(av, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * " +
       "sqrt(aggregate(bv, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)"
 
+  /** Spark `round(x, 6)` semantics (BigDecimal HALF_UP on the shortest
+    * repr) so the typed path below matches the SQL formulation exactly. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Embedding near-dup, brute force: all pairs with cosine >= 0.45
-    * (this corpus is near-orthogonal random; max pairwise cosine ~0.6). */
+    * (this corpus is near-orthogonal random; max pairwise cosine ~0.6).
+    *
+    * The cosine runs in a typed mapPartitions with primitive loops rather
+    * than HOF lambdas: higher-order expressions are CodegenFallback
+    * (interpreted), ~100x slower for dense linear algebra — 2M pairs of
+    * 64-dim folds took 94 s as HOFs, ~2 s as loops. Arithmetic order is
+    * identical (sequential fold, double accumulation), so results are
+    * bit-equal to the SQL/oracle formulation. Quadratic by construction —
+    * the documented test-scale baseline; the 100 TB path is q_sim_lsh's
+    * banding. */
   def qDedupEmbcos(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, sf)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", expr(cosExpr))
-      .filter(col("cos") >= 0.45)
-      .select("a_id", "b_id", "cos")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // broadcast the build side explicitly (what a broadcast nested-loop
+    // join does internally) and stream partitions of the probe side over
+    // it — avoids materializing 2M joined rows with duplicated arrays.
+    // At real scale the corpus side is LSH-bucketed first (q_sim_lsh);
+    // this operator is the documented quadratic baseline.
+    val corpus = s.sparkContext.broadcast(e.collect().sortBy(_._1))
+    e.mapPartitions { it =>
+      val corp = corpus.value
+      it.flatMap { case (ai, av) =>
+        corp.iterator.filter(_._1 > ai).flatMap { case (bi, bv) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < av.length) {
+            val x = av(i).toDouble; val y = bv(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          val cos = round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+          if (cos >= 0.45) Iterator.single((ai, bi, cos)) else Iterator.empty
+        }
+      }
+    }.toDF("a_id", "b_id", "cos")
       .orderBy("a_id", "b_id")
   }
 

@@ -1,0 +1,25 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Steady-state per-query timing: run each query N times, report min. */
+object Perf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.length > 2) args.drop(2).toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    val rows = names.map { n =>
+      val fn = graft.SparkEntry.queries(n)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
+      }
+      n -> times.min
+    }
+    rows.sortBy(-_._2).foreach { case (n, t) => println(f"PERF $n%-24s $t%8.2f s") }
+    println(f"PERF TOTAL ${rows.map(_._2).sum}%8.2f s")
+    spark.stop()
+  }
+}
