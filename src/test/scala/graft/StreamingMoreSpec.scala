@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.Sources
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import java.nio.file.Files
+
+case class Imp(ad_id: Long, ts: Timestamp)
+case class Clk(ad_id: Long, ts: Timestamp)
+
+/** Further streaming coverage: stream-stream interval join, RocksDB state
+  * store provider, file-based source via the source-agnostic factory. */
+class StreamingMoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream-stream interval join (clicks within 10m after impression)") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clks = MemoryStream[Clk]
+    val i = imps.toDF().withWatermark("ts", "30 minutes")
+      .select(col("ad_id").as("i_ad"), col("ts").as("i_ts"))
+    val c = clks.toDF().withWatermark("ts", "30 minutes")
+      .select(col("ad_id").as("c_ad"), col("ts").as("c_ts"))
+    val joined = i.join(c,
+      col("i_ad") === col("c_ad") &&
+        col("c_ts") >= col("i_ts") &&
+        col("c_ts") <= col("i_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    try {
+      imps.addData(Imp(1, ts("2024-01-01 10:00:00")), Imp(2, ts("2024-01-01 10:00:00")))
+      clks.addData(
+        Clk(1, ts("2024-01-01 10:05:00")), // within window -> joins
+        Clk(2, ts("2024-01-01 10:20:00"))) // 20m later -> outside window
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ss_join_out").select("i_ad").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), "only the click within 10 minutes joins")
+  }
+
+  test("streaming aggregation runs on the RocksDB state store provider") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val cp = Files.createTempDirectory("rocks_cp").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Pipeline.tumblingCounts(mem.toDF())
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", cp)
+      .format("memory").queryName("rocks_out").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 00:01:00"), "click", 1.0),
+        Ev(ts("2024-01-01 00:02:00"), "click", 2.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val rows = spark.table("rocks_out").collect()
+    assert(rows.length == 1 && rows.head.getLong(3) == 2L)
+  }
+
+  test("file-based source through the source-agnostic factory") {
+    val dir = Files.createTempDirectory("filestream").toString
+    val schema = Tables.events(spark, sf001).schema
+    // stage one batch of files
+    Tables.events(spark, sf001).limit(100).write.mode("overwrite").parquet(dir)
+    val q = Pipeline.tumblingCounts(Sources.fileStream(spark, dir, schema))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_out")
+      .agg(sum("cnt")).collect().head.getLong(0)
+    assert(streamed == 100L)
+  }
+}
