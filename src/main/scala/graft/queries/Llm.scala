@@ -126,20 +126,17 @@ object Llm {
   // --------------------------------------------------- similarity search
   /** Brute-force cosine top-5 for every 50th vector as probe. Probes are
     * broadcast (tiny side); scoring is per-partition over the corpus with
-    * no shuffle until the per-probe top-k. */
+    * no shuffle until the per-probe top-k. The cosine is the native
+    * codegen'd [[graft.functions.VectorExpressions.cosineSim]] expression
+    * (bit-identical accumulation order to the HOF/oracle formulation). */
   def qSimTopk(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.VectorExpressions.cosineSim
     val emb = Tables.embeddings(s, sf)
     val probes = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
     val scored = corpus.crossJoin(broadcast(probes))
-      .withColumn("dot",
-        expr("aggregate(zip_with(pvec, nvec, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("pnorm",
-        expr("sqrt(aggregate(pvec, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-      .withColumn("nnorm",
-        expr("sqrt(aggregate(nvec, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-      .withColumn("cos", round(col("dot") / (col("pnorm") * col("nnorm")), 6))
+      .withColumn("cos", round(cosineSim(col("pvec"), col("nvec")), 6))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
       .select("probe_id", "rnk", "neighbor_id", "cos")

@@ -18,11 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  private def cosExpr: String =
-    "round(aggregate(zip_with(av, bv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) / " +
-      "(sqrt(aggregate(av, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * " +
-      "sqrt(aggregate(bv, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)"
-
   /** Spark `round(x, 6)` semantics (BigDecimal HALF_UP on the shortest
     * repr) so the typed path below matches the SQL formulation exactly. */
   private def round6(x: Double): Double =
@@ -75,12 +70,11 @@ object VectorOps {
     Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** 16-bit SRP signature bits of a vector column, as one int column. */
+  /** 16-bit SRP signature bits of a vector column, as one int column
+    * (hyperplane dots via the native codegen'd DotProduct expression). */
   private def srpSignature(v: Column): Column = {
     val bits = hyperplanes.zipWithIndex.map { case (h, i) =>
-      val dot = aggregate(
-        zip_with(v, typedLit(h.toSeq), (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = graft.functions.VectorExpressions.dot(v, typedLit(h.toSeq))
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
@@ -111,7 +105,8 @@ object VectorOps {
     val av = Tables.embeddings(s, sf).select(col("vec_id").as("probe_id"), col("embedding").as("av"))
     val bv = Tables.embeddings(s, sf).select(col("vec_id").as("neighbor_id"), col("embedding").as("bv"))
     val scored = candidates.join(av, Seq("probe_id")).join(bv, Seq("neighbor_id"))
-      .withColumn("cos", expr(cosExpr))
+      .withColumn("cos",
+        round(graft.functions.VectorExpressions.cosineSim(col("av"), col("bv")), 6))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
       .select("probe_id", "rnk", "neighbor_id", "cos")

@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.VectorExpressions.{cosineSim, dot}
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd vector expressions vs the HOF reference formulation. */
+class VectorExprSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosineSim matches the HOF formulation bit-for-bit on real data") {
+    val e = Tables.embeddings(spark, sf001).limit(200)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val pairs = a.join(b, col("a_id") < col("b_id") && col("b_id") < col("a_id") + 10)
+    val hof =
+      "aggregate(zip_with(av, bv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) / " +
+        "(sqrt(aggregate(av, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * " +
+        "sqrt(aggregate(bv, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val diffs = pairs
+      .withColumn("native", cosineSim(col("av"), col("bv")))
+      .withColumn("ref", expr(hof))
+      .filter(col("native") =!= col("ref"))
+      .count()
+    assert(diffs == 0, "codegen'd cosine must be bit-identical to the HOF fold")
+  }
+
+  test("cosineSim: self-similarity is 1, null propagates") {
+    val e = Tables.embeddings(spark, sf001).limit(50)
+    val self = e.withColumn("c", round(cosineSim(col("embedding"), col("embedding")), 9))
+    assert(self.filter(col("c") =!= 1.0).count() == 0)
+    val withNull = e.withColumn("c", cosineSim(col("embedding"), lit(null).cast("array<float>")))
+    assert(withNull.filter(col("c").isNotNull).count() == 0)
+  }
+
+  test("dot matches a hand computation") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val got = df.select(dot(col("v"), typedLit(Seq(2.0, -1.0, 0.5)))).head.getDouble(0)
+    assert(got == 1.0 * 2.0 + 2.0 * -1.0 + 3.0 * 0.5)
+  }
+}
