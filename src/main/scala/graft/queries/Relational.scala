@@ -180,6 +180,17 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** DataSketches HLL distinct via our TypedImperativeAggregate — the
+    * mergeable/persistable sketch path for extreme cardinalities (NOT
+    * oracled; ScaleSpec bounds error vs exact and proves merge
+    * invariance across partitionings). */
+  def qAggHll(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy("event_type")
+      .agg(graft.functions.HllDistinct.hllDistinct(col("user_id")).as("hll_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   def qAggRollup(s: SparkSession, sf: String): DataFrame = {
     val c = Tables.customer(s, sf); val n = Tables.nation(s, sf); val r = Tables.region(s, sf)
     // SQL route: re-selecting rollup grouping columns through coalesce trips
@@ -297,6 +308,7 @@ object Relational {
     "q_agg_q1" -> qAggQ1 _,
     "q_agg_distinct" -> qAggDistinct _,
     "q_agg_approx_distinct" -> qAggApproxDistinct _,
+    "q_agg_hll" -> qAggHll _,
     "q_agg_rollup" -> qAggRollup _,
     "q_agg_cube" -> qAggCube _,
     "q_agg_groupingsets" -> qAggGroupingSets _,

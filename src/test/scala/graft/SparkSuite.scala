@@ -11,6 +11,7 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .getOrCreate()
 
   val sf001 = "/root/testdata/sf0.001"
