@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup at the smallest scale factor: compiles every query's
+    // generated code and JITs the hot paths, so timed runs measure the
+    // engine rather than first-use codegen (~100 ms per generated class)
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

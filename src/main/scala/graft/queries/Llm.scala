@@ -75,7 +75,11 @@ object Llm {
     val minhashAggs = (0 until NumHashes).map { i =>
       min(pmod(col("h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")
     }
-    val sig = hashed.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    // cache: sig is tiny (one 33-col row per doc) but its lineage is the
+    // full 2M-row shingle scan + 32-way min agg, and it feeds FOUR
+    // consumers (band left/right, estimate sieve a/b) — uncached, Spark
+    // recomputes the whole pipeline per consumer
+    val sig = hashed.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*).cache()
     val bandStructs = (0 until Bands).map { b =>
       val rows = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
       struct(lit(b).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
@@ -104,7 +108,7 @@ object Llm {
       .reduce(_ + _)
     val strong = candidates.join(sigA, Seq("a_id")).join(sigB, Seq("b_id"))
       .filter(estMatches >= (NumHashes * 0.55).toInt)
-      .select("a_id", "b_id")
+      .select("a_id", "b_id").cache()
     // exact verification on the sieved candidates only
     val candDocs = strong.select(col("a_id").as("doc_id"))
       .union(strong.select(col("b_id").as("doc_id"))).distinct()
