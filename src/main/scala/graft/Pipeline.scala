@@ -59,4 +59,33 @@ object Pipeline {
   /** Dedup by event_id (streaming flavor: dropDuplicatesWithinWatermark). */
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running count
+    * + running sum emitted on every update (the reference's incremental
+    * per-key aggregate, A6, expressed as explicit state instead of a
+    * windowed agg — the escape hatch for state machines that windowed
+    * aggregation can't express). State is one small case class per key;
+    * at scale it lives in the (RocksDB-capable) state store. */
+  def runningTotalsStateful(events: org.apache.spark.sql.Dataset[UserEvent])
+    : org.apache.spark.sql.Dataset[UserRunningTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunningTotal, UserRunningTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunningTotal]) =>
+          val prev = state.getOption.getOrElse(UserRunningTotal(userId, 0L, 0.0))
+          var cnt = prev.cnt; var sum = prev.sum
+          val out = rows.map { e =>
+            cnt += 1; sum += e.value
+            UserRunningTotal(userId, cnt, sum)
+          }.toList
+          if (out.nonEmpty) state.update(out.last)
+          out.iterator
+      }
+  }
 }
+
+/** Input/output rows for the custom-state operator. */
+case class UserEvent(user_id: Long, value: Double)
+case class UserRunningTotal(user_id: Long, cnt: Long, sum: Double)

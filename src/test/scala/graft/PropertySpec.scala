@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.SimHash
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based tests (SURVEY.md §5.2.3) — scalacheck generators driving
+  * both pure kernels (cheap, many cases) and DataFrame ops (few cases,
+  * tiny frames). */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def check(label: String, n: Int, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, s"$label: ${res.status}")
+  }
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val ids = Gen.listOfN(30, Gen.chooseNum(0L, 9L))
+    check("idempotence", 10, Prop.forAll(ids) { xs =>
+      val df = xs.zipWithIndex.map { case (id, i) => (id, i.toLong) }.toDF("event_id", "payload")
+      val once = Pipeline.dedupEvents(df)
+      val twice = Pipeline.dedupEvents(once)
+      once.count() == twice.count() &&
+        once.select("event_id").collect().map(_.getLong(0)).sorted.sameElements(
+          xs.distinct.sorted)
+    })
+  }
+
+  test("union/intersect/except agree with the Set model") {
+    val small = Gen.listOf(Gen.chooseNum(0, 20))
+    check("set algebra", 10, Prop.forAll(small, small) { (xs, ys) =>
+      val a = xs.toDF("v"); val b = ys.toDF("v")
+      def vals(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getInt(0)).toSet
+      vals(a.union(b).distinct()) == (xs.toSet union ys.toSet) &&
+        vals(a.intersect(b)) == (xs.toSet intersect ys.toSet) &&
+        vals(a.except(b)) == (xs.toSet diff ys.toSet)
+    })
+  }
+
+  test("simhash is permutation-invariant and deterministic") {
+    val words = Gen.nonEmptyListOf(Gen.oneOf(
+      "the", "fast", "key", "order", "sort", "table", "scan", "merge", "spark"))
+    check("simhash", 100, Prop.forAll(words) { ws =>
+      val t = ws.mkString(" ")
+      val shuffled = scala.util.Random.shuffle(ws).mkString(" ")
+      SimHash.simhash64(t) == SimHash.simhash64(t) &&
+        SimHash.simhash64(t) == SimHash.simhash64(shuffled)
+    })
+  }
+
+  test("cosine kernel: symmetric, self-similarity 1, bounded") {
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(_.exists(v => math.abs(v) > 0.01f))
+    check("cosine", 50, Prop.forAll(vec, vec) { (a, b) =>
+      def cos(x: Seq[Float], y: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- x.indices) {
+          dot += x(i).toDouble * y(i); na += x(i).toDouble * x(i); nb += y(i).toDouble * y(i)
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val ab = cos(a, b); val ba = cos(b, a); val aa = cos(a, a)
+      ab == ba && math.abs(aa - 1.0) < 1e-12 && ab >= -1.0 - 1e-12 && ab <= 1.0 + 1e-12
+    })
+  }
+
+  test("TopKAggregator returns exactly the k best by (score desc, key asc)") {
+    val rows = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0.0, 100.0), Gen.chooseNum(0L, 1000L)))
+    check("topk", 10, Prop.forAll(rows) { xs =>
+      val agg = udaf(new graft.functions.TopKAggregator(3))
+      val got = xs.toDF("score", "key").agg(agg(col("score"), col("key")).as("top"))
+        .select(explode(col("top"))).select("col.score", "col.key")
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      val expect = xs.sortBy { case (s, k) => (-s, k) }.take(3)
+      got == expect
+    })
+  }
+}
