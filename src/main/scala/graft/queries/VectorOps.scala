@@ -137,13 +137,65 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Word-bigram Jaccard near-dup with inverted-index candidate pruning:
+    * pairs must share at least one RARE bigram (document frequency <=
+    * max(20, 0.01·corpus)) before paying the exact Jaccard join — the
+    * classic inverted-index shortcut that keeps n-gram dedup linear in
+    * posting-list sizes instead of quadratic in documents. Fully oracled:
+    * DuckDB computes the identical candidate rule and Jaccard. */
+  def qDedupNgram(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val bg = docs.select(col("doc_id"), expr("split(text, ' ')").as("t"))
+      .select(col("doc_id"), col("t"), explode(expr("sequence(1, size(t) - 1)")).as("i"))
+      .select(col("doc_id"), expr("concat(element_at(t, i), ' ', element_at(t, i + 1))").as("bg"))
+      .distinct().cache()
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val rare = bg.groupBy("bg").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= greatest(lit(20), col("n") / 100))
+      .select("bg")
+    val aSide = bg.select(col("doc_id").as("a_id"), col("bg"))
+    val bSide = bg.select(col("doc_id").as("b_id"), col("bg"))
+    val cand = aSide.join(rare, Seq("bg")).join(bSide, Seq("bg"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(bg.select(col("doc_id").as("a_id"), col("bg")), Seq("a_id"))
+      .join(bg.select(col("doc_id").as("b_id"), col("bg")), Seq("b_id", "bg"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("ic"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
+      .withColumn("jaccard", expr("CAST(ic AS DOUBLE) / (sz_a + sz_b - ic)"))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_embcos" -> qDedupEmbcos _,
+    "q_dedup_ngram" -> qDedupNgram _,
     "q_sim_lsh" -> qSimLsh _,
     "q_dedup_simhash" -> qDedupSimhash _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, count(*) AS ic
+        |          FROM cand c JOIN bg x ON x.doc_id = c.a_id JOIN bg y ON y.doc_id = c.b_id AND y.bg = x.bg
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
