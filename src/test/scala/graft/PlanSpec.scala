@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan regression net: the scale properties we rely on (pushdown,
+  * pruning, join selection, top-k without global sort) must survive future
+  * edits — a correctness-preserving change that loses one of these is a
+  * 100x regression at real scale. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+
+  test("q_filter_range pushes every predicate into the parquet scan") {
+    val p = plan("q_filter_range")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity,24.0)"), "range predicates must reach the scan")
+  }
+
+  test("q_scan_project prunes to exactly the projected columns") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
+      p.take(2000))
+  }
+
+  test("q_join_broadcast builds a broadcast hash join (no shuffle of the fact side)") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_join_semi / q_join_anti plan as semi/anti joins, not materialized joins") {
+    assert(plan("q_join_semi").contains("LeftSemi"), "semi join type lost")
+    assert(plan("q_join_anti").contains("LeftAnti"), "anti join type lost")
+  }
+
+  test("q_sort_limit uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_agg_q1 aggregates in two phases (partial before the exchange)") {
+    val p = plan("q_agg_q1")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && exchange >= 0, p.take(2000))
+    assert(p.lastIndexOf("HashAggregate") != firstHashAgg,
+      "expected partial + final HashAggregate pair")
+  }
+
+  test("no query plans a CartesianProduct except the declared cross join") {
+    SparkEntry.queries.keys.filterNot(Set("q_join_cross", "q_dedup_embcos")).foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n unexpectedly plans a cartesian product")
+    }
+  }
+}
