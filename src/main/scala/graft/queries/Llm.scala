@@ -70,7 +70,11 @@ object Llm {
     // signature path streams raw (non-distinct) shingles — no global
     // 2M-row distinct shuffle; exact sets are materialized only for the
     // (orders-of-magnitude smaller) candidate subset below.
-    val shRaw = shingles(docs)
+    // Repartition the (tiny) docs BEFORE exploding: a single-file corpus
+    // otherwise pins the whole shingle+minhash computation to 1-2 input
+    // partitions however many cores the session has, and partitioning by
+    // doc_id lets the signature groupBy reuse the partitioning.
+    val shRaw = shingles(docs.repartition(col("doc_id")))
     val hashed = shRaw.withColumn("h", pmod(col("sh"), lit(MersennePrime)))
     val minhashAggs = (0 until NumHashes).map { i =>
       min(pmod(col("h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")

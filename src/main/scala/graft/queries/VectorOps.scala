@@ -144,7 +144,9 @@ object VectorOps {
     * posting-list sizes instead of quadratic in documents. Fully oracled:
     * DuckDB computes the identical candidate rule and Jaccard. */
   def qDedupNgram(s: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(s, sf)
+    // repartition before exploding: single-file input otherwise caps the
+    // bigram pipeline at 1-2 partitions regardless of session cores
+    val docs = Tables.documents(s, sf).repartition(col("doc_id"))
     val bg = docs.select(col("doc_id"), expr("split(text, ' ')").as("t"))
       .select(col("doc_id"), col("t"), explode(expr("sequence(1, size(t) - 1)")).as("i"))
       .select(col("doc_id"), expr("concat(element_at(t, i), ' ', element_at(t, i + 1))").as("bg"))
