@@ -244,6 +244,26 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("c_nationkey")
 
+  /** Pivot: order counts per priority × status (fixed value list so the
+    * output schema is static — the scalable form; dynamic pivot needs a
+    * values scan first). */
+  def qPivot(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  /** Unpivot (melt): the pivot's inverse back to long form. */
+  def qUnpivot(s: SparkSession, sf: String): DataFrame =
+    qPivot(s, sf)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")),
+        "o_orderstatus", "n_orders")
+      .orderBy("o_orderpriority", "o_orderstatus")
+
   // ------------------------------------------------------ B.6 sorts / top-k
   /** Global top-10 — TakeOrderedAndProject: each partition keeps 10, driver
     * merges 10×P rows; never a full global sort at scale. */
@@ -314,6 +334,8 @@ object Relational {
     "q_agg_groupingsets" -> qAggGroupingSets _,
     "q_agg_having" -> qAggHaving _,
     "q_agg_sorted" -> qAggSorted _,
+    "q_pivot" -> qPivot _,
+    "q_unpivot" -> qUnpivot _,
     "q_sort_limit" -> qSortLimit _,
     "q_topk_per_group" -> qTopkPerGroup _,
     "q_union_all" -> qUnionAll _,
@@ -418,6 +440,23 @@ object Relational {
       """SELECT c_nationkey, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |       arg_min(c_name, c_custkey) AS first_name, count(*) AS n
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+        |       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+        |       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |         CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+        |         CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+        |         CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'F' AS o_orderstatus, f_n AS n_orders FROM p
+        |UNION ALL SELECT o_orderpriority, 'O', o_n FROM p
+        |UNION ALL SELECT o_orderpriority, 'P', p_n FROM p
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
