@@ -38,4 +38,15 @@ object Tables {
     read(spark, sf, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so users get the full
+    * `spark.sql(...)` surface over the same data the DataFrame API sees
+    * (events included, with its timestamp normalization applied). */
+  def registerTables(spark: SparkSession, sf: String): Unit = names.foreach {
+    case "events" => events(spark, sf).createOrReplaceTempView("events")
+    case n => read(spark, sf, n).createOrReplaceTempView(n)
+  }
 }
