@@ -244,6 +244,48 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("c_nationkey")
 
+  /** Exact interpolated percentiles (median, p90) per group — Spark
+    * `percentile` and DuckDB `quantile_cont` share the p·(n-1) linear
+    * interpolation definition. */
+  def qAggPercentile(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Variance / stddev / correlation from exact decimal moment sums + one
+    * closed-form double expression per statistic. The built-in stddev/corr
+    * use order-dependent streaming updates (Welford) that cannot
+    * hash-match another engine; exact Σx, Σx², Σxy make every moment
+    * order-independent, and the final double formula is evaluated on
+    * identical inputs on both sides. */
+  def qAggStats(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("sum(CAST(l_quantity AS DECIMAL(18,2)))").as("sx"),
+        expr("sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))").as("sxx"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)))").as("sy"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))").as("syy"),
+        expr("sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))").as("sxy"))
+      .selectExpr(
+        "l_returnflag", "n",
+        // round(…, 9): the moment sums are exact, but the long double
+        // chains below can differ in the final ulp across engines (FMA
+        // contraction); these are irrational values, so rounding carries
+        // no decimal-tie risk (contrast Det's rationale for sums)
+        "round(CAST(sx AS DOUBLE) / n, 9) AS mean_qty",
+        "round((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1)), 9) AS var_qty",
+        "round(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1))), 9) AS std_qty",
+        "round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+          "sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12) AS corr_qty_price")
+      .orderBy("l_returnflag")
+
   /** Pivot: order counts per priority × status (fixed value list so the
     * output schema is static — the scalable form; dynamic pivot needs a
     * values scan first). */
@@ -334,6 +376,8 @@ object Relational {
     "q_agg_groupingsets" -> qAggGroupingSets _,
     "q_agg_having" -> qAggHaving _,
     "q_agg_sorted" -> qAggSorted _,
+    "q_agg_percentile" -> qAggPercentile _,
+    "q_agg_stats" -> qAggStats _,
     "q_pivot" -> qPivot _,
     "q_unpivot" -> qUnpivot _,
     "q_sort_limit" -> qSortLimit _,
@@ -440,6 +484,27 @@ object Relational {
       """SELECT c_nationkey, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |       arg_min(c_name, c_custkey) AS first_name, count(*) AS n
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90_price, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       round(CAST(sx AS DOUBLE) / n, 9) AS mean_qty,
+        |       round((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1)), 9) AS var_qty,
+        |       round(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1))), 9) AS std_qty,
+        |       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |        sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
