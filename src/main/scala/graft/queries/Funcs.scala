@@ -26,7 +26,8 @@ object Funcs {
         regexp_replace(col("p_name"), " ", "_").as("snake"),
         regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
         trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
-        size(split(col("p_name"), " ")).as("n_words"))
+        size(split(col("p_name"), " ")).as("n_words"),
+        levenshtein(col("p_name"), lower(col("p_type"))).as("lev_name_type"))
       .orderBy("p_partkey")
 
   def qDateFuncs(s: SparkSession, sf: String): DataFrame =
@@ -121,7 +122,8 @@ object Funcs {
         |       replace(p_name, ' ', '_') AS snake,
         |       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
         |       trim('  ' || p_name || '  ') AS trimmed,
-        |       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+        |       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+        |       CAST(levenshtein(p_name, lower(p_type)) AS INT) AS lev_name_type
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,

@@ -151,6 +151,19 @@ object Llm {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Keep-latest-record dedup: one row per user, the most recent event
+    * (the "newest version wins" pipeline primitive; deterministic via the
+    * (ts desc, event_id desc) tiebreak). */
+  def qDedupLatest(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   // -------------------------------------------------------- text analysis
   /** Global top-20 tokens (the reference's keyed counting applied to text). */
   def qTextTokens(s: SparkSession, sf: String): DataFrame =
@@ -215,6 +228,7 @@ object Llm {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_latest" -> qDedupLatest _,
     "q_dedup_near" -> qDedupNear _,
     "q_sim_topk" -> qSimTopk _,
     "q_text_tokens" -> qTextTokens _,
@@ -229,6 +243,10 @@ object Llm {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, sha256(text) AS content_hash
         |FROM documents GROUP BY sha256(text) ORDER BY keeper_id""".stripMargin,
+    "q_dedup_latest" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
     "q_sim_topk" ->
       """WITH probes AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id % 50 = 0

@@ -148,6 +148,23 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Null semantics over real outer-join nulls: IS DISTINCT FROM, NULLIF,
+    * null-safe equality, coalesce chains. */
+  def qNullSemantics(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf)
+    val o = Tables.orders(s, sf).filter(col("o_totalprice") > 300000)
+      .groupBy(col("o_custkey")).agg(max("o_totalprice").as("max_big"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("max_big").isNotNull.as("has_big_order"),
+        expr("max_big IS DISTINCT FROM c_acctbal").as("distinct_from_bal"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg_or_null"),
+        expr("coalesce(max_big, c_acctbal, 0.0)").as("first_present"),
+        expr("c_custkey <=> o_custkey").as("null_safe_eq"))
+      .orderBy("c_custkey")
+  }
+
   // -------------------------------------------------------- B.4 aggregations
   /** TPC-H Q1 pricing summary (partial+final hash agg). */
   def qAggQ1(s: SparkSession, sf: String): DataFrame =
@@ -357,6 +374,7 @@ object Relational {
     "q_scan_count" -> qScanCount _,
     "q_filter_range" -> qFilterRange _,
     "q_filter_in_like" -> qFilterInLike _,
+    "q_null_semantics" -> qNullSemantics _,
     "q_project_expr" -> qProjectExpr _,
     "q_join_broadcast" -> qJoinBroadcast _,
     "q_join_hash" -> qJoinHash _,
@@ -398,6 +416,17 @@ object Relational {
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
          |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q_null_semantics" ->
+      """WITH o AS (SELECT o_custkey, max(o_totalprice) AS max_big
+        |           FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey)
+        |SELECT c_custkey,
+        |       max_big IS NOT NULL AS has_big_order,
+        |       max_big IS DISTINCT FROM c_acctbal AS distinct_from_bal,
+        |       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |       coalesce(max_big, c_acctbal, 0.0) AS first_present,
+        |       c_custkey IS NOT DISTINCT FROM o_custkey AS null_safe_eq
+        |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q_filter_in_like" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
         |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5','Brand#6','Brand#7','Brand#8','Brand#9') AND p_name LIKE '%bolt%'
