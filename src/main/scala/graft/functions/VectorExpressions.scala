@@ -17,6 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Catalyst-visible (prunable/pushable around), and the accumulation order
   * (independent sequential folds for dot and both norms) is bit-identical
   * to the SQL/oracle HOF formulation they replace.
+  *
+  * Edge semantics (both expressions, eval and codegen paths): mismatched
+  * vector lengths raise IllegalArgumentException — never a silent
+  * truncation or an opaque ArrayIndexOutOfBounds from generated code. A
+  * zero-norm input to cosine yields NaN (0/0 under IEEE double division,
+  * identical to the SQL HOF fold it replaces); callers that want null
+  * instead should wrap with `nanvl(..., lit(null))`.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,6 +41,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData].toFloatArray()
     val ys = b.asInstanceOf[ArrayData].toFloatArray()
+    if (xs.length != ys.length) throw new IllegalArgumentException(
+      s"graft_cosine: vector length mismatch (${xs.length} vs ${ys.length})")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < xs.length) {
       val x = xs(i).toDouble; val y = ys(i).toDouble
@@ -50,6 +59,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
          |float[] $xs = $a.toFloatArray();
          |float[] $ys = $b.toFloatArray();
+         |if ($xs.length != $ys.length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: vector length mismatch (" + $xs.length + " vs " + $ys.length + ")");
+         |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $xs.length; $i++) {
          |  double x = (double) $xs[$i]; double y = (double) $ys[$i];
@@ -82,6 +95,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData].toFloatArray()
     val ys = b.asInstanceOf[ArrayData].toDoubleArray()
+    if (xs.length != ys.length) throw new IllegalArgumentException(
+      s"graft_dot: vector length mismatch (${xs.length} vs ${ys.length})")
     var dot = 0.0; var i = 0
     while (i < xs.length) { dot += xs(i).toDouble * ys(i); i += 1 }
     dot
@@ -94,6 +109,10 @@ case class DotProduct(left: Expression, right: Expression)
       s"""
          |float[] $xs = $a.toFloatArray();
          |double[] $ys = $b.toDoubleArray();
+         |if ($xs.length != $ys.length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: vector length mismatch (" + $xs.length + " vs " + $ys.length + ")");
+         |}
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $xs.length; $i++) {
          |  ${ev.value} += ((double) $xs[$i]) * $ys[$i];

@@ -52,7 +52,12 @@ object Llm {
     * CodegenFallback — and dominated the near-dup runtime), and hashing at
     * the source means no downstream shuffle ever carries shingle strings. */
   private def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"),
+    // length >= 5 guard: a shorter doc has no 5-gram — unguarded,
+    // sequence(0, length - 5) auto-descends (Spark defaults step to -1
+    // when start > stop) and emits bogus negative positions. Short docs
+    // simply contribute zero shingles, like an empty range() would.
+    docs.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"),
         explode(expr("sequence(0, length(text) - 5)")).as("i"))
       .select(col("doc_id"), xxhash64(expr("substring(text, i + 1, 5)")).as("sh"))
 
@@ -220,7 +225,9 @@ object Llm {
     * No custom Generator needed — explode(transform(sequence(...))). */
   def qUdtfShingles(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)
-      .filter(col("doc_id") < 20)
+      // length >= 5 guard mirrors the oracle's empty range(0, len - 4)
+      // for short docs; see [[shingles]] on sequence() auto-descent
+      .filter(col("doc_id") < 20 && length(col("text")) >= 5)
       .select(col("doc_id"),
         posexplode(expr("transform(sequence(0, length(text) - 5), i -> substring(text, i + 1, 5))")))
       .select(col("doc_id"), col("pos"), col("col").as("shingle"))

@@ -18,46 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Spark `round(x, 6)` semantics (BigDecimal HALF_UP on the shortest
-    * repr) so the typed path below matches the SQL formulation exactly. */
-  private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-
   /** Embedding near-dup, brute force: all pairs with cosine >= 0.45
     * (this corpus is near-orthogonal random; max pairwise cosine ~0.6).
     *
-    * The cosine runs in a typed mapPartitions with primitive loops rather
-    * than HOF lambdas: higher-order expressions are CodegenFallback
-    * (interpreted), ~100x slower for dense linear algebra — 2M pairs of
-    * 64-dim folds took 94 s as HOFs, ~2 s as loops. Arithmetic order is
-    * identical (sequential fold, double accumulation), so results are
-    * bit-equal to the SQL/oracle formulation. Quadratic by construction —
-    * the documented test-scale baseline; the 100 TB path is q_sim_lsh's
-    * banding. */
+    * Expressed as a broadcast self-join scored by the codegen'd
+    * [[graft.functions.VectorExpressions.cosineSim]] expression: the build
+    * side is a Spark `broadcast()` (planner-managed, torn down with the
+    * plan — no driver-held state, unlike a hand-rolled `collect()`), the
+    * probe side streams per partition, and the cosine loop runs inside
+    * WholeStageCodegen with the same sequential-fold accumulation order as
+    * the SQL/oracle formulation, so results are bit-equal. Quadratic by
+    * construction — the documented test-scale baseline; the 100 TB path is
+    * q_sim_lsh's banding, which bounds the pair space by bucket. */
   def qDedupEmbcos(s: SparkSession, sf: String): DataFrame = {
-    import s.implicits._
+    import graft.functions.VectorExpressions.cosineSim
     val e = Tables.embeddings(s, sf)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    // broadcast the build side explicitly (what a broadcast nested-loop
-    // join does internally) and stream partitions of the probe side over
-    // it — avoids materializing 2M joined rows with duplicated arrays.
-    // At real scale the corpus side is LSH-bucketed first (q_sim_lsh);
-    // this operator is the documented quadratic baseline.
-    val corpus = s.sparkContext.broadcast(e.collect().sortBy(_._1))
-    e.mapPartitions { it =>
-      val corp = corpus.value
-      it.flatMap { case (ai, av) =>
-        corp.iterator.filter(_._1 > ai).flatMap { case (bi, bv) =>
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < av.length) {
-            val x = av(i).toDouble; val y = bv(i).toDouble
-            dot += x * y; na += x * x; nb += y * y; i += 1
-          }
-          val cos = round6(dot / (math.sqrt(na) * math.sqrt(nb)))
-          if (cos >= 0.45) Iterator.single((ai, bi, cos)) else Iterator.empty
-        }
-      }
-    }.toDF("a_id", "b_id", "cos")
+    // repartition the probe side: a single-file corpus otherwise pins the
+    // whole pair scan to one input partition regardless of session cores
+    val a = e.repartition(col("vec_id"))
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos", round(cosineSim(col("av"), col("bv")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("a_id", "b_id", "cos")
       .orderBy("a_id", "b_id")
   }
 
@@ -143,11 +127,21 @@ object VectorOps {
     * classic inverted-index shortcut that keeps n-gram dedup linear in
     * posting-list sizes instead of quadratic in documents. Fully oracled:
     * DuckDB computes the identical candidate rule and Jaccard. */
-  def qDedupNgram(s: SparkSession, sf: String): DataFrame = {
+  def qDedupNgram(s: SparkSession, sf: String): DataFrame =
+    ngramPairs(Tables.documents(s, sf))
+
+  /** Core bigram-Jaccard pipeline over any (doc_id, text) frame (tested
+    * directly on hand-built short-doc frames in ExtraOpsSpec). */
+  def ngramPairs(docs0: DataFrame): DataFrame = {
     // repartition before exploding: single-file input otherwise caps the
     // bigram pipeline at 1-2 partitions regardless of session cores
-    val docs = Tables.documents(s, sf).repartition(col("doc_id"))
+    val docs = docs0.repartition(col("doc_id"))
+    // size(t) >= 2 guard: a 0/1-token doc has no bigrams — unguarded,
+    // sequence(1, size - 1) auto-descends (Spark defaults step to -1 when
+    // start > stop) into an out-of-range element_at(t, 0). The filter
+    // matches the oracle's naturally-empty range(1, len(s)).
     val bg = docs.select(col("doc_id"), expr("split(text, ' ')").as("t"))
+      .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("t"), explode(expr("sequence(1, size(t) - 1)")).as("i"))
       .select(col("doc_id"), expr("concat(element_at(t, i), ' ', element_at(t, i + 1))").as("bg"))
       .distinct().cache()
@@ -156,19 +150,27 @@ object VectorOps {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= greatest(lit(20), col("n") / 100))
       .select("bg")
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val aSide = bg.select(col("doc_id").as("a_id"), col("bg"))
     val bSide = bg.select(col("doc_id").as("b_id"), col("bg"))
     val cand = aSide.join(rare, Seq("bg")).join(bSide, Seq("bg"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(bg.select(col("doc_id").as("a_id"), col("bg")), Seq("a_id"))
-      .join(bg.select(col("doc_id").as("b_id"), col("bg")), Seq("b_id", "bg"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("ic"))
-    inter
+    // size-ratio sieve before the exact-Jaccard join: J(A,B) <= min/max of
+    // the set sizes, so jaccard >= 0.5 implies 2*min(sz) >= max(sz) —
+    // result-preserving, and on a common-vocab corpus it discards the bulk
+    // of low-similarity candidates before they pay the posting-list join.
+    // Sizes ride along through the aggregate keys, so they are joined
+    // exactly once (not re-joined after the intersection count).
+    val sieved = cand
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
+      .filter(least(col("sz_a"), col("sz_b")) * 2 >= greatest(col("sz_a"), col("sz_b")))
+    val inter = sieved
+      .join(aSide, Seq("a_id"))
+      .join(bSide, Seq("b_id", "bg"))
+      .groupBy("a_id", "b_id", "sz_a", "sz_b").agg(count(lit(1)).as("ic"))
+    inter
       .withColumn("jaccard", expr("CAST(ic AS DOUBLE) / (sz_a + sz_b - ic)"))
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "jaccard")

@@ -35,6 +35,27 @@ class ExtraOpsSpec extends SparkSuite {
     assert(brute.nonEmpty)
   }
 
+  test("short documents flow through dedup pipelines as empty, not garbage") {
+    import spark.implicits._
+    // 1-char and 4-char docs have no 5-gram shingles; 1-token doc has no
+    // bigram — unguarded sequence() would auto-descend into bogus indices
+    val docs = Seq(
+      (1L, "x"), (2L, "abcd"), (3L, "one"),
+      (4L, "a longer document that actually has shingles and bigrams"),
+      (5L, "a longer document that actually has shingles and bigrams")
+    ).toDF("doc_id", "text")
+    val near = Llm.nearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.toSeq == Seq((4L, 5L)), "only the long duplicate pair survives")
+    val ngram = VectorOps.ngramPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ngram.toSeq == Seq((4L, 5L)))
+    // all-short corpus: zero rows, no runtime error
+    val shorts = Seq((1L, "x"), (2L, "hi"), (3L, "ab")).toDF("doc_id", "text")
+    assert(Llm.nearDupPairs(shorts).count() == 0)
+    assert(VectorOps.ngramPairs(shorts).count() == 0)
+  }
+
   test("simhash-banded dedup: every reported pair has small hamming, ordered output") {
     val rows = VectorOps.qDedupSimhash(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -37,4 +37,22 @@ class VectorExprSpec extends SparkSuite {
     val got = df.select(dot(col("v"), typedLit(Seq(2.0, -1.0, 0.5)))).head.getDouble(0)
     assert(got == 1.0 * 2.0 + 2.0 * -1.0 + 3.0 * 0.5)
   }
+
+  test("length mismatch raises a clear error, not truncation or AIOOBE") {
+    def rootMessages(t: Throwable): List[String] =
+      Option(t).toList.flatMap(e => Option(e.getMessage).toList ++ rootMessages(e.getCause))
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val exCos = intercept[Throwable] { df.select(cosineSim(col("a"), col("b"))).collect() }
+    assert(rootMessages(exCos).exists(_.contains("graft_cosine: vector length mismatch (3 vs 2)")))
+    val exDot = intercept[Throwable] {
+      df.select(dot(col("a"), typedLit(Seq(1.0, 2.0)))).collect()
+    }
+    assert(rootMessages(exDot).exists(_.contains("graft_dot: vector length mismatch (3 vs 2)")))
+  }
+
+  test("zero-norm vectors yield NaN (documented 0/0 semantics)") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(cosineSim(col("a"), col("b"))).head.getDouble(0)
+    assert(got.isNaN)
+  }
 }
