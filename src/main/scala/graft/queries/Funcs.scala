@@ -73,23 +73,30 @@ object Funcs {
         expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("sq_norm"))
       .orderBy("vec_id")
 
-  /** JSON extraction + map build/flatten round-trip: props JSON -> k,
-    * per-(user,event_type) aggregates packed into a map and exploded back
-    * to rows (maps never surface in the output — oracle rule). */
-  def qJsonMap(s: SparkSession, sf: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("int")
+  /** Schema'd JSON parse + aggregate: props parsed ONCE with from_json
+    * into a typed struct (single pass over the payload, single shuffle —
+    * no per-field get_json_object re-parse, no redundant re-aggregation). */
+  def qJsonMap(s: SparkSession, sf: String): DataFrame =
     Tables.events(s, sf)
-      .withColumn("k", k)
+      .withColumn("k", expr("from_json(props, 'k INT').k"))
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("cnt"), sum(col("k")).cast("long").as("sum_k"))
-      .groupBy("user_id")
-      .agg(map_from_entries(collect_list(struct(col("event_type"), struct(col("cnt"), col("sum_k"))))).as("m"))
-      .select(col("user_id"), explode(col("m")))
-      .select(
-        col("user_id"), col("key").as("event_type"),
-        col("value.cnt").as("cnt"), col("value.sum_k").as("sum_k"))
       .orderBy("user_id", "event_type")
-  }
+
+  /** Schema'd JSON round-trip (SURVEY.md §2 B.8, the reference's A2/A7
+    * parse/format analogue): from_json to a typed struct AND a MapType,
+    * field access on both, then to_json back out. */
+  def qJsonRoundtrip(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .withColumn("j", expr("from_json(props, 'k INT')"))
+      .withColumn("m", expr("from_json(props, 'map<string,int>')"))
+      .select(
+        col("event_id"),
+        col("j.k").as("k"),
+        element_at(col("m"), "k").as("k_from_map"),
+        to_json(col("j")).as("js"),
+        to_json(expr("named_struct('k', j.k * 2)")).as("js_doubled"))
+      .orderBy("event_id")
 
   def qCastCase(s: SparkSession, sf: String): DataFrame =
     Tables.lineitem(s, sf)
@@ -111,6 +118,7 @@ object Funcs {
     "q_math_funcs" -> qMathFuncs _,
     "q_array_funcs" -> qArrayFuncs _,
     "q_json_map" -> qJsonMap _,
+    "q_json_roundtrip" -> qJsonRoundtrip _,
     "q_cast_case" -> qCastCase _,
   )
 
@@ -161,6 +169,13 @@ object Funcs {
       """SELECT user_id, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_from_map,
+        |       '{"k":' || json_extract_string(props, '$.k') || '}' AS js,
+        |       '{"k":' || CAST(CAST(json_extract_string(props, '$.k') AS INT) * 2 AS VARCHAR) || '}' AS js_doubled
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_cast_case" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(floor(l_quantity) AS INT) AS qty_int,

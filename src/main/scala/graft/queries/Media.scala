@@ -9,16 +9,19 @@ object Media {
 
   /** Binary metadata via pure SQL arithmetic (oracled): byte length, sha256
     * fingerprint, fake decoded dims — the binary column flows through the
-    * plan as an opaque value. */
+    * plan as an opaque value. Dims derive from the BYTE length of the
+    * media column (same quantity [[graft.Multimodal.decodeStub]] uses), so
+    * the arithmetic and decode paths agree on non-ASCII corpora too. */
   def qMultimodalMeta(s: SparkSession, sf: String): DataFrame =
     Multimodal.mediaTable(s, sf)
+      .withColumn("byte_len", length(col("media")))
       .select(
         col("doc_id"),
-        length(col("media")).as("byte_len"),
+        col("byte_len"),
         sha2(col("media"), 256).as("content_sha"),
-        (lit(64) + col("n_chars") % 512).as("width"),
-        (lit(64) + (col("n_chars") * 7) % 512).as("height"),
-        (lit(1) + col("n_chars") % 8).as("n_frames"))
+        (lit(64) + col("byte_len") % 512).as("width"),
+        (lit(64) + (col("byte_len") * 7) % 512).as("height"),
+        (lit(1) + col("byte_len") % 8).as("n_frames"))
       .orderBy("doc_id")
 
   /** The mapPartitions decode-stub path (NOT oracled — UDF-opaque);
@@ -36,12 +39,11 @@ object Media {
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-        |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
-        |       sha256(text) AS content_sha,
-        |       64 + n_chars % 512 AS width,
-        |       64 + (n_chars * 7) % 512 AS height,
-        |       1 + n_chars % 8 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH m AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS INT) AS byte_len FROM documents)
+        |SELECT doc_id, byte_len, sha256(text) AS content_sha,
+        |       64 + byte_len % 512 AS width,
+        |       64 + (byte_len * 7) % 512 AS height,
+        |       1 + byte_len % 8 AS n_frames
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

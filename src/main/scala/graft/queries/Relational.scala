@@ -210,16 +210,24 @@ object Relational {
 
   def qAggRollup(s: SparkSession, sf: String): DataFrame = {
     val c = Tables.customer(s, sf); val n = Tables.nation(s, sf); val r = Tables.region(s, sf)
-    // SQL route: re-selecting rollup grouping columns through coalesce trips
-    // Spark's ambiguous-self-join lineage check on the DataFrame API
+    // pure DataFrame route (no temp-view side effects: construction stays
+    // catalog-free and race-free on a shared session). ROLLUP is spelled
+    // as its explicit grouping-set lattice via Dataset.groupingSets —
+    // rollup() itself trips Spark's ambiguous-self-join lineage check when
+    // its grouping columns are re-selected through coalesce after a join
+    // (same Expand plan either way).
     c.join(n, c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .select(col("r_name"), col("n_name"), col("c_acctbal"))
-      .createOrReplaceTempView("graft_cnr")
-    s.sql(
-      s"""SELECT coalesce(r_name, 'ALL') AS rname, coalesce(n_name, 'ALL') AS nname,
-         |       count(*) AS n_cust, ${sumDec2("c_acctbal")} AS sum_bal
-         |FROM graft_cnr GROUP BY ROLLUP(r_name, n_name) ORDER BY rname, nname""".stripMargin)
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq.empty),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), expr(sumDec2("c_acctbal")).as("sum_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("rname"),
+        coalesce(col("n_name"), lit("ALL")).as("nname"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy("rname", "nname")
   }
 
   def qAggCube(s: SparkSession, sf: String): DataFrame =
@@ -234,13 +242,19 @@ object Relational {
 
   def qAggGroupingSets(s: SparkSession, sf: String): DataFrame = {
     val c = Tables.customer(s, sf); val n = Tables.nation(s, sf)
-    c.join(n, c("c_nationkey") === n("n_nationkey")).createOrReplaceTempView("graft_cn")
-    s.sql(
-      s"""SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(n_name, 'ALL') AS nname,
-         |       count(*) AS n, ${sumDec2("c_acctbal")} AS sum_bal
-         |FROM graft_cn
-         |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
-         |ORDER BY seg, nname""".stripMargin)
+    // Dataset.groupingSets (Spark 4 DataFrame-native grouping sets) — no
+    // temp-view side effects during query construction
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .select(col("c_mktsegment"), col("n_name"), col("c_acctbal"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("n_name")), Seq.empty),
+        col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n"), expr(sumDec2("c_acctbal")).as("sum_bal"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+        coalesce(col("n_name"), lit("ALL")).as("nname"),
+        col("n"), col("sum_bal"))
+      .orderBy("seg", "nname")
   }
 
   def qAggHaving(s: SparkSession, sf: String): DataFrame =

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Multimodal
 import graft.queries.{Media, VectorOps, Llm}
 import org.apache.spark.sql.functions._
 
@@ -16,6 +17,20 @@ class ExtraOpsSpec extends SparkSuite {
         col("height"), col("n_frames"))
       .collect().toSeq
     assert(viaStub == viaSql)
+  }
+
+  test("decode stub and meta arithmetic agree on non-ASCII text (byte length, not chars)") {
+    import spark.implicits._
+    val text = "héllo wörld — 東京"
+    val media = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val meta = Multimodal.decodeAll(media).collect().head
+    val byteLen = media.select(length(col("media"))).head.getInt(0)
+    assert(byteLen > text.length, "UTF-8 bytes must exceed char count for non-ASCII")
+    assert(meta.byte_len == byteLen)
+    assert(meta.width == 64 + byteLen % 512)
+    assert(meta.height == 64 + (byteLen * 7) % 512)
+    assert(meta.n_frames == 1 + byteLen % 8)
   }
 
   test("SRP-LSH results are a subset of brute-force rankings with self at rank 1") {
