@@ -10,12 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup at the smallest scale factor: compiles every query's
-    // generated code and JITs the hot paths, so timed runs measure the
-    // engine rather than first-use codegen (~100 ms per generated class)
-    SparkEntry.queries.values.foreach { fn =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+    // untimed warmups: the sf0.001 pass compiles every query's generated
+    // code and JITs the hot paths; the full pass at the bench SF then
+    // pulls parquet footers + data into the OS page cache, so timed runs
+    // measure plans rather than cold-disk I/O (driver benches of
+    // byte-identical code previously swung 81 s -> 35 s on cache warmth
+    // alone)
+    Seq("/root/testdata/sf0.001", sfDir).distinct.foreach { dir =>
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, dir).count()
+        catch { case _: Throwable => () }
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -287,6 +287,25 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** approx_percentile sketch path alongside the exact q_agg_percentile —
+    * the usable variant at extreme scale (bounded-memory mergeable
+    * Greenwald-Khanna summaries vs an exact percentile's full sort). NOT
+    * oracled: the sketch's picked elements are partition-order dependent;
+    * ScaleSpec bounds the rank error against the exact percentile. */
+  def qAggApproxPercentile(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000)").as("apx"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        col("apx").getItem(0).as("apx_p25"),
+        col("apx").getItem(1).as("apx_p50"),
+        col("apx").getItem(2).as("apx_p95"),
+        col("n"))
+      .orderBy("l_returnflag")
+
   /** Variance / stddev / correlation from exact decimal moment sums + one
     * closed-form double expression per statistic. The built-in stddev/corr
     * use order-dependent streaming updates (Welford) that cannot
@@ -327,6 +346,20 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L)
       .orderBy("o_orderpriority")
+
+  /** Dynamic pivot: the value list is DISCOVERED by scanning the pivot
+    * column (Spark runs the distinct-scan + sort internally, capped by
+    * spark.sql.pivotMaxValues) — the values-scan-then-pivot form a user
+    * reaches for when the categories aren't known up front; q_pivot is
+    * the static-list twin whose schema is known without a scan. Missing
+    * (flag, status) combos stay NULL on both engines (sum over an empty
+    * filtered set). */
+  def qPivotDynamic(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus")
+      .agg(expr(sumDec2("l_quantity")))
+      .orderBy("l_returnflag")
 
   /** Unpivot (melt): the pivot's inverse back to long form. */
   def qUnpivot(s: SparkSession, sf: String): DataFrame =
@@ -409,8 +442,10 @@ object Relational {
     "q_agg_having" -> qAggHaving _,
     "q_agg_sorted" -> qAggSorted _,
     "q_agg_percentile" -> qAggPercentile _,
+    "q_agg_approx_percentile" -> qAggApproxPercentile _,
     "q_agg_stats" -> qAggStats _,
     "q_pivot" -> qPivot _,
+    "q_pivot_dynamic" -> qPivotDynamic _,
     "q_unpivot" -> qUnpivot _,
     "q_sort_limit" -> qSortLimit _,
     "q_topk_per_group" -> qTopkPerGroup _,
@@ -554,6 +589,11 @@ object Relational {
         |       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
         |       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_pivot_dynamic" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS "F",
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_unpivot" ->
       """WITH p AS (
         |  SELECT o_orderpriority,

@@ -34,6 +34,45 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // synthesize a hot key: one join key carries ~150x the rows of every
+    // other, with an incompressible payload so shuffle-block sizes reflect
+    // row counts; AQE must split the oversized partition instead of
+    // letting one task straggle — the first failure mode of a skewed
+    // lineitem⨝orders at 100 TB
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 200000).select(
+        when(col("id") < 150000, 0L).otherwise(col("id") % 50).as("k"),
+        sha2(col("id").cast("string"), 256).as("payload"))
+      val right = spark.range(0, 5000).select(
+        (col("id") % 50).as("k"),
+        sha2(col("id").cast("string"), 512).as("rpayload"))
+      val j = left.join(right, "k")
+      val expected = left.groupBy("k").count().withColumnRenamed("count", "ln")
+        .join(right.groupBy("k").count().withColumnRenamed("count", "rn"), "k")
+        .agg(sum(col("ln") * col("rn"))).head.getLong(0)
+      assert(j.count() == expected)
+      // run THIS dataset's own plan (count() plans its own tree), then
+      // read the final adaptive plan off it
+      j.queryExecution.toRdd.foreach(_ => ())
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot-key join side skew=true; plan was:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("HLL sketch aggregate within 5% of exact, and merge-consistent across repartitions") {
     val ev = Tables.events(spark, sf001)
     val got = ev.groupBy("event_type")
@@ -50,6 +89,25 @@ class ScaleSpec extends SparkSuite {
     val a = ev.repartition(1).agg(hllDistinct(col("user_id"))).head.getLong(0)
     val b = ev.repartition(7).agg(hllDistinct(col("user_id"))).head.getLong(0)
     assert(a == b, s"sketch estimate must be partitioning-invariant: $a vs $b")
+  }
+
+  test("approx_percentile tracks exact percentiles within 5%") {
+    val exact = Tables.lineitem(spark, sf001).groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val apx = graft.queries.Relational.qAggApproxPercentile(spark, sf001).collect()
+    assert(apx.nonEmpty)
+    apx.foreach { r =>
+      val flag = r.getString(0)
+      val (e25, e50, e95) = exact(flag)
+      val (a25, a50, a95) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(a25 <= a50 && a50 <= a95, s"$flag: sketch quantiles must be monotone")
+      assert(math.abs(a25 - e25) / e25 <= 0.05, s"$flag p25: $a25 vs $e25")
+      assert(math.abs(a50 - e50) / e50 <= 0.05, s"$flag p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 <= 0.05, s"$flag p95: $a95 vs $e95")
+    }
   }
 
   test("HLL sketch aggregate works on string keys too") {
