@@ -17,14 +17,33 @@ case class ScoredKey(score: Double, key: Long)
 class TopKAggregator(k: Int)
     extends Aggregator[ScoredKey, Seq[ScoredKey], Seq[ScoredKey]] {
 
-  private def best(xs: Seq[ScoredKey]): Seq[ScoredKey] =
-    xs.sortBy(x => (-x.score, x.key)).take(k)
+  /** Strict "ranks ahead of" order: score desc, key asc. */
+  private def ahead(a: ScoredKey, b: ScoredKey): Boolean =
+    a.score > b.score || (a.score == b.score && a.key < b.key)
 
   override def zero: Seq[ScoredKey] = Nil
+
+  // buffers stay sorted by (score desc, key asc); a full buffer rejects
+  // non-qualifying rows in O(1) and inserts in O(k) — no per-row re-sort
   override def reduce(buf: Seq[ScoredKey], a: ScoredKey): Seq[ScoredKey] =
-    best(buf :+ a)
-  override def merge(b1: Seq[ScoredKey], b2: Seq[ScoredKey]): Seq[ScoredKey] =
-    best(b1 ++ b2)
+    if (buf.length == k && !ahead(a, buf.last)) buf
+    else {
+      val (pre, post) = buf.span(ahead(_, a))
+      (pre ++ (a +: post)).take(k)
+    }
+
+  // linear merge of two sorted buffers, bounded at k
+  override def merge(b1: Seq[ScoredKey], b2: Seq[ScoredKey]): Seq[ScoredKey] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ScoredKey]
+    var i = 0; var j = 0
+    while (out.length < k && (i < b1.length || j < b2.length)) {
+      if (j >= b2.length || (i < b1.length && ahead(b1(i), b2(j)))) {
+        out += b1(i); i += 1
+      } else { out += b2(j); j += 1 }
+    }
+    out.toSeq
+  }
+
   override def finish(r: Seq[ScoredKey]): Seq[ScoredKey] = r
   override def bufferEncoder: Encoder[Seq[ScoredKey]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[ScoredKey]] = ExpressionEncoder()

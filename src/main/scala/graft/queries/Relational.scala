@@ -148,6 +148,39 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Range join via binning — the 100 TB form of an interval join with NO
+    * equi-key: intervals are exploded onto fixed-width bins, points mapped
+    * to their single bin, the pair space bounded by an EQUI-join on bin
+    * (shuffle-partitionable, skew-splittable, broadcast-able), and the
+    * exact range predicate applied only to bin-colliding pairs. Contrast
+    * q_join_theta_range, where an equi-key already carries the shuffle and
+    * the range is a post-join residual; without binning a keyless interval
+    * join degenerates to a nested-loop cross product. A (point, interval)
+    * pair can only meet at the point's bin, so no post-join dedup is
+    * needed. Intervals: every 1000th order's [o_orderdate, +14d); points:
+    * all order dates. */
+  def qJoinRangeBinned(s: SparkSession, sf: String): DataFrame = {
+    val binDays = 14
+    val epoch = lit("1992-01-01").cast("date")
+    val ivals = Tables.orders(s, sf)
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("i_key"), col("o_orderdate").as("start_ts"),
+        (col("o_orderdate") + expr("INTERVAL 14 DAY")).as("end_ts"))
+    val binnedIvals = ivals.withColumn("bin",
+      explode(sequence(
+        floor(datediff(col("start_ts"), epoch) / binDays),
+        floor(datediff(col("end_ts"), epoch) / binDays))))
+    val pts = Tables.orders(s, sf)
+      .select(col("o_orderkey").as("p_key"), col("o_orderdate").as("p_ts"))
+      .withColumn("bin", floor(datediff(col("p_ts"), epoch) / binDays))
+    binnedIvals.join(pts, Seq("bin"))
+      .filter(col("p_ts") >= col("start_ts") && col("p_ts") < col("end_ts"))
+      .groupBy("i_key")
+      .agg(count(lit(1)).as("n_in_range"),
+        min(col("p_ts")).as("first_ts"), max(col("p_ts")).as("last_ts"))
+      .orderBy("i_key")
+  }
+
   /** Null semantics over real outer-join nulls: IS DISTINCT FROM, NULLIF,
     * null-safe equality, coalesce chains. */
   def qNullSemantics(s: SparkSession, sf: String): DataFrame = {
@@ -432,6 +465,7 @@ object Relational {
     "q_join_anti" -> qJoinAnti _,
     "q_join_cross" -> qJoinCross _,
     "q_join_theta_range" -> qJoinThetaRange _,
+    "q_join_range_binned" -> qJoinRangeBinned _,
     "q_agg_q1" -> qAggQ1 _,
     "q_agg_distinct" -> qAggDistinct _,
     "q_agg_approx_distinct" -> qAggApproxDistinct _,
@@ -524,6 +558,15 @@ object Relational {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_join_range_binned" ->
+      """WITH i AS (
+        |  SELECT o_orderkey AS i_key, o_orderdate AS start_ts,
+        |         o_orderdate + INTERVAL 14 DAY AS end_ts
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT i_key, count(*) AS n_in_range,
+        |       min(p.o_orderdate) AS first_ts, max(p.o_orderdate) AS last_ts
+        |FROM i JOIN orders p ON p.o_orderdate >= i.start_ts AND p.o_orderdate < i.end_ts
+        |GROUP BY i_key ORDER BY i_key""".stripMargin,
     "q_agg_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sumDec2("l_quantity")} AS sum_qty,

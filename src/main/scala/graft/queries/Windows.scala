@@ -93,7 +93,31 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Batch gap-based sessionization (the batch twin of q_stream_session's
+    * session_window): a session break is >30 min of per-user silence;
+    * lag() flags boundaries, a running sum numbers sessions, one groupBy
+    * collapses them. One shuffle on user_id, linear at any scale — no
+    * self-join, no interval explosion. Timestamp+interval arithmetic is
+    * exact µs on both engines (no float drift). */
+  def qSessionize(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val run = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, sf)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTE"), 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("boundary")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> qSessionize _,
     "q_win_rank" -> qWinRank _,
     "q_win_running" -> qWinRunning _,
     "q_win_lag_lead" -> qWinLagLead _,
@@ -103,6 +127,20 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts, 1) OVER w IS NULL
+        |                OR ts > lag(ts, 1) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS boundary
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q_win_rank" ->
       """SELECT o_orderpriority,
         |       row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn,
