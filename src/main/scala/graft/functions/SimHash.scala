@@ -52,7 +52,4 @@ object SimHash {
   val simhashUdf = udf(simhash64 _)
 
   def simhash(c: Column): Column = simhashUdf(c)
-
-  /** Hamming distance between two 64-bit fingerprints. */
-  val hamming64Udf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
 }

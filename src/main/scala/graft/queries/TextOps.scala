@@ -83,17 +83,71 @@ object TextOps {
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
 
+  /** Pattern redaction (the PII-masking shape): global regexp_replace of
+    * a term class plus a hit count — per-row codegen'd string work, no
+    * shuffle; identical RE syntax on both engines. */
+  def qTextRedact(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(
+        col("doc_id"),
+        regexp_replace(col("text"), "\\b(customer|order)\\b", "<REDACTED>").as("redacted"),
+        regexp_count(col("text"), lit("\\b(customer|order)\\b")).as("n_hits"))
+      .orderBy("doc_id")
+
+  /** Deterministic content-hash holdout split: the first sha256 hex byte
+    * of the TEXT decides the split (< 0x40 → ~25% eval), so membership is
+    * stable across runs, engines, and cluster sizes, and byte-identical
+    * duplicates always land in the same split — leak-proof under dedup
+    * (the reason LLM pipelines hash content, not ids, for holdouts).
+    * Per-row, shuffle-free. */
+  def qSampleHash(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .withColumn("bucket", substring(sha2(col("text"), 256), 1, 2))
+      .select(
+        col("doc_id"), col("bucket"),
+        when(col("bucket") < "40", "eval").otherwise("train").as("split"))
+      .orderBy("doc_id")
+
+  /** Stratified 1-in-10 systematic sample per language: row_number within
+    * the stratum (deterministic order) mod 10 — exact per-stratum rate,
+    * engine-independent and fully oracled, unlike RNG sampleBy. One
+    * shuffle on the stratum key. */
+  def qSampleStratified(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") % 10 === 1)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> qTextLangid _,
     "q_text_quality" -> qTextQuality _,
     "q_text_token_count" -> qTextTokenCount _,
     "q_text_fingerprint" -> qTextFingerprint _,
+    "q_text_redact" -> qTextRedact _,
+    "q_sample_hash" -> qSampleHash _,
+    "q_sample_stratified" -> qSampleStratified _,
   )
 
   private val lexValues = lexicon
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |       regexp_replace(text, '\b(customer|order)\b', '<REDACTED>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(text, '\b(customer|order)\b')) AS INT) AS n_hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, substring(sha256(text), 1, 2) AS bucket,
+        |       CASE WHEN substring(sha256(text), 1, 2) < '40' THEN 'eval' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) % 10 = 1
+        |ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       s"""WITH lex(cand_lang, word) AS (VALUES $lexValues),
          |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),

@@ -114,8 +114,10 @@ object VectorOps {
       col("doc_id").as("b_id"), col("fp").as("b_fp"))
     left.join(right, col("band_idx") === col("band_idx_r") &&
         col("bucket") === col("bucket_r") && col("a_id") < col("b_id"))
+      // Hamming distance as built-in bit_count(xor) — codegen'd, unlike a
+      // Scala UDF (only the fingerprint itself is custom enough for one)
       .select(col("a_id"), col("b_id"),
-        SimHash.hamming64Udf(col("a_fp"), col("b_fp")).as("hamming"))
+        expr("bit_count(a_fp ^ b_fp)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
       .orderBy("a_id", "b_id")

@@ -49,10 +49,25 @@ class PlanSpec extends SparkSuite {
   }
 
   test("no query plans a CartesianProduct except the declared cross join") {
-    SparkEntry.queries.keys.filterNot(Set("q_join_cross", "q_dedup_embcos")).foreach { n =>
+    SparkEntry.queries.keys.filterNot(Set("q_join_cross")).foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"),
         s"$n unexpectedly plans a cartesian product")
     }
+  }
+
+  test("q_join_range_binned turns the keyless range join into an equi-join") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binning must prevent the nested-loop fallback of a keyless range join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("q_sessionize shuffles once on user_id (window + groupBy share the partitioning)") {
+    val p = plan("q_sessionize")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected one hash shuffle (groupBy must reuse the window's user_id partitioning), got $hashExchanges:\n${p.take(3000)}")
   }
 }
