@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's native Catalyst expressions, so `spark.sql`
+  * users get the same codegen'd kernels as the Column API
+  * ([[VectorExpressions]]) — `graft_cosine`, `graft_dot`, and the
+  * DataSketches-backed `graft_hll_distinct` aggregate.
+  *
+  * Two registration paths, one builder list:
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (cluster deploys: every session the builder creates has the functions);
+  *  - [[GraftFunctions.register]] for an already-running session
+  *    (notebooks, tests).
+  */
+object GraftFunctions {
+
+  private def info(name: String, clazz: Class[_], usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
+  /** (name, ExpressionInfo, builder) for every graft SQL function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", classOf[CosineSimilarity],
+        "graft_cosine(a, b) - cosine similarity of two array<float> vectors (codegen'd)"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", classOf[DotProduct],
+        "graft_dot(a, b) - dot product of an array<float> with an array<double> (codegen'd)"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    (FunctionIdentifier("graft_hll_distinct"),
+      info("graft_hll_distinct", classOf[HllDistinct],
+        "graft_hll_distinct(x) - mergeable DataSketches HLL distinct-count aggregate"),
+      (es: Seq[Expression]) => HllDistinct(es.head)),
+  )
+
+  /** Register every graft function into an existing session (temp-function
+    * scope: this session only, no catalog persistence). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}
+
+/** Injectable extensions entry point:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -97,6 +97,51 @@ object VectorOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** IVF (inverted-file) bucketed ANN — the coarse-quantizer alternative
+    * to q_sim_lsh's hyperplane banding: a small deterministic centroid set
+    * (every 97th vector) is broadcast; each corpus vector joins its single
+    * nearest centroid's posting list, probes fan out to their nprobe=2
+    * nearest centroids, and exact scoring touches only those lists. At
+    * scale the centroid id is the shuffle key and pair work is ~n·K/nlist,
+    * never n²; the quantizer itself is a per-row argmax over broadcast
+    * centroids (no iteration, no driver state). Self-retrieval is
+    * guaranteed (a probe's top-1 centroid is within its top-2). NOT
+    * oracled (candidate sets are quantizer-dependent); scalatest asserts
+    * structure, self-retrieval, and subset-of-brute-force. */
+  def qSimIvf(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.VectorExpressions.cosineSim
+    val e = Tables.embeddings(s, sf).repartition(col("vec_id"))
+    val cents = Tables.embeddings(s, sf).filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def nearestCentroids(df: DataFrame, idCol: String, vecCol: String, nprobe: Int) = {
+      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= nprobe)
+        .select(col(idCol), col("cid"))
+    }
+    val posting = nearestCentroids(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
+      "neighbor_id", "nvec", 1)
+    val probeLists = nearestCentroids(
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec")),
+      "probe_id", "pvec", 2)
+    // each neighbor sits in exactly one posting list, so (probe, neighbor)
+    // pairs are already unique — no post-join distinct needed
+    val candidates = probeLists.join(posting, Seq("cid"))
+      .select("probe_id", "neighbor_id")
+    val av = Tables.embeddings(s, sf).select(col("vec_id").as("probe_id"), col("embedding").as("av"))
+    val bv = Tables.embeddings(s, sf).select(col("vec_id").as("neighbor_id"), col("embedding").as("bv"))
+    val scored = candidates.join(av, Seq("probe_id")).join(bv, Seq("neighbor_id"))
+      .withColumn("cos", round(cosineSim(col("av"), col("bv")), 6))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("probe_id", "rnk", "neighbor_id", "cos")
+      .orderBy("probe_id", "rnk")
+  }
+
   /** SimHash-banded near-dup over documents: 64-bit fingerprints, 4 bands
     * of 16 bits; candidates from band collisions, kept when Hamming
     * distance <= 8. NOT oracled (UDF fingerprint); scalatest covers it. */
@@ -183,6 +228,7 @@ object VectorOps {
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_sim_lsh" -> qSimLsh _,
+    "q_sim_ivf" -> qSimIvf _,
     "q_dedup_simhash" -> qDedupSimhash _,
   )
 

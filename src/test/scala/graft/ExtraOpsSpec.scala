@@ -71,6 +71,42 @@ class ExtraOpsSpec extends SparkSuite {
     assert(VectorOps.ngramPairs(shorts).count() == 0)
   }
 
+  test("IVF ANN: self at rank 1, results subset of brute-force ranking universe") {
+    val lists = VectorOps.qSimIvf(spark, sf001).collect()
+    val byProbe = lists.groupBy(_.getLong(0))
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (probe, rows) =>
+      val rank1 = rows.minBy(_.getInt(1))
+      assert(rank1.getLong(2) == probe, "probe's own posting list must contain itself")
+      assert(rank1.getDouble(3) == 1.0)
+      // ranks are dense from 1 with no gaps
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length))
+    }
+    // every scored cosine must equal the brute-force cosine for that pair
+    val brute = Llm.qSimTopk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    lists.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { bc =>
+        assert(bc == r.getDouble(3), "IVF rescoring must match brute-force cosine")
+      }
+    }
+  }
+
+  test("graft SQL functions registered: graft_cosine/graft_dot/graft_hll_distinct in spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.registerTables(spark, sf001)
+    val self = spark.sql(
+      "SELECT round(graft_cosine(embedding, embedding), 9) AS c FROM embeddings LIMIT 20")
+    assert(self.collect().forall(_.getDouble(0) == 1.0))
+    val dot = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS DOUBLE), CAST(0.5 AS DOUBLE))) AS d")
+    assert(dot.head.getDouble(0) == 4.0)
+    val hll = spark.sql("SELECT graft_hll_distinct(source) AS n FROM documents").head.getLong(0)
+    val exact = spark.sql("SELECT count(DISTINCT source) AS n FROM documents").head.getLong(0)
+    assert(hll == exact, s"hll $hll vs exact $exact at tiny cardinality")
+  }
+
   test("simhash-banded dedup: every reported pair has small hamming, ordered output") {
     val rows = VectorOps.qDedupSimhash(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
