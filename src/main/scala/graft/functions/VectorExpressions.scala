@@ -77,8 +77,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Dot product of a float vector against a (usually literal) double vector
-  * — the SRP-LSH signature kernel. */
+/** Dot product of a float vector against a double vector (the SRP-LSH
+  * signature kernel) or another float vector (pairwise scoring when norms
+  * are precomputed out of the join — each element promoted to double
+  * before multiply, the same arithmetic as the HOF/oracle fold). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -86,19 +88,31 @@ case class DotProduct(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_dot expects (array<float>, array<double>), got ($l, $r)")
+        s"graft_dot expects (array<float>, array<double|float>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  private def rightIsDouble: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData].toFloatArray()
-    val ys = b.asInstanceOf[ArrayData].toDoubleArray()
-    if (xs.length != ys.length) throw new IllegalArgumentException(
-      s"graft_dot: vector length mismatch (${xs.length} vs ${ys.length})")
     var dot = 0.0; var i = 0
-    while (i < xs.length) { dot += xs(i).toDouble * ys(i); i += 1 }
+    if (rightIsDouble) {
+      val ys = b.asInstanceOf[ArrayData].toDoubleArray()
+      if (xs.length != ys.length) throw new IllegalArgumentException(
+        s"graft_dot: vector length mismatch (${xs.length} vs ${ys.length})")
+      while (i < xs.length) { dot += xs(i).toDouble * ys(i); i += 1 }
+    } else {
+      val ys = b.asInstanceOf[ArrayData].toFloatArray()
+      if (xs.length != ys.length) throw new IllegalArgumentException(
+        s"graft_dot: vector length mismatch (${xs.length} vs ${ys.length})")
+      while (i < xs.length) { dot += xs(i).toDouble * ys(i).toDouble; i += 1 }
+    }
     dot
   }
 
@@ -106,16 +120,18 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
       val i = ctx.freshName("i")
+      val (yType, yConv) =
+        if (rightIsDouble) ("double", "toDoubleArray") else ("float", "toFloatArray")
       s"""
          |float[] $xs = $a.toFloatArray();
-         |double[] $ys = $b.toDoubleArray();
+         |$yType[] $ys = $b.$yConv();
          |if ($xs.length != $ys.length) {
          |  throw new IllegalArgumentException(
          |    "graft_dot: vector length mismatch (" + $xs.length + " vs " + $ys.length + ")");
          |}
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $xs.length; $i++) {
-         |  ${ev.value} += ((double) $xs[$i]) * $ys[$i];
+         |  ${ev.value} += ((double) $xs[$i]) * ((double) $ys[$i]);
          |}
        """.stripMargin
     })

@@ -31,17 +31,26 @@ object VectorOps {
     * construction — the documented test-scale baseline; the 100 TB path is
     * q_sim_lsh's banding, which bounds the pair space by bucket. */
   def qDedupEmbcos(s: SparkSession, sf: String): DataFrame = {
-    import graft.functions.VectorExpressions.cosineSim
-    val e = Tables.embeddings(s, sf)
+    import graft.functions.VectorExpressions.dot
+    // norms are pair-invariant, so hoist them out of the O(n²) join: one
+    // interpreted HOF fold per VECTOR (bit-identical to the oracle's
+    // sqrt(Σx²) fold), leaving only the codegen'd dot per PAIR — 3x fewer
+    // flops in the quadratic stage
+    val e = Tables.embeddings(s, sf).withColumn("nrm",
+      sqrt(expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
     // repartition the probe side: a single-file corpus otherwise pins the
     // whole pair scan to one input partition regardless of session cores
     val a = e.repartition(col("vec_id"))
-      .select(col("vec_id").as("a_id"), col("embedding").as("av"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cos", round(cosineSim(col("av"), col("bv")), 6))
-      .filter(col("cos") >= 0.45)
-      .select("a_id", "b_id", "cos")
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"), col("nrm").as("nb"))
+    // the WHOLE predicate lives in the join condition, cheap conjunct
+    // first: a_id < b_id short-circuits half the pair space before the
+    // 64-dim dot runs (a separate .filter(cos >= …) gets pushed into the
+    // join AHEAD of the cheap test — measured 2x slower); the survivors
+    // (a handful of rows) recompute the dot once more in the projection
+    val cosExpr = round(dot(col("av"), col("bv")) / (col("na") * col("nb")), 6)
+    a.join(broadcast(b), col("a_id") < col("b_id") && cosExpr >= 0.45)
+      .select(col("a_id"), col("b_id"), cosExpr.as("cos"))
       .orderBy("a_id", "b_id")
   }
 

@@ -41,6 +41,27 @@ class StreamingMoreSpec extends SparkSuite {
     assert(got == Seq(1L), "only the click within 10 minutes joins")
   }
 
+  test("stream-static broadcast enrichment join (dimension lookup per micro-batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("ad_id", "tier")
+    val imps = MemoryStream[Imp]
+    // static side broadcast: each micro-batch hash-joins against the dim
+    // in-task — no stream-side shuffle, no state store; the standard
+    // pipeline enrichment shape (stream ⨝ slowly-changing dimension)
+    val enriched = imps.toDF().join(broadcast(dim), Seq("ad_id"), "left")
+      .select(col("ad_id"), coalesce(col("tier"), lit("unknown")).as("tier"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      imps.addData(Imp(1, ts("2024-01-01 10:00:00")),
+        Imp(2, ts("2024-01-01 10:01:00")), Imp(3, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_out").orderBy("ad_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "gold"), (2L, "silver"), (3L, "unknown")))
+  }
+
   test("streaming aggregation runs on the RocksDB state store provider") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
