@@ -320,6 +320,46 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Scalar subquery (Dataset.scalar, Spark 4's subquery-expression API):
+    * each order's price as a fraction of the global average. Catalyst
+    * plans the subquery ONCE and broadcasts the scalar to every row — no
+    * per-row re-evaluation, no manual cross join. The average is the
+    * exact-decimal [[Det.avgDec2]] form; the per-row division then runs
+    * on identical operands on both engines (raw IEEE, no rounding). */
+  def qSubqueryScalar(s: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(s, sf)
+    val avgPrice = o.agg(expr(avgDec2("o_totalprice")).as("v")).scalar()
+    o.select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") / avgPrice).as("price_ratio"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Correlated EXISTS (Dataset.exists + Column.outer): customers with at
+    * least one urgent order — Catalyst decorrelates this into a left-semi
+    * join (same physical shape as q_join_semi, reached from the subquery
+    * surface instead of the join API). */
+  def qSubqueryExists(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf)
+    val hasUrgent = Tables.orders(s, sf)
+      .where(col("o_custkey") === col("c_custkey").outer() &&
+        col("o_orderpriority") === "1-URGENT")
+      .exists()
+    c.filter(hasUrgent)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Boolean/conditional aggregates: count_if, bool_and, bool_or. */
+  def qAggBool(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") >= 25).as("n_big"),
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") > 0.05).as("any_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** approx_percentile sketch path alongside the exact q_agg_percentile —
     * the usable variant at extreme scale (bounded-memory mergeable
     * Greenwald-Khanna summaries vs an exact percentile's full sort). NOT
@@ -477,6 +517,9 @@ object Relational {
     "q_agg_sorted" -> qAggSorted _,
     "q_agg_percentile" -> qAggPercentile _,
     "q_agg_approx_percentile" -> qAggApproxPercentile _,
+    "q_agg_bool" -> qAggBool _,
+    "q_subquery_scalar" -> qSubqueryScalar _,
+    "q_subquery_exists" -> qSubqueryExists _,
     "q_agg_stats" -> qAggStats _,
     "q_pivot" -> qPivot _,
     "q_pivot_dynamic" -> qPivotDynamic _,
@@ -558,6 +601,23 @@ object Relational {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                       FROM orders) AS price_ratio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |       CAST(count(*) FILTER (l_quantity >= 25) AS BIGINT) AS n_big,
+        |       bool_and(l_quantity > 0) AS all_pos,
+        |       bool_or(l_discount > 0.05) AS any_disc,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_join_range_binned" ->
       """WITH i AS (
         |  SELECT o_orderkey AS i_key, o_orderdate AS start_ts,
