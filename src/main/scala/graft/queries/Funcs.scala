@@ -112,7 +112,23 @@ object Funcs {
           .as("status_class"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** ANSI-safe arithmetic: try_divide / try_add / try_cast return NULL
+    * where strict ANSI mode would raise (division by zero, long overflow,
+    * malformed cast) — the semantics a pipeline wants for dirty data.
+    * The divisor floor(l_quantity) - 25 is genuinely zero for a slice of
+    * rows, so both NULL and non-NULL paths are exercised. */
+  def qTryArith(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_extendedprice, floor(l_quantity) - 25)").as("div_maybe0"),
+        expr("try_add(l_orderkey, CAST(9223372036854775807 AS BIGINT))").as("add_ovf"),
+        expr("try_cast(l_returnflag AS INT)").as("cast_bad"),
+        expr("try_cast(cast(l_orderkey AS STRING) AS INT)").as("cast_ok"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_try_arith" -> qTryArith _,
     "q_str_funcs" -> qStrFuncs _,
     "q_date_funcs" -> qDateFuncs _,
     "q_math_funcs" -> qMathFuncs _,
@@ -123,6 +139,13 @@ object Funcs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice / nullif(floor(l_quantity) - 25, 0) AS div_maybe0,
+        |       CASE WHEN l_orderkey = 0 THEN 9223372036854775807 ELSE CAST(NULL AS BIGINT) END AS add_ovf,
+        |       TRY_CAST(l_returnflag AS INT) AS cast_bad,
+        |       TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INT) AS cast_ok
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_str_funcs" ->
       """SELECT p_partkey, upper(p_name) AS up, substring(p_name, 1, 5) AS sub5,
         |       CAST(length(p_name) AS INT) AS len,

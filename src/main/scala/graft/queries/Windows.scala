@@ -93,6 +93,20 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** first_value / last_value / nth_value over a full-partition frame
+    * (deterministic via the unique (date, key) order). */
+  def qWinFirstLast(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, sf)
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .withColumn("last_key", last(col("o_orderkey")).over(w))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+      .select("o_custkey", "o_orderkey", "first_key", "last_key", "second_key")
+      .orderBy("o_orderkey")
+  }
+
   /** Batch gap-based sessionization (the batch twin of q_stream_session's
     * session_window): a session break is >30 min of per-user silence;
     * lag() flags boundaries, a running sum numbers sessions, one groupBy
@@ -117,6 +131,7 @@ object Windows {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_firstlast" -> qWinFirstLast _,
     "q_sessionize" -> qSessionize _,
     "q_win_rank" -> qWinRank _,
     "q_win_running" -> qWinRunning _,
@@ -127,6 +142,14 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_key,
+        |       last_value(o_orderkey) OVER w AS last_key,
+        |       nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
