@@ -84,8 +84,46 @@ object Pipeline {
           out.iterator
       }
   }
+
+  /** The same per-key running aggregate on Spark 4's transformWithState
+    * (StatefulProcessor) API — typed ValueState handles with explicit
+    * TimeMode/TTL, the successor to flatMapGroupsWithState for new
+    * pipelines. Requires the RocksDB state store provider. */
+  def runningTotalsTws(events: org.apache.spark.sql.Dataset[UserEvent])
+    : org.apache.spark.sql.Dataset[UserRunningTotal] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }
 
 /** Input/output rows for the custom-state operator. */
 case class UserEvent(user_id: Long, value: Double)
 case class UserRunningTotal(user_id: Long, cnt: Long, sum: Double)
+
+/** StatefulProcessor for [[Pipeline.runningTotalsTws]]: one ValueState
+  * cell per user holding the running (cnt, sum); each micro-batch folds
+  * its rows into the cell and emits the updated total. */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserRunningTotal] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[UserRunningTotal] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserRunningTotal](
+      "totals", org.apache.spark.sql.Encoders.product[UserRunningTotal], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[UserRunningTotal] = {
+    val prev = if (totals.exists()) totals.get() else UserRunningTotal(key, 0L, 0.0)
+    var cnt = prev.cnt; var sum = prev.sum
+    rows.foreach { e => cnt += 1; sum += e.value }
+    val now = UserRunningTotal(key, cnt, sum)
+    totals.update(now)
+    Iterator.single(now)
+  }
+}

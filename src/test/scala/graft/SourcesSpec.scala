@@ -19,6 +19,16 @@ class SourcesSpec extends SparkSuite {
     assert(back.schema == base.schema)
   }
 
+  test("orc source round-trips with schema intact") {
+    val dir = Files.createTempDirectory("orc_src").toString
+    base.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == base.count())
+    assert(back.schema == base.schema)
+    assert(back.agg(sum("event_id")).head.getLong(0) ==
+      base.agg(sum("event_id")).head.getLong(0))
+  }
+
   test("json source round-trips with explicit schema") {
     val dir = Files.createTempDirectory("json_src").toString
     base.write.mode("overwrite").json(dir)

@@ -27,6 +27,31 @@ class StatefulSpec extends SparkSuite {
     assert(rows.contains((2L, 1L, 1.0)))
   }
 
+  test("transformWithState keeps ValueState across micro-batches (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val cp = Files.createTempDirectory("tws_cp").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Pipeline.runningTotalsTws(mem.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", cp)
+      .format("memory").queryName("tws_out").start()
+    try {
+      mem.addData(UserEvent(1, 10.0), UserEvent(1, 5.0), UserEvent(2, 1.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, 2.0)) // ValueState must carry cnt=2, sum=15
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val rows = spark.table("tws_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains((1L, 3L, 17.0)), s"ValueState lost across batches: $rows")
+    assert(rows.contains((2L, 1L, 1.0)))
+  }
+
   test("salted two-phase aggregation is bit-equal to direct aggregation") {
     val ev = Tables.events(spark, sf001)
     val direct = ev.groupBy(col("user_id").as("k"))
