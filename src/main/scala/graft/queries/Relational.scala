@@ -349,6 +349,32 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Ordered string aggregation — the deterministic form of collect_list:
+    * collect order is partition-dependent, so sort before joining (the
+    * only way a collected aggregate can hash-match another engine). */
+  def qAggStrings(s: SparkSession, sf: String): DataFrame =
+    Tables.nation(s, sf)
+      .groupBy("n_regionkey")
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
+  /** grouping() / grouping_id() over a cube: distinguishes data NULLs
+    * from subtotal NULLs — the correctness tool every rollup consumer
+    * needs (coalesce-to-'ALL' alone can't tell them apart). */
+  def qAggGroupingId(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("g_flag"), col("n"))
+      .orderBy("rflag", "lstatus")
+
   /** Boolean/conditional aggregates: count_if, bool_and, bool_or. */
   def qAggBool(s: SparkSession, sf: String): DataFrame =
     Tables.lineitem(s, sf)
@@ -518,6 +544,8 @@ object Relational {
     "q_agg_percentile" -> qAggPercentile _,
     "q_agg_approx_percentile" -> qAggApproxPercentile _,
     "q_agg_bool" -> qAggBool _,
+    "q_agg_strings" -> qAggStrings _,
+    "q_agg_grouping_id" -> qAggGroupingId _,
     "q_subquery_scalar" -> qSubqueryScalar _,
     "q_subquery_exists" -> qSubqueryExists _,
     "q_agg_stats" -> qAggStats _,
@@ -611,6 +639,17 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q_agg_strings" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_agg_grouping_id" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
     "q_agg_bool" ->
       """SELECT l_returnflag,
         |       CAST(count(*) FILTER (l_quantity >= 25) AS BIGINT) AS n_big,
