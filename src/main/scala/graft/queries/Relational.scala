@@ -349,6 +349,52 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Fixed-width histogram binning: bucket = floor(price / width), capped
+    * at the top bucket — binning-by-arithmetic is the aggregation-friendly
+    * histogram form (map-side combinable hash agg, no sort; an exact
+    * percentile needs the sort this avoids). Same floor arithmetic on
+    * both engines (single IEEE division on identical operands). */
+  def qAggHistogram(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .withColumn("bucket",
+        expr("CAST(least(floor(o_totalprice / 60000), 9) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), expr(sumDec2("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  /** Calendar densification (gap filling): explode a generated day series,
+    * left-join the daily aggregate — days with no orders surface as zero
+    * rows instead of silently missing, the prerequisite for window math
+    * over a regular time grid. The series side is generated, not scanned
+    * (constant-foldable sequence), and the join is a broadcast of the
+    * tiny calendar. */
+  def qGapFill(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.orders(s, sf)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val series = s.range(1)
+      .select(explode(expr(
+        "sequence(DATE'1995-01-01', DATE'1995-03-31', INTERVAL 1 DAY)")).as("d"))
+    series.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("d")
+  }
+
+  /** unionByName with allowMissingColumns — schema-evolution-tolerant
+    * append: the newer frame's extra column null-fills on the older rows
+    * (positional union would silently mis-bind columns instead). */
+  def qUnionByName(s: SparkSession, sf: String): DataFrame = {
+    val old = Tables.region(s, sf)
+      .select(col("r_regionkey").as("key"), col("r_name").as("name"))
+    val newer = Tables.nation(s, sf)
+      .select(col("n_regionkey").as("key"), col("n_name").as("name"),
+        col("n_nationkey").as("extra_key"))
+    old.unionByName(newer, allowMissingColumns = true)
+      .orderBy(col("key"), col("name"), col("extra_key"))
+  }
+
   /** Ordered string aggregation — the deterministic form of collect_list:
     * collect order is partition-dependent, so sort before joining (the
     * only way a collected aggregate can hash-match another engine). */
@@ -546,6 +592,9 @@ object Relational {
     "q_agg_bool" -> qAggBool _,
     "q_agg_strings" -> qAggStrings _,
     "q_agg_grouping_id" -> qAggGroupingId _,
+    "q_agg_histogram" -> qAggHistogram _,
+    "q_gap_fill" -> qGapFill _,
+    "q_union_byname" -> qUnionByName _,
     "q_subquery_scalar" -> qSubqueryScalar _,
     "q_subquery_exists" -> qSubqueryExists _,
     "q_agg_stats" -> qAggStats _,
@@ -642,6 +691,25 @@ object Relational {
     "q_agg_strings" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 60000), 9) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_gap_fill" ->
+      """WITH cal AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS d
+        |), daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1)
+        |SELECT cal.d, coalesce(daily.n_orders, 0) AS n_orders
+        |FROM cal LEFT JOIN daily ON cal.d = daily.d ORDER BY cal.d""".stripMargin,
+    "q_union_byname" ->
+      """SELECT r_regionkey AS key, r_name AS name, CAST(NULL AS BIGINT) AS extra_key FROM region
+        |UNION ALL
+        |SELECT n_regionkey, n_name, n_nationkey FROM nation
+        |ORDER BY key, name, extra_key""".stripMargin,
     "q_agg_grouping_id" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |       coalesce(l_linestatus, 'ALL') AS lstatus,
