@@ -121,14 +121,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Document chunking: overlapping 32-token windows with stride 24 (the
+    * context-window chunker every embedding/pre-training pipeline runs).
+    * Start positions come from a strided sequence; the chunk is a slice
+    * re-joined to text — all codegen'd array ops, rows explode by
+    * ~len/stride. The greatest(...) floor keeps sub-window docs emitting
+    * exactly one (short) chunk. */
+  def qTextChunk(s: SparkSession, sf: String): DataFrame = {
+    val (size, stride) = (32, 24)
+    Tables.documents(s, sf)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(expr(s"sequence(1, greatest(size(t) - $size + 1, 1), $stride)")))
+      .select(
+        col("doc_id"), col("pos").as("chunk_idx"),
+        expr(s"array_join(slice(t, col, $size), ' ')").as("chunk"),
+        expr(s"CAST(least(size(t) - col + 1, $size) AS INT)").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Weighted deterministic mixing: per-language keep rates (en 80%,
+    * de 50%, rest 25%) decided by a pure-arithmetic hash of the doc id —
+    * identical on every engine/run/cluster size (RNG sampling is none of
+    * those), which is what makes a training-mix recipe reproducible. */
+  def qSampleWeighted(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(100)))
+      .filter(col("h") <
+        when(col("lang") === "en", 80).when(col("lang") === "de", 50).otherwise(25))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> qTextLangid _,
     "q_text_quality" -> qTextQuality _,
     "q_text_token_count" -> qTextTokenCount _,
     "q_text_fingerprint" -> qTextFingerprint _,
     "q_text_redact" -> qTextRedact _,
+    "q_text_chunk" -> qTextChunk _,
     "q_sample_hash" -> qSampleHash _,
     "q_sample_stratified" -> qSampleStratified _,
+    "q_sample_weighted" -> qSampleWeighted _,
   )
 
   private val lexValues = lexicon
@@ -140,6 +174,21 @@ object TextOps {
         |       regexp_replace(text, '\b(customer|order)\b', '<REDACTED>', 'g') AS redacted,
         |       CAST(len(regexp_extract_all(text, '\b(customer|order)\b')) AS INT) AS n_hits
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
+        |starts AS (
+        |  SELECT doc_id, t, CAST(i AS INT) AS i
+        |  FROM d, UNNEST(range(1, greatest(len(t) - 32 + 1, 1) + 1, 24)) AS u(i))
+        |SELECT doc_id,
+        |       CAST((i - 1) // 24 AS INT) AS chunk_idx,
+        |       array_to_string(t[i:least(i + 31, len(t))], ' ') AS chunk,
+        |       CAST(least(len(t) - i + 1, 32) AS INT) AS n_tokens
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |      CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 50 ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, substring(sha256(text), 1, 2) AS bucket,
         |       CASE WHEN substring(sha256(text), 1, 2) < '40' THEN 'eval' ELSE 'train' END AS split
