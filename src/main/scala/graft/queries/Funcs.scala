@@ -112,6 +112,20 @@ object Funcs {
           .as("status_class"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** MapType function surface over schema'd JSON: keys/values access and
+    * the map higher-order functions (transform_values, map_filter) —
+    * flattened to scalars for cross-engine comparability. */
+  def qMapFuncs(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .withColumn("m", expr("from_json(props, 'map<string,int>')"))
+      .select(
+        col("event_id"),
+        expr("array_join(map_keys(m), ',')").as("keys"),
+        expr("element_at(map_values(m), 1)").as("first_val"),
+        expr("element_at(transform_values(m, (k, v) -> v * 2), 'k')").as("doubled"),
+        expr("size(map_filter(m, (k, v) -> v > 50))").as("n_big"))
+      .orderBy("event_id")
+
   /** ANSI-safe arithmetic: try_divide / try_add / try_cast return NULL
     * where strict ANSI mode would raise (division by zero, long overflow,
     * malformed cast) — the semantics a pipeline wants for dirty data.
@@ -135,6 +149,7 @@ object Funcs {
     "q_array_funcs" -> qArrayFuncs _,
     "q_json_map" -> qJsonMap _,
     "q_json_roundtrip" -> qJsonRoundtrip _,
+    "q_map_funcs" -> qMapFuncs _,
     "q_cast_case" -> qCastCase _,
   )
 
@@ -192,6 +207,13 @@ object Funcs {
       """SELECT user_id, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |       'k' AS keys,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS first_val,
+        |       CAST(json_extract_string(props, '$.k') AS INT) * 2 AS doubled,
+        |       CAST(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 ELSE 0 END AS INT) AS n_big
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k,

@@ -31,6 +31,18 @@ object Llm {
       .select("keeper_id", "n_copies", "content_hash")
       .orderBy("keeper_id")
 
+  /** Normalize-then-dedup: canonicalize text (lowercase, collapse runs of
+    * whitespace, trim) BEFORE content-hashing, so case/spacing variants of
+    * the same document collapse — the preprocessing step that makes exact
+    * dedup catch what byte-level hashing misses. */
+  def qDedupNormalized(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .withColumn("canon", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy(sha2(col("canon"), 256).as("canon_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_variants"))
+      .select("keeper_id", "n_variants", "canon_hash")
+      .orderBy("keeper_id")
+
   // ------------------------------------------------- MinHash + LSH near-dup
   private val NumHashes = 32
   private val Bands = 8
@@ -235,6 +247,7 @@ object Llm {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_normalized" -> qDedupNormalized _,
     "q_dedup_latest" -> qDedupLatest _,
     "q_dedup_near" -> qDedupNear _,
     "q_sim_topk" -> qSimTopk _,
@@ -250,6 +263,10 @@ object Llm {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, sha256(text) AS content_hash
         |FROM documents GROUP BY sha256(text) ORDER BY keeper_id""".stripMargin,
+    "q_dedup_normalized" ->
+      """WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS canon FROM documents)
+        |SELECT min(doc_id) AS keeper_id, count(*) AS n_variants, sha256(canon) AS canon_hash
+        |FROM c GROUP BY sha256(canon) ORDER BY keeper_id""".stripMargin,
     "q_dedup_latest" ->
       """SELECT user_id, event_id, ts, event_type, value FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
