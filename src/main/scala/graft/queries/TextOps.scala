@@ -147,7 +147,11 @@ object TextOps {
     * those), which is what makes a training-mix recipe reproducible. */
   def qSampleWeighted(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)
-      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(100)))
+      // inner pmod bounds the multiplicand to < 1e9+7 so the product stays
+      // under 2^63 for ANY doc_id (ANSI mode errors on long overflow; an
+      // unguarded doc_id * 2654435761 overflows past doc_id ~3.5e9)
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L, lit(100)))
       .filter(col("h") <
         when(col("lang") === "en", 80).when(col("lang") === "de", 50).otherwise(25))
       .select("doc_id", "lang", "source")
@@ -186,7 +190,7 @@ object TextOps {
         |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_sample_weighted" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE (doc_id * 2654435761) % 100 <
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 100 <
         |      CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 50 ELSE 25 END
         |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" ->
