@@ -123,21 +123,27 @@ object TextOps {
 
   /** Document chunking: overlapping 32-token windows with stride 24 (the
     * context-window chunker every embedding/pre-training pipeline runs).
-    * Start positions come from a strided sequence; the chunk is a slice
-    * re-joined to text — all codegen'd array ops, rows explode by
-    * ~len/stride. The greatest(...) floor keeps sub-window docs emitting
-    * exactly one (short) chunk. */
+    * Strided starts are CLAMPED to len-size+1 so the final window always
+    * reaches the document's end (a naive sequence(1, len-size+1, stride)
+    * silently drops up to stride-1 tail tokens whenever
+    * (len-size) % stride != 0 — caught by the tiling property test);
+    * clamping can collide two starts, hence the distinct. */
   def qTextChunk(s: SparkSession, sf: String): DataFrame = {
     val (size, stride) = (32, 24)
+    val w = Window.partitionBy("doc_id").orderBy("st")
     Tables.documents(s, sf)
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"),
-        posexplode(expr(s"sequence(1, greatest(size(t) - $size + 1, 1), $stride)")))
+        explode(expr(s"sequence(1, size(t), $stride)")).as("i"))
+      .select(col("doc_id"), col("t"),
+        expr(s"least(i, greatest(size(t) - $size + 1, 1))").as("st"))
+      .distinct()
+      .withColumn("chunk_idx", (row_number().over(w) - 1).cast("int"))
       .select(
-        col("doc_id"), col("pos").as("chunk_idx"),
-        expr(s"array_join(slice(t, col, $size), ' ')").as("chunk"),
-        expr(s"CAST(least(size(t) - col + 1, $size) AS INT)").as("n_tokens"))
+        col("doc_id"), col("chunk_idx"),
+        expr(s"array_join(slice(t, st, $size), ' ')").as("chunk"),
+        expr(s"CAST(least(size(t) - st + 1, $size) AS INT)").as("n_tokens"))
       .orderBy("doc_id", "chunk_idx")
   }
 
@@ -180,14 +186,17 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
-        |starts AS (
-        |  SELECT doc_id, t, CAST(i AS INT) AS i
-        |  FROM d, UNNEST(range(1, greatest(len(t) - 32 + 1, 1) + 1, 24)) AS u(i))
-        |SELECT doc_id,
-        |       CAST((i - 1) // 24 AS INT) AS chunk_idx,
-        |       array_to_string(t[i:least(i + 31, len(t))], ' ') AS chunk,
-        |       CAST(least(len(t) - i + 1, 32) AS INT) AS n_tokens
-        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+        |st AS (
+        |  SELECT DISTINCT doc_id, CAST(least(i, greatest(len(t) - 32 + 1, 1)) AS INT) AS st
+        |  FROM d, UNNEST(range(1, len(t) + 1, 24)) AS u(i)),
+        |c AS (
+        |  SELECT s.doc_id, st, t,
+        |         CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY st) - 1 AS INT) AS chunk_idx
+        |  FROM st s JOIN d ON d.doc_id = s.doc_id)
+        |SELECT doc_id, chunk_idx,
+        |       array_to_string(t[st:least(st + 31, len(t))], ' ') AS chunk,
+        |       CAST(least(len(t) - st + 1, 32) AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_sample_weighted" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ((doc_id % 1000000007) * 2654435761) % 100 <

@@ -107,6 +107,43 @@ class ExtraOpsSpec extends SparkSuite {
     assert(hll == exact, s"hll $hll vs exact $exact at tiny cardinality")
   }
 
+  test("chunker covers every token exactly: windows tile the doc with stride overlap") {
+    val chunks = graft.queries.TextOps.qTextChunk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(chunks.nonEmpty)
+    val docs = Tables.documents(spark, sf001).filter(col("doc_id") < 50)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(mine.nonEmpty, s"doc $id has no chunks")
+      // model: strided starts clamped to len-size+1, deduped
+      val starts = (1 to toks.length by 24)
+        .map(i => math.min(i, math.max(toks.length - 32 + 1, 1))).distinct
+      assert(mine.length == starts.length, s"doc $id chunk count")
+      mine.zip(starts).zipWithIndex.foreach { case (((_, idx, chunk, n), st), i) =>
+        assert(idx == i, "chunk indices must be dense")
+        val expect = toks.slice(st - 1, st - 1 + 32)
+        assert(chunk == expect.mkString(" "), s"doc $id chunk $i content mismatch")
+        assert(n == expect.length)
+      }
+      // the last chunk must reach the document's end
+      assert(starts.last + 32 - 1 >= toks.length, s"doc $id tail tokens uncovered")
+    }
+  }
+
+  test("hash split rates: ~25% eval, and identical docs share a split") {
+    val rows = graft.queries.TextOps.qSampleHash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val evalFrac = rows.count(_._3 == "eval").toDouble / rows.length
+    assert(evalFrac > 0.15 && evalFrac < 0.35, s"eval fraction $evalFrac far from 1/4")
+    // bucket fully determines split (content-derived, so dups always agree)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length == 1)
+    }
+  }
+
   test("simhash-banded dedup: every reported pair has small hamming, ordered output") {
     val rows = VectorOps.qDedupSimhash(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -64,6 +64,16 @@ class PlanSpec extends SparkSuite {
       p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("q_subquery_exists decorrelates to a semi join (no subquery re-execution per row)") {
+    val p = plan("q_subquery_exists")
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("q_gap_fill joins the generated calendar by broadcast (no shuffle of either tiny side)") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q_sessionize shuffles once on user_id (window + groupBy share the partitioning)") {
     val p = plan("q_sessionize")
     val hashExchanges = "hashpartitioning\\(".r.findAllIn(p).length
