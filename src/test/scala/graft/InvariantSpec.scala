@@ -1,0 +1,86 @@
+package graft
+
+import graft.queries.{Relational, TextOps, Windows}
+import org.apache.spark.sql.functions._
+
+/** Model-based invariants for queries whose DuckDB oracle shares the
+  * Spark formulation (lag/cumsum sessionization, systematic sampling,
+  * generated calendars, arithmetic binning): the oracle proves
+  * engine-parity, these prove the SEMANTICS against independent models. */
+class InvariantSpec extends SparkSuite {
+
+  test("sessionize: no intra-session gap exceeds 30min; inter-session gaps do") {
+    val sessions = Windows.qSessionize(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime))
+    assert(sessions.nonEmpty)
+    val events = Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val gapMs = 30L * 60 * 1000
+    sessions.groupBy(_._1).foreach { case (user, ss) =>
+      val sorted = ss.sortBy(_._2)
+      // sessions partition the user's events: counts add up
+      assert(sorted.map(_._3).sum == events(user).length,
+        s"user $user: session event counts must cover all events")
+      // within a session, consecutive events gap <= 30min
+      sorted.foreach { case (_, _, _, start, end) =>
+        val within = events(user).filter(t => t >= start && t <= end)
+        within.sliding(2).foreach {
+          case Array(a, b) => assert(b - a <= gapMs,
+            s"user $user: intra-session gap ${b - a}ms exceeds 30min")
+          case _ =>
+        }
+      }
+      // between consecutive sessions, the boundary gap > 30min
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, prevEnd), (_, _, _, nextStart, _)) =>
+          assert(nextStart - prevEnd > gapMs,
+            s"user $user: sessions split although gap <= 30min")
+        case _ =>
+      }
+    }
+  }
+
+  test("stratified sample takes exactly ceil(n/10) rows per language") {
+    val per = TextOps.qSampleStratified(spark, sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.documents(spark, sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.keySet == full.keySet, "every stratum must be represented")
+    per.foreach { case (lang, n) =>
+      val expect = (full(lang) + 9) / 10 // rn % 10 == 1 hits ceil(n/10) rows
+      assert(n == expect, s"$lang: $n sampled, expected $expect of ${full(lang)}")
+    }
+  }
+
+  test("gap fill emits one row per calendar day, zero-filled, mass-conserving") {
+    val rows = Relational.qGapFill(spark, sf001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    assert(rows.length == 90, s"Q1-1995 has 90 days, got ${rows.length}")
+    rows.sliding(2).foreach {
+      case Array((a, _), (b, _)) =>
+        assert(java.time.temporal.ChronoUnit.DAYS.between(a, b) == 1, "calendar gap")
+      case _ =>
+    }
+    val total = Tables.orders(spark, sf001)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .count()
+    assert(rows.map(_._2).sum == total, "densification must not create or lose orders")
+    assert(rows.exists(_._2 == 0L) || total >= 90, "zero-filled days surface as rows")
+  }
+
+  test("histogram conserves mass: bucket counts and sums add to the table totals") {
+    val h = Relational.qAggHistogram(spark, sf001).collect()
+    val o = Tables.orders(spark, sf001)
+    assert(h.map(_.getLong(1)).sum == o.count())
+    val sumPrice = o.agg(expr(graft.queries.Det.sumDec2("o_totalprice"))).head.getDouble(0)
+    assert(math.abs(h.map(_.getDouble(2)).sum - sumPrice) < 1e-6)
+    val buckets = h.map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b <= 9), "buckets capped to [0,9]")
+  }
+}
