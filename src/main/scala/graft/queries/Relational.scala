@@ -709,7 +709,7 @@ object Relational {
       """SELECT r_regionkey AS key, r_name AS name, CAST(NULL AS BIGINT) AS extra_key FROM region
         |UNION ALL
         |SELECT n_regionkey, n_name, n_nationkey FROM nation
-        |ORDER BY key, name, extra_key""".stripMargin,
+        |ORDER BY key, name, extra_key NULLS FIRST""".stripMargin,
     "q_agg_grouping_id" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |       coalesce(l_linestatus, 'ALL') AS lstatus,
