@@ -29,6 +29,34 @@ class SourcesSpec extends SparkSuite {
       base.agg(sum("event_id")).head.getLong(0))
   }
 
+  test("observe() collects named pipeline metrics without a second scan") {
+    // the monitoring primitive a production pipeline attaches to every
+    // stage: metrics ride the same pass as the real computation
+    val observed = Tables.lineitem(spark, sf001)
+      .observe("scan_metrics",
+        count(lit(1)).as("rows_read"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_sum"),
+        max(col("l_shipdate")).as("max_ship"))
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var metrics: Option[org.apache.spark.sql.Row] = None
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("scan_metrics").foreach(r => metrics = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = observed.filter(col("l_quantity") >= 0).count()
+      // listener callbacks are async — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (listener.metrics.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = listener.metrics.getOrElse(fail("observed metrics never arrived"))
+      assert(m.getLong(0) == n, "rows_read must equal the scan's row count")
+      assert(m.getDouble(1) > 0)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("json source round-trips with explicit schema") {
     val dir = Files.createTempDirectory("json_src").toString
     base.write.mode("overwrite").json(dir)
