@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits, on stdout:
+  *   1. one JSON line with the full per-query map (the detailed record),
+  *   2. LAST, a compact `{"metric":"total",...}` line with no per-query map
+  *      — guaranteed to fit in a tail capture, so a driver that keeps only
+  *      the final lines of output can always parse the total.
+  * The full JSON is also written to `BENCH_LOCAL.json` in the working
+  * directory. Both the cold (first timed pass) and warm (second pass)
+  * totals are reported; `value` is the warm total, `cold_value` the cold
+  * one, so the grading side can choose either protocol.
+  *
+  * Failures are loud: a query that throws is recorded with `-1` in the
+  * queries map and listed in `errors`; `failed` carries the count and the
+  * process exits non-zero — a regression cannot silently improve the total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,27 +25,48 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmups: the sf0.001 pass compiles every query's generated
-    // code and JITs the hot paths; the full pass at the bench SF then
-    // pulls parquet footers + data into the OS page cache, so timed runs
-    // measure plans rather than cold-disk I/O (driver benches of
-    // byte-identical code previously swung 81 s -> 35 s on cache warmth
-    // alone)
-    Seq("/root/testdata/sf0.001", sfDir).distinct.foreach { dir =>
+
+    // untimed sf0.001 warmup: compiles every query's generated code and
+    // JITs the hot paths, so neither timed pass pays one-time JVM costs
+    if (sfDir != "/root/testdata/sf0.001") {
       SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, dir).count()
+        try fn(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // one timed pass; a throwing query keeps its time-to-exception but is
+    // flagged so it can never masquerade as a fast success
+    def timedPass(): Map[String, (Double, Boolean)] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> (((System.nanoTime() - t0) / 1e9, ok))
+      }
+
+    val cold = timedPass() // first touch of the bench-SF data: cold page cache
+    val warm = timedPass() // steady-state plans, I/O cached
+
+    val failedNames = (cold ++ warm).collect { case (n, (_, false)) => n }.toSeq.distinct.sorted
+    def total(m: Map[String, (Double, Boolean)]): Double = m.values.map(_._1).sum
+    val warmTotal = total(warm)
+    val coldTotal = total(cold)
+    def qjson(m: Map[String, (Double, Boolean)]): String =
+      m.map { case (k, (v, ok)) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+        .mkString("{", ",", "}")
+    val errs = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullJson =
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${qjson(warm)},"cold_value":$coldTotal,"cold_queries":${qjson(cold)},"failed":${failedNames.size},"errors":$errs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => () } // stdout is the surface of record
+    println(fullJson)
+    // compact total LAST: short enough to survive any output-tail capture
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_value":$coldTotal,"failed":${failedNames.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (failedNames.nonEmpty) sys.exit(1)
   }
 }

@@ -17,7 +17,10 @@ case class ScoredKey(score: Double, key: Long)
 class TopKAggregator(k: Int)
     extends Aggregator[ScoredKey, Seq[ScoredKey], Seq[ScoredKey]] {
 
-  /** Strict "ranks ahead of" order: score desc, key asc. */
+  /** Strict "ranks ahead of" order: score desc, key asc. NaN is outside
+    * this order (`ahead` is false both ways for it), which would corrupt
+    * the sorted-buffer invariant — so [[reduce]] rejects NaN rows at the
+    * door and buffers are NaN-free by construction. */
   private def ahead(a: ScoredKey, b: ScoredKey): Boolean =
     a.score > b.score || (a.score == b.score && a.key < b.key)
 
@@ -26,7 +29,8 @@ class TopKAggregator(k: Int)
   // buffers stay sorted by (score desc, key asc); a full buffer rejects
   // non-qualifying rows in O(1) and inserts in O(k) — no per-row re-sort
   override def reduce(buf: Seq[ScoredKey], a: ScoredKey): Seq[ScoredKey] =
-    if (buf.length == k && !ahead(a, buf.last)) buf
+    if (a.score.isNaN) buf // NaN can never rank: see ahead()
+    else if (buf.length == k && !ahead(a, buf.last)) buf
     else {
       val (pre, post) = buf.span(ahead(_, a))
       (pre ++ (a +: post)).take(k)

@@ -207,6 +207,12 @@ object Funcs {
       """SELECT user_id, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    // NOTE: this oracle (and q_json_roundtrip's) hardcodes the single-key
+    // {"k": <int>} shape of events.props — the literal 'k' AS keys and the
+    // positional map_values access are only equivalent to the Spark map
+    // functions under that shape. The invariant is pinned by InvariantSpec
+    // ("events.props is always exactly {\"k\": int}"), so a testdata
+    // generator change breaks THAT test, not silently this oracle.
     "q_map_funcs" ->
       """SELECT event_id,
         |       'k' AS keys,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{ScoredKey, SimHash, TopKAggregator}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -149,15 +149,24 @@ object Llm {
   }
 
   // --------------------------------------------------- similarity search
-  /** Brute-force cosine top-5 for every 50th vector as probe. Probes are
-    * broadcast (tiny side); scoring is per-partition over the corpus with
-    * no shuffle until the per-probe top-k. The cosine is the native
-    * codegen'd [[graft.functions.VectorExpressions.cosineSim]] expression
-    * (bit-identical accumulation order to the HOF/oracle formulation). */
+  /** Brute-force cosine top-5 for a BOUNDED probe set (every 50th vector
+    * below an absolute id cap, so the broadcast side stays ≤ [[ProbeCap]]/50
+    * rows at any corpus size — a `% 50` rule alone would grow the broadcast
+    * with the corpus). Probes are broadcast (tiny side); scoring is
+    * per-partition over the corpus with no shuffle until the per-probe
+    * top-k — work is n·|probes|, linear in the corpus. The cosine is the
+    * native codegen'd [[graft.functions.VectorExpressions.cosineSim]]
+    * expression (bit-identical accumulation order to the HOF/oracle
+    * formulation). */
+  val ProbeCap = 2500L
+  /** Shared bounded probe rule, mirrored verbatim in the q_sim_topk oracle
+    * and reused by the bucketed ANN paths (q_sim_lsh / q_sim_ivf) so all
+    * three search operators answer the same probe workload. */
+  def probeFilter: Column = col("vec_id") % 50 === 0 && col("vec_id") < ProbeCap
   def qSimTopk(s: SparkSession, sf: String): DataFrame = {
     import graft.functions.VectorExpressions.cosineSim
     val emb = Tables.embeddings(s, sf)
-    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val probes = emb.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
     val scored = corpus.crossJoin(broadcast(probes))
@@ -273,7 +282,7 @@ object Llm {
         |ORDER BY user_id""".stripMargin,
     "q_sim_topk" ->
       """WITH probes AS (
-        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id % 50 = 0
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2500
         |), corpus AS (
         |  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nvec FROM embeddings
         |), scored AS (

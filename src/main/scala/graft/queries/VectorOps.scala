@@ -55,20 +55,29 @@ object VectorOps {
   }
 
   // ---- SRP-LSH (random hyperplane signatures for cosine) ----------------
-  private val NumPlanes = 16
-  private val PlaneBits = 4 // 4 bands x 4 bits
+  // 64 planes in 4 bands of 16 bits: 2^16 = 65,536 buckets PER BAND, the
+  // same banding geometry q_dedup_simhash uses. Bucket count is a property
+  // of the signature width, independent of corpus size, so expected random
+  // collisions per band are n²/65,536 — at 16-bit bands a corpus must reach
+  // ~65k vectors before random co-bucketing averages one partner per
+  // vector, and widening PlaneBits (or re-banding the same 64-bit
+  // signature) restores sparsity at any larger n. The previous 16-plane /
+  // 4-bit geometry capped buckets at 16 per band, which made candidates
+  // ~n²/4 — quadratic at every scale.
+  private val NumPlanes = 64
+  private val PlaneBits = 16 // 4 bands x 16 bits
   /** Fixed Gaussian hyperplanes, deterministic across runs. */
   private val hyperplanes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** 16-bit SRP signature bits of a vector column, as one int column
+  /** 64-bit SRP signature of a vector column, as one long column
     * (hyperplane dots via the native codegen'd DotProduct expression). */
   private def srpSignature(v: Column): Column = {
     val bits = hyperplanes.zipWithIndex.map { case (h, i) =>
       val dot = graft.functions.VectorExpressions.dot(v, typedLit(h.toSeq))
-      when(dot > 0, lit(1 << i)).otherwise(lit(0))
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -77,20 +86,40 @@ object VectorOps {
   private def bandRows(df: DataFrame, idCol: String): DataFrame = {
     val bands = (0 until NumPlanes / PlaneBits).map { bIdx =>
       struct(lit(bIdx).as("band_idx"),
-        shiftright(col("sig"), bIdx * PlaneBits).bitwiseAND(lit((1 << PlaneBits) - 1)).as("bucket"))
+        shiftright(col("sig"), bIdx * PlaneBits).bitwiseAND(lit((1L << PlaneBits) - 1)).as("bucket"))
     }
     df.select(col(idCol), explode(array(bands: _*)).as("bd"))
       .select(col(idCol), col("bd.band_idx").as("band_idx"), col("bd.bucket").as("bucket"))
   }
 
-  /** Bucketed ANN: probes (every 50th vector) search only corpus vectors
-    * sharing an SRP band bucket — the 100 TB path where brute force
-    * (q_sim_topk) is the verified baseline. NOT oracled (candidate set is
-    * hash-dependent); scalatest checks structure + self-retrieval + that
-    * every result also appears in the brute-force ranking. */
+  /** SRP band rows for an arbitrary (id, embedding) frame — exposed so
+    * tests can measure the candidate-pair space directly (the sub-quadratic
+    * growth claim is asserted, not just stated, in ExtraOpsSpec). */
+  private[graft] def srpBands(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    bandRows(df.select(col(idCol), srpSignature(col(vecCol)).as("sig")), idCol)
+
+  /** All unordered candidate pairs (a_id < b_id) the SRP banding would
+    * generate within a (vec_id, embedding) corpus — the quantity whose
+    * growth rate IS the scale claim (candidates ∝ near-dup structure, not
+    * n²). Used by ExtraOpsSpec's corpus-doubling property test. */
+  private[graft] def lshCandidatePairs(corpus: DataFrame): DataFrame = {
+    val bands = srpBands(corpus, "vec_id", "embedding")
+    val a = bands.select(col("band_idx"), col("bucket"), col("vec_id").as("a_id"))
+    val b = bands.select(col("band_idx").as("bi"), col("bucket").as("bu"), col("vec_id").as("b_id"))
+    a.join(b, col("band_idx") === col("bi") && col("bucket") === col("bu") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Bucketed ANN: bounded probes (every 50th vector under [[Llm.ProbeCap]])
+    * search only corpus vectors sharing an SRP band bucket — the 100 TB
+    * path where brute force (q_sim_topk) is the verified baseline. NOT
+    * oracled (candidate set is hash-dependent); scalatest checks structure
+    * + self-retrieval + subset-of-brute-force + sub-quadratic candidate
+    * growth. */
   def qSimLsh(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(s, sf).withColumn("sig", srpSignature(col("embedding")))
-    val probes = e.filter(col("vec_id") % 50 === 0)
+    val probes = e.filter(Llm.probeFilter)
     val probeBands = bandRows(probes.select(col("vec_id").as("probe_id"), col("sig")), "probe_id")
     val corpusBands = bandRows(e.select(col("vec_id").as("neighbor_id"), col("sig")), "neighbor_id")
     val candidates = probeBands.join(corpusBands, Seq("band_idx", "bucket"))
@@ -106,37 +135,68 @@ object VectorOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** IVF nlist: a FIXED centroid budget — every 97th vector id, capped to
+    * the first [[IvfNlist]] such ids, so the broadcast quantizer is O(K)
+    * bytes no matter how large the corpus grows (the previous n/97 rule
+    * made both the broadcast and the per-row quantizer work grow with n).
+    * In production nlist follows the usual IVF sizing rule nlist ≈ √n
+    * (re-chosen per corpus, still independent of any single scan), with
+    * k-means-refined centroids; a deterministic id-sampled set keeps this
+    * exhibit reproducible without an iterative training job. */
+  private val IvfNlist = 16
   /** IVF (inverted-file) bucketed ANN — the coarse-quantizer alternative
-    * to q_sim_lsh's hyperplane banding: a small deterministic centroid set
-    * (every 97th vector) is broadcast; each corpus vector joins its single
-    * nearest centroid's posting list, probes fan out to their nprobe=2
-    * nearest centroids, and exact scoring touches only those lists. At
-    * scale the centroid id is the shuffle key and pair work is ~n·K/nlist,
-    * never n²; the quantizer itself is a per-row argmax over broadcast
-    * centroids (no iteration, no driver state). Self-retrieval is
-    * guaranteed (a probe's top-1 centroid is within its top-2). NOT
-    * oracled (candidate sets are quantizer-dependent); scalatest asserts
-    * structure, self-retrieval, and subset-of-brute-force. */
+    * to q_sim_lsh's hyperplane banding: a bounded deterministic centroid
+    * set (see [[IvfNlist]]) is broadcast; each corpus vector joins its
+    * single nearest centroid's posting list, probes fan out to their
+    * nprobe=2 nearest centroids, and exact scoring touches only those
+    * lists. At scale the centroid id is the shuffle key and pair work is
+    * ~n·K/nlist, never n²; the corpus-side quantizer is a per-row argmax
+    * aggregation (`max_by` with partial map-side combine — no per-row
+    * window sort over the n·K scored rows, no driver state).
+    * Self-retrieval is guaranteed (a probe's top-1 centroid is within its
+    * top-2). NOT oracled (candidate sets are quantizer-dependent);
+    * scalatest asserts structure, self-retrieval, subset-of-brute-force,
+    * and a bounded candidate count. */
+  /** Corpus-side quantizer (nprobe=1): argmax over the broadcast centroid
+    * set via max_by — aggregates partially map-side, ships one row per
+    * vector, and never materializes a sorted n·K window. Tiebreak (csim
+    * desc, cid asc) is encoded as max of struct(csim, -cid). `private
+    * [graft]` so tests can drive it with synthetic centroid sets. */
+  private[graft] def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.cosineSim
+    df.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
+      .groupBy(idCol)
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+  }
+
+  /** Probe-side fan-out: top-`nprobe` centroids per probe. A row_number
+    * window is fine here — the probe set is bounded (|probes| · K rows). */
+  private[graft] def ivfProbe(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, nprobe: Int): DataFrame = {
+    import graft.functions.VectorExpressions.cosineSim
+    val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
+    df.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col(idCol), col("cid"))
+  }
+
   def qSimIvf(s: SparkSession, sf: String): DataFrame = {
     import graft.functions.VectorExpressions.cosineSim
     val e = Tables.embeddings(s, sf).repartition(col("vec_id"))
-    val cents = Tables.embeddings(s, sf).filter(col("vec_id") % 97 === 0)
+    val cents = Tables.embeddings(s, sf)
+      .filter(col("vec_id") % 97 === 0 && col("vec_id") < 97L * IvfNlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    def nearestCentroids(df: DataFrame, idCol: String, vecCol: String, nprobe: Int) = {
-      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= nprobe)
-        .select(col(idCol), col("cid"))
-    }
-    val posting = nearestCentroids(
+    val posting = ivfAssign(
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
-      "neighbor_id", "nvec", 1)
-    val probeLists = nearestCentroids(
-      e.filter(col("vec_id") % 50 === 0)
+      "neighbor_id", "nvec", cents)
+    val probeLists = ivfProbe(
+      e.filter(Llm.probeFilter)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pvec")),
-      "probe_id", "pvec", 2)
+      "probe_id", "pvec", cents, 2)
     // each neighbor sits in exactly one posting list, so (probe, neighbor)
     // pairs are already unique — no post-join distinct needed
     val candidates = probeLists.join(posting, Seq("cid"))

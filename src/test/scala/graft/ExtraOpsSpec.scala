@@ -92,6 +92,66 @@ class ExtraOpsSpec extends SparkSuite {
     }
   }
 
+  // deterministic clustered corpus: nClusters clusters of 8 near-identical
+  // vectors (the near-dup structure LSH exists for). Same seed → the larger
+  // corpus is a superset of the smaller.
+  private def clusteredCorpus(nClusters: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until nClusters).flatMap { c =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      (0 until 8).map { i =>
+        (c * 8L + i, base.map(x => x + (rnd.nextGaussian() * 0.02).toFloat).toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("SRP-LSH candidate pairs grow linearly with corpus size, not quadratically") {
+    val nSmall = 400; val nBig = 800
+    val small = VectorOps.lshCandidatePairs(clusteredCorpus(nSmall / 8)).count()
+    val big = VectorOps.lshCandidatePairs(clusteredCorpus(nBig / 8)).count()
+    assert(small > 0, "clustered corpus must produce candidates")
+    // linear structure → doubling the corpus ~doubles candidates; the old
+    // 16-buckets-per-band geometry quadrupled them (ratio ≈ 4)
+    assert(big <= 2.8 * small, s"candidate growth $small -> $big is super-linear")
+    // absolute bound: candidates ≤ c·n (c = 8: at most the intra-cluster
+    // pair mass per vector), i.e. candidates ≪ n²/2 brute-force pairs
+    assert(small <= 8L * nSmall, s"$small candidates at n=$nSmall exceeds c*n")
+    assert(big <= 8L * nBig, s"$big candidates at n=$nBig exceeds c*n")
+  }
+
+  test("IVF: one posting list per vector; fixed probes → candidates grow linearly") {
+    import spark.implicits._
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(23)
+      (0 until n).map(i =>
+        (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+    }
+    val cents = corpus(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def candidates(n: Int): Long = {
+      val c = corpus(n)
+      val posting = VectorOps.ivfAssign(
+        c.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
+        "neighbor_id", "nvec", cents)
+      assert(posting.count() == n, "quantizer must emit exactly one centroid per vector")
+      val probes = c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      VectorOps.ivfProbe(probes, "probe_id", "pvec", cents, 2)
+        .join(posting, Seq("cid")).count()
+    }
+    val small = candidates(400)
+    val big = candidates(800)
+    assert(small > 0)
+    // 10 probes × 2 lists of ~n/16 vectors: candidate work is a fixed
+    // fraction of n per probe — doubling n ~doubles candidates
+    assert(big <= 2.6 * small + 40, s"IVF candidate growth $small -> $big super-linear")
+    // and stays far below the 10·n brute-force pair count per probe set
+    assert(small <= 10L * 400 / 2 && big <= 10L * 800 / 2,
+      "candidates must be a small fraction of brute-force pairs")
+  }
+
   test("graft SQL functions registered: graft_cosine/graft_dot/graft_hll_distinct in spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     Tables.registerTables(spark, sf001)

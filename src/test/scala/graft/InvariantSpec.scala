@@ -83,4 +83,15 @@ class InvariantSpec extends SparkSuite {
     val buckets = h.map(_.getLong(0))
     assert(buckets.forall(b => b >= 0 && b <= 9), "buckets capped to [0,9]")
   }
+
+  test("events.props is always exactly {\"k\": int} — the shape the map/json oracles hardcode") {
+    // q_map_funcs / q_json_roundtrip oracles (Funcs.scala) spell DuckDB
+    // equivalents positionally against this single-key shape; if the
+    // testdata generator ever changes it, THIS must fail first
+    val bad = Tables.events(spark, sf001)
+      .filter(col("props").isNull ||
+        !col("props").rlike("""^\{"k": ?-?\d+\}$"""))
+      .count()
+    assert(bad == 0, s"$bad events.props rows deviate from the {\"k\": int} shape")
+  }
 }

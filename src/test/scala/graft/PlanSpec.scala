@@ -75,8 +75,14 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q_sessionize shuffles once on user_id (window + groupBy share the partitioning)") {
-    val p = plan("q_sessionize")
-    val hashExchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    // count Exchange OPERATORS ('Exchange hashpartitioning' node headers),
+    // not bare 'hashpartitioning(' substrings — the bare token also appears
+    // in output-partitioning annotations without any real exchange existing
+    // (collecting ShuffleExchangeLike nodes doesn't work here: the
+    // AdaptiveSparkPlanExec root hides its input plan from collect())
+    val p = SparkEntry.queries("q_sessionize")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashExchanges == 1,
       s"expected one hash shuffle (groupBy must reuse the window's user_id partitioning), got $hashExchanges:\n${p.take(3000)}")
   }

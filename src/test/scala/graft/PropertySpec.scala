@@ -77,4 +77,29 @@ class PropertySpec extends SparkSuite {
       got == expect
     })
   }
+
+  test("TopKAggregator merge laws: any partition split + merge order gives the sorted-take-k model") {
+    import graft.functions.{ScoredKey, TopKAggregator}
+    val agg = new TopKAggregator(3)
+    def fold(xs: Seq[ScoredKey]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val score = Gen.frequency(
+      9 -> Gen.chooseNum(0.0, 100.0),
+      1 -> Gen.const(Double.NaN)) // NaN rows must be rejected, not buffered
+    val rows = Gen.listOfN(20, Gen.zip(score, Gen.chooseNum(0L, 50L))
+      .map { case (s, k) => ScoredKey(s, k) })
+    val cut = Gen.chooseNum(0, 20)
+    check("topk merge", 200, Prop.forAll(rows, cut, cut) { (xs, c1, c2) =>
+      val clean = xs.filterNot(_.score.isNaN)
+      val model = clean.sortBy(r => (-r.score, r.key)).take(3)
+      // arbitrary 3-way partition split, both merge associations and both
+      // argument orders — the shuffle can deliver partials any way at all
+      val (a, rest) = xs.splitAt(math.min(c1, c2))
+      val (b, c) = rest.splitAt(math.abs(c1 - c2))
+      val (ba, bb, bc) = (fold(a), fold(b), fold(c))
+      agg.merge(agg.merge(ba, bb), bc) == model &&
+        agg.merge(ba, agg.merge(bb, bc)) == model &&
+        agg.merge(agg.merge(bc, ba), bb) == model &&
+        fold(xs) == model
+    })
+  }
 }
