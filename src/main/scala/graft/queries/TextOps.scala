@@ -163,7 +163,34 @@ object TextOps {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Deterministic bounded global sample: the k documents with the
+    * smallest content hashes — a content-addressed "reservoir" that is
+    * identical on every engine, run, and cluster size (unlike RNG
+    * reservoir sampling) and needs no global sort: orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge on the
+    * driver — k rows cross the wire, not the corpus). Dup texts hash
+    * equal, so the sample is stable under re-sharding and ingestion order. */
+  def qSampleBottomk(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .orderBy("content_hash", "doc_id")
+      .limit(100)
+
+  /** Corpus bigram document frequencies, top 30 — the n-gram corpus-stats
+    * op (vocabulary drift, boilerplate detection). Per-doc-distinct
+    * bigrams via the shared [[VectorOps.docBigrams]] explode; counting is
+    * a partial-agg groupBy and the top-30 is TakeOrderedAndProject —
+    * no global sort of the bigram space. */
+  def qTextBigramDf(s: SparkSession, sf: String): DataFrame =
+    VectorOps.docBigrams(Tables.documents(s, sf))
+      .groupBy(col("bg").as("bigram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram").asc)
+      .limit(30)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_bottomk" -> qSampleBottomk _,
+    "q_text_bigram_df" -> qTextBigramDf _,
     "q_text_langid" -> qTextLangid _,
     "q_text_quality" -> qTextQuality _,
     "q_text_token_count" -> qTextTokenCount _,
@@ -179,6 +206,14 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_sample_bottomk" ->
+      """SELECT doc_id, sha256(text) AS content_hash FROM documents
+        |ORDER BY content_hash, doc_id LIMIT 100""".stripMargin,
+    "q_text_bigram_df" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bigram FROM d, UNNEST(range(1, len(s))) AS t(i))
+        |SELECT bigram, count(*) AS df FROM bg GROUP BY bigram
+        |ORDER BY df DESC, bigram LIMIT 30""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |       regexp_replace(text, '\b(customer|order)\b', '<REDACTED>', 'g') AS redacted,

@@ -246,22 +246,27 @@ object VectorOps {
   def qDedupNgram(s: SparkSession, sf: String): DataFrame =
     ngramPairs(Tables.documents(s, sf))
 
-  /** Core bigram-Jaccard pipeline over any (doc_id, text) frame (tested
-    * directly on hand-built short-doc frames in ExtraOpsSpec). */
-  def ngramPairs(docs0: DataFrame): DataFrame = {
-    // repartition before exploding: single-file input otherwise caps the
-    // bigram pipeline at 1-2 partitions regardless of session cores
-    val docs = docs0.repartition(col("doc_id"))
-    // size(t) >= 2 guard: a 0/1-token doc has no bigrams — unguarded,
-    // sequence(1, size - 1) auto-descends (Spark defaults step to -1 when
-    // start > stop) into an out-of-range element_at(t, 0). The filter
-    // matches the oracle's naturally-empty range(1, len(s)).
-    val bg = docs.select(col("doc_id"), expr("split(text, ' ')").as("t"))
+  /** Distinct word bigrams per document: (doc_id, bg) rows. Repartitions
+    * before exploding — single-file input otherwise caps the pipeline at
+    * 1-2 partitions regardless of session cores. The size(t) >= 2 guard:
+    * a 0/1-token doc has no bigrams — unguarded, sequence(1, size - 1)
+    * auto-descends (Spark defaults step to -1 when start > stop) into an
+    * out-of-range element_at(t, 0). The filter matches the oracle's
+    * naturally-empty range(1, len(s)). Shared by the n-gram dedup pipeline
+    * and the corpus bigram-DF stats (TextOps.qTextBigramDf). */
+  private[graft] def docBigrams(docs0: DataFrame): DataFrame =
+    docs0.repartition(col("doc_id"))
+      .select(col("doc_id"), expr("split(text, ' ')").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("t"), explode(expr("sequence(1, size(t) - 1)")).as("i"))
       .select(col("doc_id"), expr("concat(element_at(t, i), ' ', element_at(t, i + 1))").as("bg"))
-      .distinct().cache()
-    val nDocs = docs.agg(count(lit(1)).as("n"))
+      .distinct()
+
+  /** Core bigram-Jaccard pipeline over any (doc_id, text) frame (tested
+    * directly on hand-built short-doc frames in ExtraOpsSpec). */
+  def ngramPairs(docs0: DataFrame): DataFrame = {
+    val bg = docBigrams(docs0).cache()
+    val nDocs = docs0.agg(count(lit(1)).as("n"))
     val rare = bg.groupBy("bg").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= greatest(lit(20), col("n") / 100))
@@ -293,15 +298,92 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Min-label propagation connected components: every vertex converges to
+    * the minimum doc_id reachable in its component — the deterministic
+    * cluster id. Each round is one shuffle-join + min-aggregate; rounds
+    * needed = graph diameter (near-dup components are shallow — dup
+    * clusters are cliques or short chains, so 2-4 rounds in practice).
+    * The driver loop only checks a converged-count scalar per round — all
+    * data stays distributed. At 100 TB scale the same loop holds (labels
+    * and edges both shuffle on vertex id); for adversarially deep
+    * components the round count is cut to O(log n) by alternating
+    * large-star/small-star re-wiring (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"), which this exhibit omits for
+    * determinism-auditable simplicity. */
+  private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id")), Seq("src"))
+        .groupBy("dst").agg(min("cluster_id").as("nbr_min"))
+        .withColumnRenamed("dst", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dup CLUSTER assignment — the step a dedup pipeline runs after
+    * pair generation: bigram-Jaccard pairs (q_dedup_ngram's exact edge
+    * set) → connected components → one canonical doc per cluster (the
+    * minimum doc_id). Every document gets a row; singletons are their own
+    * canonical. Fully oracled: DuckDB computes the identical components
+    * via a recursive reachability CTE over the same pair CTE chain. */
+  def qDedupClusters(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val edges = ngramPairs(docs).select("a_id", "b_id")
+    connectedComponents(docs.select("doc_id"), edges)
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_ngram" -> qDedupNgram _,
+    "q_dedup_clusters" -> qDedupClusters _,
     "q_sim_lsh" -> qSimLsh _,
     "q_sim_ivf" -> qSimIvf _,
     "q_dedup_simhash" -> qDedupSimhash _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, count(*) AS ic
+        |          FROM cand c JOIN bg x ON x.doc_id = c.a_id JOIN bg y ON y.doc_id = c.b_id AND y.bg = x.bg
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |          WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id, min(lbl) = id AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),

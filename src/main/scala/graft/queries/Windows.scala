@@ -130,7 +130,22 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  /** cume_dist + offset-2 lag/lead with non-null defaults — the remaining
+    * analytic-window surface. The (ts, event_id) order is unique per
+    * user, so cume_dist is row_number/n: the identical r/n double on both
+    * engines. */
+  def qWinCumeDist(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, sf)
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("lag2_value", lag(col("value"), 2, -1.0).over(w))
+      .withColumn("lead2_id", lead(col("event_id"), 2, -1L).over(w))
+      .select("event_id", "user_id", "ts", "cume", "lag2_value", "lead2_id")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_cume_dist" -> qWinCumeDist _,
     "q_win_firstlast" -> qWinFirstLast _,
     "q_sessionize" -> qSessionize _,
     "q_win_rank" -> qWinRank _,
@@ -142,6 +157,13 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_cume_dist" ->
+      """SELECT event_id, user_id, ts,
+        |       cume_dist() OVER w AS cume,
+        |       lag(value, 2, -1.0) OVER w AS lag2_value,
+        |       lead(event_id, 2, -1) OVER w AS lead2_id
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_win_firstlast" ->
       """SELECT o_custkey, o_orderkey,
         |       first_value(o_orderkey) OVER w AS first_key,

@@ -152,6 +152,42 @@ class ExtraOpsSpec extends SparkSuite {
       "candidates must be a small fraction of brute-force pairs")
   }
 
+  test("connected components: chains collapse to min label, singletons self-label") {
+    import spark.implicits._
+    // component {1,2,3} as a chain (1-2, 2-3; no 1-3 edge), {10,11} a pair,
+    // 20 a singleton — label must propagate transitively down the chain
+    val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = VectorOps.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // a longer chain exercises multi-round convergence (diameter 5)
+    val chainV = (0L to 5L).toDF("doc_id")
+    val chainE = (0L until 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val chain = VectorOps.connectedComponents(chainV, chainE)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chain.values.forall(_ == 0L), s"chain must collapse to 0, got $chain")
+  }
+
+  test("q_dedup_clusters covers every doc; edges agree with cluster assignment") {
+    val docs = Tables.documents(spark, sf001)
+    val clusters = VectorOps.qDedupClusters(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(clusters.length == docs.count(), "every document must get a cluster row")
+    val byDoc = clusters.map(c => c._1 -> c._2).toMap
+    clusters.foreach { case (doc, cl, canon) =>
+      assert(cl <= doc, "cluster id is the component minimum")
+      assert(canon == (cl == doc))
+      assert(byDoc(cl) == cl, "the canonical doc's own cluster id is itself")
+    }
+    // every near-dup edge's endpoints share a cluster
+    VectorOps.qDedupNgram(spark, sf001).collect().foreach { r =>
+      assert(byDoc(r.getLong(0)) == byDoc(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+    assert(clusters.exists(c => !c._3), "corpus has near-dups, so some non-canonical rows")
+  }
+
   test("graft SQL functions registered: graft_cosine/graft_dot/graft_hll_distinct in spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     Tables.registerTables(spark, sf001)
