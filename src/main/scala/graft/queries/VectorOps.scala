@@ -64,23 +64,15 @@ object VectorOps {
   // signature) restores sparsity at any larger n. The previous 16-plane /
   // 4-bit geometry capped buckets at 16 per band, which made candidates
   // ~n²/4 — quadratic at every scale.
-  private val NumPlanes = 64
+  private val NumPlanes = graft.functions.SrpPlanes.NumPlanes
   private val PlaneBits = 16 // 4 bands x 16 bits
-  /** Fixed Gaussian hyperplanes, deterministic across runs. */
-  private val hyperplanes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
-  }
 
-  /** 64-bit SRP signature of a vector column, as one long column
-    * (hyperplane dots via the native codegen'd DotProduct expression). */
-  private def srpSignature(v: Column): Column = {
-    val bits = hyperplanes.zipWithIndex.map { case (h, i) =>
-      val dot = graft.functions.VectorExpressions.dot(v, typedLit(h.toSeq))
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** 64-bit SRP signature of a vector column: the single-pass codegen'd
+    * [[graft.functions.SrpSignature]] expression (one fused loop for all
+    * 64 plane dots — 64 separate DotProduct expressions would re-read the
+    * vector per plane). */
+  private def srpSignature(v: Column): Column =
+    graft.functions.VectorExpressions.srpSig(v)
 
   /** Bands of the signature as (band_idx, bucket) rows. */
   private def bandRows(df: DataFrame, idCol: String): DataFrame = {
@@ -119,9 +111,12 @@ object VectorOps {
     * growth. */
   def qSimLsh(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(s, sf).withColumn("sig", srpSignature(col("embedding")))
-    val probes = e.filter(Llm.probeFilter)
-    val probeBands = bandRows(probes.select(col("vec_id").as("probe_id"), col("sig")), "probe_id")
     val corpusBands = bandRows(e.select(col("vec_id").as("neighbor_id"), col("sig")), "neighbor_id")
+    // probes are a subset of the corpus, so probe bands are a FILTER of the
+    // corpus bands — no second signature pass over the probe vectors
+    val probeBands = corpusBands
+      .filter(col("neighbor_id") % 50 === 0 && col("neighbor_id") < Llm.ProbeCap)
+      .withColumnRenamed("neighbor_id", "probe_id")
     val candidates = probeBands.join(corpusBands, Seq("band_idx", "bucket"))
       .select("probe_id", "neighbor_id").distinct()
     val av = Tables.embeddings(s, sf).select(col("vec_id").as("probe_id"), col("embedding").as("av"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.VectorExpressions.{cosineSim, dot}
+import graft.functions.VectorExpressions.{cosineSim, dot, srpSig}
 import org.apache.spark.sql.functions._
 
 /** Native codegen'd vector expressions vs the HOF reference formulation. */
@@ -54,5 +54,27 @@ class VectorExprSpec extends SparkSuite {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
     val got = df.select(cosineSim(col("a"), col("b"))).head.getDouble(0)
     assert(got.isNaN)
+  }
+
+  test("srp signature: codegen path equals driver-side kernel; wrong dim raises") {
+    import graft.functions.SrpPlanes
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 20).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val got = vecs.toDF("id", "v").select(col("id"), srpSig(col("v")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == SrpPlanes.signature(v), s"codegen/eval divergence for vec $id")
+    }
+    // a vector and its negation flip every decided bit (no zero dots here)
+    val negs = vecs.map { case (id, v) => (id, v.map(x => -x)) }
+    val gotNeg = negs.toDF("id", "v").select(col("id"), srpSig(col("v")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, _) => assert((got(id) ^ gotNeg(id)) == -1L) }
+    val ex = intercept[Throwable] {
+      Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v").select(srpSig(col("v"))).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      Option(t).toList.flatMap(e => Option(e.getMessage).toList ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("graft_srp_sig: expected 64-dim vector, got 2")))
   }
 }
