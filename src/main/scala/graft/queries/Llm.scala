@@ -242,6 +242,29 @@ object Llm {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** Count-min-sketch token frequencies per source: one fixed-size
+    * mergeable sketch per group ([[graft.functions.CmsSketchAgg]] over
+    * Spark's own CountMinSketch), probed at a fixed word list. The 100 TB
+    * shape for "how often does token X appear per slice" when exact
+    * counting would shuffle an unbounded, stopword-skewed key space:
+    * sketches aggregate partially map-side and merge by counter addition,
+    * so the output is byte-identical at any partitioning (tested). The
+    * probe step deserializes per (group, word) — 20 rows here; scan-scale
+    * consumers deserialize once per partition. NOT oracled (DuckDB has no
+    * CMS); scalatest pins overcount-only ≤ eps·N and partition invariance. */
+  def qAggCms(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.CmsSketchAgg
+    val probeWords = Seq("the", "data", "spark", "value")
+    val toks = Tables.documents(s, sf)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+    val est = udf((b: Array[Byte], w: String) => CmsSketchAgg.estimate(b, w))
+    toks.groupBy("source").agg(CmsSketchAgg.cmsSketch(col("token")).as("sk"))
+      .select(col("source"), explode(typedLit(probeWords)).as("word"), col("sk"))
+      .withColumn("est_count", est(col("sk"), col("word")))
+      .select("source", "word", "est_count")
+      .orderBy("source", "word")
+  }
+
   /** UDTF-shape generator: text -> one row per 5-char shingle position.
     * No custom Generator needed — explode(transform(sequence(...))). */
   def qUdtfShingles(s: SparkSession, sf: String): DataFrame =
@@ -265,6 +288,7 @@ object Llm {
     "q_multimodal" -> qMultimodal _,
     "q_udf_scalar" -> qUdfScalar _,
     "q_udaf_topk" -> qUdafTopk _,
+    "q_agg_cms" -> qAggCms _,
     "q_udtf_shingles" -> qUdtfShingles _,
   )
 

@@ -188,6 +188,31 @@ class ExtraOpsSpec extends SparkSuite {
     assert(clusters.exists(c => !c._3), "corpus has near-dups, so some non-canonical rows")
   }
 
+  test("CMS sketch: overcounts only, within eps*N; byte-identical at any partitioning") {
+    val toks = Tables.documents(spark, sf001)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+    val exact = toks.groupBy("source", "token").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nPerSource = toks.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Llm.qAggCms(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty && got.exists(_._3 > 0))
+    got.foreach { case (src, word, est) =>
+      val truth = exact.getOrElse((src, word), 0L)
+      assert(est >= truth, s"CMS must never undercount ($src/$word: $est < $truth)")
+      val bound = truth + math.ceil(0.001 * nPerSource(src)).toLong + 5
+      assert(est <= bound, s"CMS estimate $est exceeds eps*N bound $bound for $src/$word")
+    }
+    // counter addition is merge-order independent: identical bytes-out at
+    // any partitioning, hence identical estimates
+    import graft.functions.CmsSketchAgg
+    def sketchOf(parts: Int) = toks.repartition(parts)
+      .groupBy("source").agg(CmsSketchAgg.cmsSketch(col("token")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(sketchOf(3) == sketchOf(13), "sketch bytes must not depend on partitioning")
+  }
+
   test("graft SQL functions registered: graft_cosine/graft_dot/graft_hll_distinct in spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     Tables.registerTables(spark, sf001)
