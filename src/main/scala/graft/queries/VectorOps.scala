@@ -306,29 +306,58 @@ object VectorOps {
     * Components in MapReduce and Beyond"), which this exhibit omits for
     * determinism-auditable simplicity. */
   private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    // iterate ONLY over edge-touched vertices: the pair graph is a tiny
+    // fraction of the corpus (near-dup rate, not corpus size), so the
+    // per-round joins never touch the full document set — singletons get
+    // their self-label in one left join at the end. The label frames are
+    // sized by near-dup mass, so they are collapsed to one partition here;
+    // at a scale where the pair graph itself is huge, drop the repartition
+    // and let the joins shuffle on the vertex id (the loop is unchanged).
+    val spark = vertices.sparkSession
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .repartition(1).cache()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 30) {
-      val nbrMin = sym
-        .join(labels.select(col("doc_id").as("src"), col("cluster_id")), Seq("src"))
-        .groupBy("dst").agg(min("cluster_id").as("nbr_min"))
-        .withColumnRenamed("dst", "doc_id")
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .cache()
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
-      rounds += 1
-    }
+    var prevCached: Option[DataFrame] = None
+    // AQE re-plans and materializes every exchange of every round as its
+    // own job — pure scheduling overhead on these bounded label frames,
+    // where the static plan (broadcast the tiny side, one small shuffle)
+    // is already the right one. Turn it off for the loop only; the
+    // corpus-wide assignment join below runs with the session's AQE.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      while (changed > 0 && rounds < 30) {
+        val nbrMin = sym
+          .join(broadcast(labels.select(col("doc_id").as("src"), col("cluster_id"))), Seq("src"))
+          .groupBy("dst").agg(min("cluster_id").as("nbr_min"))
+          .withColumnRenamed("dst", "doc_id")
+        // one cached frame and ONE action per round: `nm` carries both the
+        // next label (least) and the convergence signal (nm < cluster_id)
+        val step = labels.join(broadcast(nbrMin), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id")).as("nm"))
+          .cache()
+        changed = step.filter(col("nm") < col("cluster_id")).count()
+        prevCached.foreach(_.unpersist()) // step is materialized by the count
+        prevCached = Some(step)
+        labels = step.select(col("doc_id"), least(col("cluster_id"), col("nm")).as("cluster_id"))
+        rounds += 1
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    // converged labels are tiny (edge-touched vertices only):
+    // localCheckpoint truncates the round lineage entirely, so every later
+    // evaluation of the returned frame broadcasts the materialized label
+    // rows instead of replaying or cache-scanning the iterative plan
+    val finalLabels = labels.repartition(1).localCheckpoint()
+    prevCached.foreach(_.unpersist())
     sym.unpersist()
-    labels
+    vertices.select("doc_id").join(broadcast(finalLabels), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Near-dup CLUSTER assignment — the step a dedup pipeline runs after
