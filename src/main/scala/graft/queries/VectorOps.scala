@@ -317,6 +317,10 @@ object VectorOps {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .repartition(1).cache()
+    // materialize sym NOW, with the session's full parallelism — its
+    // lineage (the pair-generation pipeline) is the expensive part, and it
+    // must not run under the loop's 1-partition shuffle config below
+    sym.count()
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
     var changed = 1L
@@ -325,10 +329,14 @@ object VectorOps {
     // AQE re-plans and materializes every exchange of every round as its
     // own job — pure scheduling overhead on these bounded label frames,
     // where the static plan (broadcast the tiny side, one small shuffle)
-    // is already the right one. Turn it off for the loop only; the
-    // corpus-wide assignment join below runs with the session's AQE.
+    // is already the right one. Turn it off for the loop only, and run the
+    // loop's shuffles at one partition (the frames are near-dup-mass
+    // sized); the corpus-wide assignment join below runs with the
+    // session's AQE and parallelism.
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       while (changed > 0 && rounds < 30) {
         val nbrMin = sym
@@ -347,7 +355,10 @@ object VectorOps {
         labels = step.select(col("doc_id"), least(col("cluster_id"), col("nm")).as("cluster_id"))
         rounds += 1
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
     // converged labels are tiny (edge-touched vertices only):
     // localCheckpoint truncates the round lineage entirely, so every later
     // evaluation of the returned frame broadcasts the materialized label
