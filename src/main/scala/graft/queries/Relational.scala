@@ -561,7 +561,22 @@ object Relational {
       .orderBy("nationkey")
 
   // ------------------------------------------------------------------ wiring
+  /** Two-phase SALTED aggregation as an oracled exhibit: l_returnflag has
+    * three values over 600k rows — every key is hot, the worst case for a
+    * direct hash agg's final reducers. [[graft.Scale.saltedCountSum]]
+    * sprays each key over 32 salts (partial agg on (key, salt), merge on
+    * key) so no single task owns a key's whole volume; decimal partials
+    * make the two-phase result bit-equal to the direct plan, which is
+    * exactly what the DuckDB oracle computes. */
+  def qAggSalted(s: SparkSession, sf: String): DataFrame =
+    graft.Scale.saltedCountSum(
+        Tables.lineitem(s, sf), col("l_returnflag"),
+        "CAST(l_quantity AS DECIMAL(18,2))", 32)
+      .select(col("k").as("l_returnflag"), col("cnt"), col("sum_value"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_salted" -> qAggSalted _,
     "q_scan_project" -> qScanProject _,
     "q_scan_count" -> qScanCount _,
     "q_filter_range" -> qFilterRange _,
@@ -610,6 +625,10 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_salted" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_scan_count" ->
