@@ -35,6 +35,14 @@ object GraftFunctions {
       info("graft_hll_distinct", classOf[HllDistinct],
         "graft_hll_distinct(x) - mergeable DataSketches HLL distinct-count aggregate"),
       (es: Seq[Expression]) => HllDistinct(es.head)),
+    (FunctionIdentifier("graft_srp_sig"),
+      info("graft_srp_sig", classOf[SrpSignature],
+        "graft_srp_sig(v) - 64-bit signed-random-projection signature of an array<float> vector (codegen'd, fused plane loop)"),
+      (es: Seq[Expression]) => SrpSignature(es.head)),
+    (FunctionIdentifier("graft_cms_sketch"),
+      info("graft_cms_sketch", classOf[CmsSketchAgg],
+        "graft_cms_sketch(x) - mergeable count-min-sketch frequency aggregate (serialized sketch bytes)"),
+      (es: Seq[Expression]) => CmsSketchAgg(es.head)),
   )
 
   /** Register every graft function into an existing session (temp-function

@@ -226,6 +226,20 @@ class ExtraOpsSpec extends SparkSuite {
     val hll = spark.sql("SELECT graft_hll_distinct(source) AS n FROM documents").head.getLong(0)
     val exact = spark.sql("SELECT count(DISTINCT source) AS n FROM documents").head.getLong(0)
     assert(hll == exact, s"hll $hll vs exact $exact at tiny cardinality")
+    // srp signature and cms sketch are SQL-reachable too
+    val sigs = spark.sql(
+      "SELECT vec_id, graft_srp_sig(embedding) AS s FROM embeddings LIMIT 20").collect()
+    sigs.foreach { r =>
+      assert(!r.isNullAt(1))
+    }
+    val sk = spark.sql("SELECT graft_cms_sketch(source) AS sk FROM documents")
+      .head.getAs[Array[Byte]](0)
+    val est = graft.functions.CmsSketchAgg.estimate(sk, "web")
+    val exactWeb = spark.sql(
+      "SELECT count(*) FROM documents WHERE source = 'web'").head.getLong(0)
+    val total = spark.sql("SELECT count(*) FROM documents").head.getLong(0)
+    assert(est >= exactWeb && est <= exactWeb + math.ceil(0.001 * total).toLong + 5,
+      s"SQL-built CMS estimate $est outside bounds around $exactWeb")
   }
 
   test("chunker covers every token exactly: windows tile the doc with stride overlap") {

@@ -39,6 +39,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("bounded-sample and bigram-DF top-k avoid global sorts too") {
+    assert(plan("q_sample_bottomk").contains("TakeOrderedAndProject"),
+      "bottom-k sample must be per-partition top-k, not a corpus sort")
+    assert(plan("q_text_bigram_df").contains("TakeOrderedAndProject"),
+      "bigram top-30 must be per-partition top-k over the aggregated DFs")
+  }
+
   test("q_agg_q1 aggregates in two phases (partial before the exchange)") {
     val p = plan("q_agg_q1")
     val firstHashAgg = p.indexOf("HashAggregate")

@@ -78,6 +78,33 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("connected components equal a union-find model on random graphs") {
+    import graft.queries.VectorOps
+    // vertices 0..11; random edge sets, including disconnected and dense cases
+    val edgeGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+    check("components", 15, Prop.forAll(edgeGen) { es =>
+      val parent = scala.collection.mutable.ArrayBuffer.tabulate(12)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // model: every vertex -> min vertex id in its component
+      val model = (0 until 12).map { v =>
+        val root = find(v)
+        v.toLong -> (0 until 12).filter(find(_) == root).min.toLong
+      }.toMap
+      val vertices = (0L to 11L).toDF("doc_id")
+      val edges =
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+        else es.toDF("a_id", "b_id")
+      val got = VectorOps.connectedComponents(vertices, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == model
+    })
+  }
+
   test("TopKAggregator merge laws: any partition split + merge order gives the sorted-take-k model") {
     import graft.functions.{ScoredKey, TopKAggregator}
     val agg = new TopKAggregator(3)
