@@ -575,7 +575,31 @@ object Relational {
       .select(col("k").as("l_returnflag"), col("cnt"), col("sum_value"))
       .orderBy("l_returnflag")
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE executor): a 12-row month
+    * spine generated by recursion, left-joined to the real per-month order
+    * aggregate — the recursive-query surface, oracled against DuckDB's own
+    * WITH RECURSIVE. The recursion is pure SQL (no table references, so no
+    * temp-view registration is needed); the join is DataFrame API. The
+    * month spine is bounded (12 levels, far under Spark's recursion
+    * limit); zero-order months survive as zero rows. */
+  def qRecursiveCte(s: SparkSession, sf: String): DataFrame = {
+    val months = s.sql(
+      """WITH RECURSIVE m(mo) AS (
+        |  SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12
+        |) SELECT CAST(mo AS INT) AS mo FROM m""".stripMargin)
+    val counts = Tables.orders(s, sf)
+      .groupBy(month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Det.sumDec2("o_totalprice")).as("revenue"))
+    months.join(counts, Seq("mo"), "left")
+      .select(col("mo"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("mo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive_cte" -> qRecursiveCte _,
     "q_agg_salted" -> qAggSalted _,
     "q_scan_project" -> qScanProject _,
     "q_scan_count" -> qScanCount _,
@@ -625,6 +649,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_recursive_cte" ->
+      """WITH RECURSIVE m(mo) AS (SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12),
+        |c AS (SELECT CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n_orders,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |      FROM orders GROUP BY 1)
+        |SELECT CAST(m.mo AS INT) AS mo,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(revenue, 0.0) AS revenue
+        |FROM m LEFT JOIN c ON c.mo = m.mo ORDER BY mo""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
