@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** Batch source formats beyond parquet: CSV and JSON round-trips. */
+/** Batch source formats beyond parquet: CSV, JSON, ORC, and XML
+  * round-trips. */
 class SourcesSpec extends SparkSuite {
 
   private lazy val base = Tables.events(spark, sf001)
@@ -64,5 +65,16 @@ class SourcesSpec extends SparkSuite {
     assert(back.count() == base.count())
     assert(back.select("event_type").distinct().count() ==
       base.select("event_type").distinct().count())
+  }
+
+  test("xml source round-trips (Spark 4 native XML, no external connector)") {
+    val dir = Files.createTempDirectory("xml_src").toString
+    base.write.mode("overwrite")
+      .option("rootTag", "events").option("rowTag", "event").xml(dir)
+    val back = spark.read.schema(base.schema)
+      .option("rowTag", "event").xml(dir)
+    assert(back.count() == base.count())
+    assert(back.agg(sum("event_id")).head.getLong(0) ==
+      base.agg(sum("event_id")).head.getLong(0))
   }
 }
