@@ -188,7 +188,30 @@ object TextOps {
       .orderBy(col("df").desc, col("bigram").asc)
       .limit(30)
 
+  /** Repetition detection — the classic corpus-quality signal (a document
+    * dominated by one repeated phrase is boilerplate/spam): per doc, the
+    * count of its most-repeated bigram, total bigram occurrences
+    * (non-distinct, unlike the dedup pipeline's per-doc-distinct sets),
+    * and their ratio. Two partial-agg groupBys on (doc, bigram) then
+    * (doc); the ratio divides the same two longs on both engines, so the
+    * double is bit-identical. */
+  def qTextRepetition(s: SparkSession, sf: String): DataFrame = {
+    val bg = Tables.documents(s, sf).repartition(col("doc_id"))
+      .select(col("doc_id"), expr("split(text, ' ')").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"), explode(expr("sequence(1, size(t) - 1)")).as("i"))
+      .select(col("doc_id"), expr("concat(element_at(t, i), ' ', element_at(t, i + 1))").as("bg"))
+    bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bigram_count"), sum("c").as("n_bigrams"))
+      .withColumn("rep_ratio",
+        col("top_bigram_count").cast("double") / col("n_bigrams"))
+      .withColumn("is_repetitive", col("rep_ratio") >= 0.2)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> qTextRepetition _,
     "q_sample_bottomk" -> qSampleBottomk _,
     "q_text_bigram_df" -> qTextBigramDf _,
     "q_text_langid" -> qTextLangid _,
@@ -206,6 +229,15 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |bg AS (SELECT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, max(c) AS top_bigram_count,
+        |       CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS rep_ratio,
+        |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) >= 0.2 AS is_repetitive
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_sample_bottomk" ->
       """SELECT doc_id, sha256(text) AS content_hash FROM documents
         |ORDER BY content_hash, doc_id LIMIT 100""".stripMargin,
