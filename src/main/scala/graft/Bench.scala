@@ -27,12 +27,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // untimed sf0.001 warmup: compiles every query's generated code and
-    // JITs the hot paths, so neither timed pass pays one-time JVM costs
-    if (sfDir != "/root/testdata/sf0.001") {
-      SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, "/root/testdata/sf0.001").count()
-        catch { case _: Throwable => () }
-      }
+    // JITs the hot paths, so neither timed pass pays one-time JVM costs.
+    // Runs unconditionally — even when benching sf0.001 itself, the cold
+    // pass should measure plans and IO, not codegen compilation.
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
     }
 
     // one timed pass; a throwing query keeps its time-to-exception but is
@@ -49,7 +49,10 @@ object Bench {
     val cold = timedPass() // first touch of the bench-SF data: cold page cache
     val warm = timedPass() // steady-state plans, I/O cached
 
-    val failedNames = (cold ++ warm).collect { case (n, (_, false)) => n }.toSeq.distinct.sorted
+    // seq concat, NOT map merge: a Map ++ would drop a cold-pass-only
+    // failure (warm entry overwrites the same key) and exit 0 for it
+    val failedNames =
+      (cold.toSeq ++ warm.toSeq).collect { case (n, (_, false)) => n }.distinct.sorted
     def total(m: Map[String, (Double, Boolean)]): Double = m.values.map(_._1).sum
     val warmTotal = total(warm)
     val coldTotal = total(cold)

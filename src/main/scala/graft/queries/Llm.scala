@@ -305,8 +305,8 @@ object Llm {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
     "q_sim_topk" ->
-      """WITH probes AS (
-        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2500
+      s"""WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $ProbeCap
         |), corpus AS (
         |  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nvec FROM embeddings
         |), scored AS (

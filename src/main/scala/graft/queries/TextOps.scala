@@ -196,11 +196,7 @@ object TextOps {
     * (doc); the ratio divides the same two longs on both engines, so the
     * double is bit-identical. */
   def qTextRepetition(s: SparkSession, sf: String): DataFrame = {
-    val bg = Tables.documents(s, sf).repartition(col("doc_id"))
-      .select(col("doc_id"), expr("split(text, ' ')").as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("t"), explode(expr("sequence(1, size(t) - 1)")).as("i"))
-      .select(col("doc_id"), expr("concat(element_at(t, i), ' ', element_at(t, i + 1))").as("bg"))
+    val bg = VectorOps.docBigrams(Tables.documents(s, sf), distinct = false)
     bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max("c").as("top_bigram_count"), sum("c").as("n_bigrams"))

@@ -241,21 +241,25 @@ object VectorOps {
   def qDedupNgram(s: SparkSession, sf: String): DataFrame =
     ngramPairs(Tables.documents(s, sf))
 
-  /** Distinct word bigrams per document: (doc_id, bg) rows. Repartitions
+  /** Word bigrams per document: (doc_id, bg) rows — distinct per doc by
+    * default (set semantics for dedup/DF stats), or with multiplicities
+    * (occurrence counting, e.g. repetition detection). Repartitions
     * before exploding — single-file input otherwise caps the pipeline at
     * 1-2 partitions regardless of session cores. The size(t) >= 2 guard:
     * a 0/1-token doc has no bigrams — unguarded, sequence(1, size - 1)
     * auto-descends (Spark defaults step to -1 when start > stop) into an
     * out-of-range element_at(t, 0). The filter matches the oracle's
-    * naturally-empty range(1, len(s)). Shared by the n-gram dedup pipeline
-    * and the corpus bigram-DF stats (TextOps.qTextBigramDf). */
-  private[graft] def docBigrams(docs0: DataFrame): DataFrame =
-    docs0.repartition(col("doc_id"))
+    * naturally-empty range(1, len(s)). Shared by the n-gram dedup
+    * pipeline, the corpus bigram-DF stats, and repetition detection
+    * (TextOps). */
+  private[graft] def docBigrams(docs0: DataFrame, distinct: Boolean = true): DataFrame = {
+    val bg = docs0.repartition(col("doc_id"))
       .select(col("doc_id"), expr("split(text, ' ')").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("t"), explode(expr("sequence(1, size(t) - 1)")).as("i"))
       .select(col("doc_id"), expr("concat(element_at(t, i), ' ', element_at(t, i + 1))").as("bg"))
-      .distinct()
+    if (distinct) bg.distinct() else bg
+  }
 
   /** Core bigram-Jaccard pipeline over any (doc_id, text) frame (tested
     * directly on hand-built short-doc frames in ExtraOpsSpec). */
@@ -359,6 +363,11 @@ object VectorOps {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
+    // never return unconverged labels silently: a component with diameter
+    // beyond the round cap would otherwise emit split clusters that only
+    // an oracle run would catch
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge within $rounds rounds ($changed labels still changing)")
     // converged labels are tiny (edge-touched vertices only):
     // localCheckpoint truncates the round lineage entirely, so every later
     // evaluation of the returned frame broadcasts the materialized label
