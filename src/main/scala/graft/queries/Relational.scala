@@ -598,7 +598,26 @@ object Relational {
       .orderBy("mo")
   }
 
+  /** Correlated LATERAL join (Spark 4's `Dataset.lateralJoin`): for each
+    * nation, the top-2 customers by balance — a correlated ORDER BY +
+    * LIMIT, the shape only lateral (CROSS APPLY) can express relationally
+    * (a plain join can't bound rows per driving row; the window-function
+    * equivalent is what Catalyst decorrelates this into). Correlation via
+    * the same `.outer()` marker as the scalar/EXISTS subqueries. */
+  def qJoinLateral(s: SparkSession, sf: String): DataFrame = {
+    val nations = Tables.nation(s, sf).select(col("n_nationkey"), col("n_name"))
+    val top2 = Tables.customer(s, sf)
+      .filter(col("c_nationkey") === col("n_nationkey").outer())
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(2)
+      .select(col("c_custkey"), col("c_acctbal"))
+    nations.lateralJoin(top2)
+      .select("n_nationkey", "n_name", "c_custkey", "c_acctbal")
+      .orderBy("n_nationkey", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_lateral" -> qJoinLateral _,
     "q_recursive_cte" -> qRecursiveCte _,
     "q_agg_salted" -> qAggSalted _,
     "q_scan_project" -> qScanProject _,
@@ -649,6 +668,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_lateral" ->
+      """SELECT n_nationkey, n_name, c_custkey, c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_nationkey, c_custkey""".stripMargin,
     "q_recursive_cte" ->
       """WITH RECURSIVE m(mo) AS (SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12),
         |c AS (SELECT CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n_orders,
