@@ -141,7 +141,21 @@ object Funcs {
         expr("try_cast(cast(l_orderkey AS STRING) AS INT)").as("cast_ok"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Null-preserving generator: explode_outer keeps a row (with NULL) for
+    * documents whose filtered token list is empty — the LEFT-JOIN-shaped
+    * generator semantics a plain explode silently drops (an enrichment
+    * pipeline that explodes and re-aggregates would lose those parents
+    * entirely). Oracled by replacing the empty list with [NULL] before
+    * DuckDB's unnest. */
+  def qExplodeOuter(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> length(t) > 12)").as("lt"))
+      .select(col("doc_id"), explode_outer(col("lt")).as("tok"))
+      .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_explode_outer" -> qExplodeOuter _,
     "q_try_arith" -> qTryArith _,
     "q_str_funcs" -> qStrFuncs _,
     "q_date_funcs" -> qDateFuncs _,
@@ -154,6 +168,10 @@ object Funcs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_explode_outer" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 12) AS lt FROM documents)
+        |SELECT doc_id, unnest(CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END) AS tok
+        |FROM d ORDER BY doc_id, tok NULLS FIRST""".stripMargin,
     "q_try_arith" ->
       """SELECT l_orderkey, l_linenumber,
         |       l_extendedprice / nullif(floor(l_quantity) - 25, 0) AS div_maybe0,
