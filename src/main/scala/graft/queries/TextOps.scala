@@ -206,7 +206,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the eval-overlap scan every training-data
+    * pipeline runs before a model sees the corpus: a corpus document is
+    * contaminated if it shares ANY 5-word shingle with the benchmark set
+    * (here: every 100th doc stands in for the eval set). Both sides
+    * per-doc-distinct their shingles; the match is an equi-join on the
+    * shingle. At 100 TB the benchmark side is eval-set-sized (tiny), so
+    * the planner broadcasts it and the scan stays one pass over the
+    * corpus — no shuffle of the corpus shingles. */
+  def qDecontaminate(s: SparkSession, sf: String): DataFrame = {
+    val sh = Tables.documents(s, sf).repartition(col("doc_id"))
+      .select(col("doc_id"), expr("split(text, ' ')").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(expr("sequence(1, size(t) - 4)")).as("i"), col("t"))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(t, i, 5))").as("sh"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") % 100 === 0).select("sh").distinct()
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(bench, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> qDecontaminate _,
     "q_text_repetition" -> qTextRepetition _,
     "q_sample_bottomk" -> qSampleBottomk _,
     "q_text_bigram_df" -> qTextBigramDf _,
@@ -225,6 +248,15 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |       FROM d, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0)
+        |SELECT s.doc_id, count(*) AS n_hits
+        |FROM sh s JOIN bench b USING (sh)
+        |WHERE s.doc_id % 100 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |bg AS (SELECT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
