@@ -228,7 +228,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sequence-packing layout (concat-and-split): documents are laid
+    * end-to-end per language stream and cut into fixed 2048-token context
+    * windows — each doc's byte-exact placement is (start_offset,
+    * start_bin, end_bin), with docs allowed to straddle window
+    * boundaries (the standard pretraining packing; no padding waste).
+    * One partitioned running sum per language — integer arithmetic, no
+    * unpartitioned window, linear at any scale. */
+  def qPackSequences(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, sf)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_offset"),
+        floor((col("cum") - col("n_tokens")) / 2048).cast("long").as("start_bin"),
+        floor((col("cum") - 1) / 2048).cast("long").as("end_bin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> qPackSequences _,
     "q_decontaminate" -> qDecontaminate _,
     "q_text_repetition" -> qTextRepetition _,
     "q_sample_bottomk" -> qSampleBottomk _,
@@ -248,6 +269,17 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |       cum - n_tokens AS start_offset,
+        |       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS start_bin,
+        |       CAST(floor((cum - 1) / 2048) AS BIGINT) AS end_bin
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh

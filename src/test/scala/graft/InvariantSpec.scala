@@ -84,6 +84,22 @@ class InvariantSpec extends SparkSuite {
     assert(buckets.forall(b => b >= 0 && b <= 9), "buckets capped to [0,9]")
   }
 
+  test("sequence packing tiles each language stream: no gaps, no overlaps, bins consistent") {
+    val rows = graft.queries.TextOps.qPackSequences(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, g) =>
+      var expect = 0L
+      g.sortBy(_._1).foreach { case (doc, _, n, off, sb, eb) =>
+        assert(off == expect, s"$lang doc $doc starts at $off, stream position is $expect")
+        expect += n
+        assert(sb == off / 2048, s"$lang doc $doc start_bin")
+        assert(eb == (off + n - 1) / 2048, s"$lang doc $doc end_bin")
+        assert(sb <= eb)
+      }
+    }
+  }
+
   test("events.props is always exactly {\"k\": int} — the shape the map/json oracles hardcode") {
     // q_map_funcs / q_json_roundtrip oracles (Funcs.scala) spell DuckDB
     // equivalents positionally against this single-key shape; if the

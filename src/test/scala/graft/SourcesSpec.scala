@@ -67,6 +67,20 @@ class SourcesSpec extends SparkSuite {
       base.select("event_type").distinct().count())
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    import spark.implicits._
+    // an evolving pipeline appends files with a new column; readers must
+    // see the union schema with NULLs for the old files
+    val dir = Files.createTempDirectory("evolve_src").toString
+    Seq((1L, "a")).toDF("id", "v1").write.mode("overwrite").parquet(s"$dir/p=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.mode("overwrite").parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "p", "v1", "v2"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")), "old file's new column reads as NULL")
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2")) == 9.5)
+  }
+
   test("xml source round-trips (Spark 4 native XML, no external connector)") {
     val dir = Files.createTempDirectory("xml_src").toString
     base.write.mode("overwrite")
