@@ -299,9 +299,11 @@ object VectorOps {
 
   /** Min-label propagation connected components: every vertex converges to
     * the minimum doc_id reachable in its component — the deterministic
-    * cluster id. Each round is one shuffle-join + min-aggregate; rounds
-    * needed = graph diameter (near-dup components are shallow — dup
-    * clusters are cliques or short chains, so 2-4 rounds in practice).
+    * cluster id. Each propagation step is one shuffle-join + min-aggregate;
+    * steps needed = graph diameter (near-dup components are shallow — dup
+    * clusters are cliques or short chains, so 2-4 steps in practice; two
+    * steps are fused per Spark action so the convergence-confirming step
+    * rides free).
     * The driver loop only checks a converged-count scalar per round — all
     * data stays distributed. At 100 TB scale the same loop holds (labels
     * and edges both shuffle on vertex id); for adversarially deep
@@ -318,8 +320,13 @@ object VectorOps {
     // at a scale where the pair graph itself is huge, drop the repartition
     // and let the joins shuffle on the vertex id (the loop is unchanged).
     val spark = vertices.sparkSession
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // symmetrize in ONE pass over the edge frame: a union of two selects
+    // would evaluate the (expensive, uncached) pair-generation lineage once
+    // per branch — explode emits both directions from a single evaluation
+    val sym = edges.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(1).cache()
     // materialize sym NOW, with the session's full parallelism — its
     // lineage (the pair-generation pipeline) is the expensive part, and it
@@ -341,15 +348,32 @@ object VectorOps {
     val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // one min-label propagation step: each vertex takes the minimum of its
+    // own label and its neighbors' labels. Plain joins, not broadcast():
+    // under the loop's 1-partition config each join is one tiny shuffle
+    // task, whereas a broadcast side pays a separate collect-and-build job
+    // per invocation — pure fixed latency on near-dup-mass-sized frames.
+    def nbrMin(l: DataFrame): DataFrame = sym
+      .join(l.select(col("src"), col("cluster_id")), Seq("src"))
+      .groupBy("dst").agg(min("cluster_id").as("nbr_min"))
+      .withColumnRenamed("dst", "doc_id")
     try {
       while (changed > 0 && rounds < 30) {
-        val nbrMin = sym
-          .join(broadcast(labels.select(col("doc_id").as("src"), col("cluster_id"))), Seq("src"))
-          .groupBy("dst").agg(min("cluster_id").as("nbr_min"))
-          .withColumnRenamed("dst", "doc_id")
-        // one cached frame and ONE action per round: `nm` carries both the
-        // next label (least) and the convergence signal (nm < cluster_id)
-        val step = labels.join(broadcast(nbrMin), Seq("doc_id"), "left")
+        // TWO propagation steps per action: the loop can only detect
+        // convergence by running a step that changes nothing, so a
+        // single-step loop always pays one extra confirming action. Fusing
+        // a second step into the same plan makes that confirmation free
+        // for the common shallow (clique/short-chain) components — if the
+        // SECOND half-step changed nothing, the first half's fixed point
+        // is proven in the same job.
+        val half = labels.join(
+            nbrMin(labels.withColumnRenamed("doc_id", "src")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        // one cached frame and ONE action per iteration: `nm` carries both
+        // the next label (least) and the convergence signal (nm < cluster_id)
+        val step = half.join(
+            nbrMin(half.withColumnRenamed("doc_id", "src")), Seq("doc_id"), "left")
           .select(col("doc_id"), col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id")).as("nm"))
           .cache()
@@ -357,7 +381,7 @@ object VectorOps {
         prevCached.foreach(_.unpersist()) // step is materialized by the count
         prevCached = Some(step)
         labels = step.select(col("doc_id"), least(col("cluster_id"), col("nm")).as("cluster_id"))
-        rounds += 1
+        rounds += 2
       }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
