@@ -248,7 +248,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Keyword extraction: top-3 distinguishing terms per document by a
+    * tf-idf-style rarity weight, score = tf · (N / df). The idf surrogate
+    * is rational (one IEEE division + one multiply) instead of ln(N/df):
+    * basic IEEE ops are exactly rounded and therefore bit-identical across
+    * engines, while ln is libm-dependent and can flip near-tie rankings
+    * between Spark and the oracle — same monotone rarity signal, auditable
+    * ranking. Plan: one explode, tf groupBy on (doc, term), df derived
+    * from tf (already one row per doc-term — no second distinct), plain
+    * join back on term (vocabulary-sized — NOT broadcast: at corpus scale
+    * the vocabulary outgrows an executor), per-doc window top-3. */
+  def qTextTfidf(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val tf = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("n").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf" -> qTextTfidf _,
     "q_pack_sequences" -> qPackSequences _,
     "q_decontaminate" -> qDecontaminate _,
     "q_text_repetition" -> qTextRepetition _,
@@ -269,6 +296,19 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df,
+        |                  tf * (CAST((SELECT n FROM n) AS DOUBLE) / df) AS score
+        |           FROM tf JOIN df USING (term))
+        |SELECT doc_id,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk,
+        |       term, tf, df, score
+        |FROM scored
+        |QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
