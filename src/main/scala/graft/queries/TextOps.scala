@@ -255,9 +255,14 @@ object TextOps {
     * engines, while ln is libm-dependent and can flip near-tie rankings
     * between Spark and the oracle — same monotone rarity signal, auditable
     * ranking. Plan: one explode, tf groupBy on (doc, term), df derived
-    * from tf (already one row per doc-term — no second distinct), plain
-    * join back on term (vocabulary-sized — NOT broadcast: at corpus scale
-    * the vocabulary outgrows an executor), per-doc window top-3. */
+    * from tf (already one row per doc-term — no second distinct), join
+    * back on term with the strategy left to the planner (it broadcasts the
+    * vocabulary while it is dimension-sized and falls back to a shuffle
+    * join once corpus-scale vocabulary outgrows the threshold — no forced
+    * hint either way), per-doc window top-3; the doc_id partitioning laid
+    * down before the explode carries through tf, the broadcast join, AND
+    * the window, so the whole per-doc path is one exchange, and
+    * WindowGroupLimit prunes to the top-3 before the full sort. */
   def qTextTfidf(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
     val tf = docs.repartition(col("doc_id"))
