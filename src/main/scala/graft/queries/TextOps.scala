@@ -279,7 +279,26 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Length-outlier filtering: keep docs at or below the corpus' exact
+    * 99th-percentile token count — the standard "drop the extreme tail"
+    * cleanup before training (the tail is concatenation junk / boilerplate
+    * at real corpus scale). One corpus aggregate to a scalar cutoff,
+    * broadcast back over a single filter pass — two linear scans, no
+    * window, no shuffle of the corpus itself. Spark `percentile` and
+    * DuckDB `quantile_cont` share the p·(n-1) interpolation definition
+    * (same pairing as q_agg_percentile). */
+  def qFilterOutliers(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val cut = docs.agg(expr("percentile(n_tokens, 0.99)").as("p99"))
+    docs.crossJoin(broadcast(cut))
+      .filter(col("n_tokens") <= col("p99"))
+      .select("doc_id", "n_tokens", "p99")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_outliers" -> qFilterOutliers _,
     "q_text_tfidf" -> qTextTfidf _,
     "q_pack_sequences" -> qPackSequences _,
     "q_decontaminate" -> qDecontaminate _,
@@ -301,6 +320,12 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_filter_outliers" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT quantile_cont(n_tokens, 0.99) AS p99 FROM d)
+        |SELECT doc_id, n_tokens, p99 FROM d, c
+        |WHERE n_tokens <= p99 ORDER BY doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

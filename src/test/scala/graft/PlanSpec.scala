@@ -81,6 +81,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_text_tfidf prunes the per-doc top-3 before the window sort (WindowGroupLimit)") {
+    val p = plan("q_text_tfidf")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=3 filter must push down as WindowGroupLimit, not rank every term")
+  }
+
+  test("q_pack_sequences shuffles once on lang (the running-sum window's partitioning)") {
+    val p = SparkEntry.queries("q_pack_sequences")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected one hash shuffle for the per-language running sum, got $hashExchanges:\n${p.take(3000)}")
+  }
+
   test("q_sessionize shuffles once on user_id (window + groupBy share the partitioning)") {
     // count Exchange OPERATORS ('Exchange hashpartitioning' node headers),
     // not bare 'hashpartitioning(' substrings — the bare token also appears
