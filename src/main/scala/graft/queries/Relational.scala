@@ -457,6 +457,21 @@ object Relational {
     * hash-match another engine; exact Σx, Σx², Σxy make every moment
     * order-independent, and the final double formula is evaluated on
     * identical inputs on both sides. */
+  /** Table profiling — the ANALYZE-style audit an ingestion pipeline runs
+    * on arrival: row count, per-column non-null and distinct counts,
+    * min/max ranges. One pass plus the distinct expansions; every value
+    * is integer/decimal-exact or a direct min/max (no float folds). */
+  def qProfile(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf).agg(
+      count(lit(1)).as("n_rows"),
+      count("o_custkey").as("nn_custkey"),
+      countDistinct("o_custkey").as("nd_custkey"),
+      countDistinct("o_orderstatus").as("nd_status"),
+      min("o_totalprice").as("min_price"),
+      max("o_totalprice").as("max_price"),
+      min("o_orderdate").as("min_date"),
+      max("o_orderdate").as("max_date"))
+
   def qAggStats(s: SparkSession, sf: String): DataFrame =
     Tables.lineitem(s, sf)
       .groupBy("l_returnflag")
@@ -656,6 +671,7 @@ object Relational {
     "q_subquery_scalar" -> qSubqueryScalar _,
     "q_subquery_exists" -> qSubqueryExists _,
     "q_agg_stats" -> qAggStats _,
+    "q_profile" -> qProfile _,
     "q_pivot" -> qPivot _,
     "q_pivot_dynamic" -> qPivotDynamic _,
     "q_unpivot" -> qUnpivot _,
@@ -854,6 +870,13 @@ object Relational {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |       quantile_cont(l_extendedprice, 0.9) AS p90_price, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_profile" ->
+      """SELECT count(*) AS n_rows, count(o_custkey) AS nn_custkey,
+        |       count(DISTINCT o_custkey) AS nd_custkey,
+        |       count(DISTINCT o_orderstatus) AS nd_status,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+        |FROM orders""".stripMargin,
     "q_agg_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,

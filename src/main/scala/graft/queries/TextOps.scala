@@ -297,7 +297,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Embedding-coverage audit — the pipeline integrity check run before
+    * any embedding-dependent stage (near-dup, ANN, clustering): per
+    * language, how many documents have a row in the embeddings table and
+    * how many are missing one. Left join on the shared id space + one
+    * partial-agg groupBy; `count(col)` vs `count(*)` does the
+    * present/missing split without a second pass. */
+  def qEmbeddingCoverage(s: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.embeddings(s, sf).select(col("vec_id").as("doc_id"))
+      .withColumn("has_emb", lit(1))
+    Tables.documents(s, sf).select("doc_id", "lang")
+      .join(emb, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count("has_emb").as("n_with_emb"),
+        (count(lit(1)) - count("has_emb")).as("n_missing"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_coverage" -> qEmbeddingCoverage _,
     "q_filter_outliers" -> qFilterOutliers _,
     "q_text_tfidf" -> qTextTfidf _,
     "q_pack_sequences" -> qPackSequences _,
@@ -320,6 +339,11 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_embedding_coverage" ->
+      """SELECT lang, count(*) AS n_docs, count(e.vec_id) AS n_with_emb,
+        |       count(*) - count(e.vec_id) AS n_missing
+        |FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_filter_outliers" ->
       """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
