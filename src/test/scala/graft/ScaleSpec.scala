@@ -73,6 +73,58 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    // the 100 TB shape: a fact table partitioned on a key, joined to a
+    // small dim whose FILTER (not the fact's) decides which partitions
+    // matter — static pruning can't see it, DPP must inject the dim's
+    // qualifying keys into the fact scan's PartitionFilters at runtime
+    val dir = java.nio.file.Files.createTempDirectory("dpp_fact").toString
+    Tables.events(spark, sf001).write.mode("overwrite")
+      .partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real datasource: a Seq-backed LocalRelation gets
+    // its Filter constant-folded away (ConvertToLocalRelation) before the
+    // PartitionPruning rule looks for a selective predicate
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("et", "grp").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val j = fact.join(dim.filter(col("grp") === "revenue"), col("event_type") === col("et"))
+    assert(j.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      s"expected a dynamicpruning expression in the fact scan:\n${j.queryExecution.executedPlan.toString.take(3000)}")
+    assert(j.count() ==
+      Tables.events(spark, sf001).filter(col("event_type") === "purchase").count())
+  }
+
+  test("runtime bloom filter: a selective dim filter pre-prunes the fact side of a shuffle join") {
+    // when the join can't broadcast, Spark can still build a bloom filter
+    // from the (filtered) creation side and apply it to the fact scan
+    // BEFORE the shuffle — at 100 TB this is the difference between
+    // shuffling the full fact table and shuffling the ~matching rows
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = Tables.lineitem(spark, sf001)
+      val dim = Tables.orders(spark, sf001).filter(col("o_orderstatus") === "P")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n${opt.take(3000)}")
+      val expect = fact.join(dim.hint("broadcast"), col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expect)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("HLL sketch aggregate within 5% of exact, and merge-consistent across repartitions") {
     val ev = Tables.events(spark, sf001)
     val got = ev.groupBy("event_type")
