@@ -67,6 +67,25 @@ class SourcesSpec extends SparkSuite {
       base.select("event_type").distinct().count())
   }
 
+  test("small-file compaction: repartition + maxRecordsPerFile bounds output layout") {
+    // the standing 100 TB chore: streaming/incremental writers leave
+    // thousands of small files; compaction rewrites to few bounded files
+    // without changing the data
+    val small = Files.createTempDirectory("compact_in").toString
+    base.repartition(50).write.mode("overwrite").parquet(small)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(small) == 50, "fixture must start fragmented")
+    val compacted = Files.createTempDirectory("compact_out").toString
+    spark.read.parquet(small).repartition(2)
+      .write.mode("overwrite").option("maxRecordsPerFile", "10000").parquet(compacted)
+    assert(parquetFiles(compacted) == 2, "compaction must bound the file count")
+    val back = spark.read.parquet(compacted)
+    assert(back.count() == base.count())
+    assert(back.agg(sum("event_id")).head.getLong(0) ==
+      base.agg(sum("event_id")).head.getLong(0))
+  }
+
   test("parquet schema evolution: mergeSchema unions old and new columns") {
     import spark.implicits._
     // an evolving pipeline appends files with a new column; readers must
