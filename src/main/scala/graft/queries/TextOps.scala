@@ -233,15 +233,37 @@ object TextOps {
     * windows — each doc's byte-exact placement is (start_offset,
     * start_bin, end_bin), with docs allowed to straddle window
     * boundaries (the standard pretraining packing; no padding waste).
-    * One partitioned running sum per language — integer arithmetic, no
-    * unpartitioned window, linear at any scale. */
+    *
+    * The prefix sum is TWO-PHASE so parallelism is not capped at the
+    * language count (a per-lang window alone would be ~5 sequential
+    * streams forever): each language stream is sharded by doc_id into
+    * [[PackShards]] deterministic sub-streams, local running sums run per
+    * (lang, shard) — the groupBy for shard totals reuses that same
+    * partitioning — and the tiny (langs × shards) offset table is
+    * broadcast back. Stream order is (shard, doc_id) within a language;
+    * all integer arithmetic, bit-exact cross-engine. At corpus scale
+    * PackShards rises with the cluster (any value yields a valid packing;
+    * the choice only changes which docs share a context window). */
+  private val PackShards = 8
   def qPackSequences(s: SparkSession, sf: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, sf)
+    val docs = Tables.documents(s, sf)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum", sum("n_tokens").over(w))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards)).cast("long"))
+    val wLocal = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs.withColumn("local_cum", sum("n_tokens").over(wLocal))
+    // per-shard totals ride the SAME (lang, shard) partitioning — no
+    // second corpus shuffle; the exclusive running sum over the
+    // langs × shards frame is the broadcast offset table
+    val wOff = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("lang", "shard")
+      .agg(sum("n_tokens").as("shard_total"))
+      .withColumn("shard_offset", coalesce(sum("shard_total").over(wOff), lit(0L)))
+      .select("lang", "shard", "shard_offset")
+    local.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("cum", col("shard_offset") + col("local_cum"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
         (col("cum") - col("n_tokens")).as("start_offset"),
         floor((col("cum") - col("n_tokens")) / 2048).cast("long").as("start_bin"),
         floor((col("cum") - 1) / 2048).cast("long").as("end_bin"))
@@ -365,15 +387,24 @@ object TextOps {
         |QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |         CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        |  FROM documents)
-        |SELECT doc_id, lang, n_tokens,
-        |       cum - n_tokens AS start_offset,
-        |       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS start_bin,
-        |       CAST(floor((cum - 1) / 2048) AS BIGINT) AS end_bin
-        |FROM d ORDER BY doc_id""".stripMargin,
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |loc AS (
+        |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS local_cum
+        |  FROM d),
+        |tot AS (SELECT lang, shard, sum(n_tokens) AS shard_total FROM d GROUP BY 1, 2),
+        |off AS (
+        |  SELECT lang, shard,
+        |         CAST(coalesce(sum(shard_total) OVER (PARTITION BY lang ORDER BY shard
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
+        |  FROM tot)
+        |SELECT doc_id, lang, shard, n_tokens,
+        |       shard_offset + local_cum - n_tokens AS start_offset,
+        |       CAST(floor((shard_offset + local_cum - n_tokens) / 2048) AS BIGINT) AS start_bin,
+        |       CAST(floor((shard_offset + local_cum - 1) / 2048) AS BIGINT) AS end_bin
+        |FROM loc JOIN off USING (lang, shard) ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh

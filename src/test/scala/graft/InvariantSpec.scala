@@ -85,12 +85,15 @@ class InvariantSpec extends SparkSuite {
   }
 
   test("sequence packing tiles each language stream: no gaps, no overlaps, bins consistent") {
+    // stream order within a language is (shard, doc_id) — the two-phase
+    // prefix sum lays shards end-to-end; the tiling must still be exact
     val rows = graft.queries.TextOps.qPackSequences(spark, sf001).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(rows.nonEmpty)
     rows.groupBy(_._2).foreach { case (lang, g) =>
       var expect = 0L
-      g.sortBy(_._1).foreach { case (doc, _, n, off, sb, eb) =>
+      g.sortBy(r => (r._3, r._1)).foreach { case (doc, _, _, n, off, sb, eb) =>
         assert(off == expect, s"$lang doc $doc starts at $off, stream position is $expect")
         expect += n
         assert(sb == off / 2048, s"$lang doc $doc start_bin")

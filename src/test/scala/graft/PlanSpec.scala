@@ -87,12 +87,24 @@ class PlanSpec extends SparkSuite {
       "rank<=3 filter must push down as WindowGroupLimit, not rank every term")
   }
 
-  test("q_pack_sequences shuffles once on lang (the running-sum window's partitioning)") {
+  test("q_pack_sequences shuffles the corpus once; shard totals reuse the window's partitioning") {
     val p = SparkEntry.queries("q_pack_sequences")(spark, sf001)
       .queryExecution.executedPlan.toString
+    // three hash exchanges, but only ONE carries the corpus: the window's
+    // (lang, shard) shuffle. The offsets branch partial-aggregates BEFORE
+    // its exchange (Catalyst drops the unneeded window from that branch),
+    // so its two exchanges carry langs x shards aggregate rows, and the
+    // offset join back to the corpus must be broadcast, never a shuffle.
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashExchanges == 1,
-      s"expected one hash shuffle for the per-language running sum, got $hashExchanges:\n${p.take(3000)}")
+    assert(hashExchanges == 3,
+      s"expected 1 corpus + 2 aggregate-row-sized shuffles, got $hashExchanges:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "offset table must broadcast back to the corpus")
+    // the offsets branch must shuffle aggregated rows, not corpus rows:
+    // its exchange sits between a partial/final HashAggregate pair
+    assert("HashAggregate[\\s\\S]{0,400}?Exchange hashpartitioning[\\s\\S]{0,400}?HashAggregate".r
+      .findFirstIn(p).isDefined,
+      "shard totals must partial-aggregate before their exchange")
   }
 
   test("q_sessionize shuffles once on user_id (window + groupBy share the partitioning)") {
