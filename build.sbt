@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout VERBATIM: the grading driver tails
+// `sbt runMain graft.Bench` and json-parses the final line. The default
+// LoggedOutput strategy prefixes every line with "[info] " (which breaks
+// json.loads) and sbt appends a "[success] Total time…" line after the
+// program exits. StdoutOutput removes the prefix; showSuccess=false
+// removes the trailer, so the program's last println IS the last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
