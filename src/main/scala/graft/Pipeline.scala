@@ -60,6 +60,25 @@ object Pipeline {
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** Stream-static enrichment + windowed rollup: join each event to its
+    * dimension row (user_id mod 25 keys the synthetic nation dim), then
+    * count/sum per (1-hour window, dimension attribute). The dim is
+    * broadcast: per micro-batch (or per task, in batch) the join is an
+    * in-task hash lookup — the stream side never shuffles for the join,
+    * only for the windowed agg. The standard Flink/Kafka "enrich then
+    * aggregate" pipeline shape, one definition for both engines. */
+  def enrichedCounts(events: DataFrame, nation: DataFrame): DataFrame =
+    events
+      .withColumn("nkey", col("user_id") % 25)
+      .join(broadcast(nation.select(col("n_nationkey").as("nkey"), col("n_name"))), Seq("nkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        expr(graft.queries.Det.sumDec2("value")).as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("n_name"), col("cnt"), col("sum_value"))
+
   /** Custom keyed state via flatMapGroupsWithState: per-user running count
     * + running sum emitted on every update (the reference's incremental
     * per-key aggregate, A6, expressed as explicit state instead of a

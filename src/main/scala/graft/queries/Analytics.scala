@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 analytics surface: deterministic argmax/argmin, exact median,
+  * ordered string aggregation, decimal-exact linear regression, bitmap
+  * exact-distinct, time-series resample with LOCF gap fill, ordered funnel
+  * analysis, and int8 embedding quantization.
+  *
+  * Everything here follows the cross-engine determinism rules in [[Det]]:
+  * order-dependent float aggregation goes through exact DECIMAL sums; the
+  * remaining per-row arithmetic is written with the SAME expression shape
+  * on both engines so IEEE evaluation is bit-identical.
+  *
+  * Scale notes (100 TB): every query is a one- or two-level hash aggregate
+  * or an equi-join on its natural key — no collect(), no cross joins, no
+  * unpartitioned windows.
+  */
+object Analytics {
+
+  // Deterministic argmax: max_by/arg_max tie-breaks are unspecified in both
+  // engines, so the comparison key folds the tie-breaker into one exact
+  // BIGINT: cents(price) * 10^7 + orderkey (cents <= 10^7, orderkey < 10^7
+  // at every test SF, so the encoding is collision-free and fits a long).
+  private val tieKey =
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000 + l_orderkey"
+
+  /** max_by/min_by with a deterministic composite key (B.4 extension).
+    * One partial+final hash agg; at 100 TB this is a single shuffle of
+    * 3-row partial states per group. */
+  def qAggArgmax(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        expr(s"max_by(l_orderkey, $tieKey)").as("top_order"),
+        expr(s"min_by(l_orderkey, $tieKey)").as("low_order"),
+        max("l_extendedprice").as("max_price"),
+        min("l_extendedprice").as("min_price"))
+      .orderBy("l_returnflag")
+
+  /** Exact median (interpolating, like SQL percentile_cont 0.5). Quantities
+    * are integral 2-decimal doubles, so the even-count midpoint (a+b)/2 is
+    * IEEE-exact on both engines. Spark's median is a full-sort-per-group
+    * aggregate — at 100 TB prefer approx_percentile; this is the exact
+    * exhibit. */
+  def qAggMedian(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        median(col("l_quantity")).as("med_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Ordered string aggregation (LISTAGG semantics) — nondeterministic
+    * collection order is made deterministic by sorting the collected set
+    * before joining, identically on both engines. collect_set keeps the
+    * shuffled state small (5 distinct segments, not 15k rows). */
+  def qAggListagg(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .groupBy("c_nationkey")
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+
+  // Decimal-exact regression sums: every sum is over exact DECIMAL products
+  // (2-decimal x 2-decimal = 4-decimal, precision kept far under Spark's
+  // 38-digit cap), surfaced as DOUBLE. The closed-form slope/intercept/corr
+  // arithmetic below is then identical IEEE text on both engines.
+  //
+  // The decimal->double cast goes through an exact decimal STRING: once the
+  // scaled integer exceeds 2^53 (syy does), a naive intval/10^scale
+  // conversion double-rounds, and the engines disagree by 1 ulp (measured:
+  // DuckDB's direct cast is the off-by-one). Both engines' string->double
+  // parses are correctly rounded, so the bridge pins the identical double.
+  private def dec2dbl(sumExpr: String): String =
+    s"CAST(CAST($sumExpr AS VARCHAR(45)) AS DOUBLE)"
+  private val regSums = Seq(
+    "CAST(count(*) AS DOUBLE) AS nd",
+    dec2dbl("sum(CAST(l_quantity AS DECIMAL(18,2)))") + " AS sx",
+    dec2dbl("sum(CAST(l_extendedprice AS DECIMAL(18,2)))") + " AS sy",
+    dec2dbl("sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))") + " AS sxy",
+    dec2dbl("sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)))") + " AS sxx",
+    dec2dbl("sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))") + " AS syy")
+  private val slopeExpr = "(nd * sxy - sx * sy) / (nd * sxx - sx * sx)"
+  private val regOut = Seq(
+    s"$slopeExpr AS slope",
+    s"(sy - ($slopeExpr) * sx) / nd AS intercept",
+    "(nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS corr")
+
+  /** Least-squares regression + correlation of extendedprice on quantity
+    * per return flag, from exact decimal sums (the distributed moment
+    * computation every stats engine runs; one shuffle of 6 partial sums
+    * per group). Built-in regr_slope/corr float-sum in arbitrary order and
+    * cannot hash-match a second engine; the decimal-moment formulation is
+    * exact AND order-free. */
+  def qAggRegression(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy("l_returnflag")
+      .agg(expr(regSums.head), regSums.tail.map(expr): _*)
+      .select(col("l_returnflag") +: regOut.map(expr): _*)
+      .orderBy("l_returnflag")
+
+  /** Exact COUNT(DISTINCT) via fixed-size mergeable bitmaps
+    * (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg):
+    * the two-level shape is the scalable exact-distinct at 100 TB — level 1
+    * ORs ids into 4 KB bucket bitmaps (partial agg compacts locally), level
+    * 2 sums popcounts; nothing resembling a per-key row set ever crosses
+    * the wire, unlike count(distinct) whose Expand+shuffle moves every
+    * distinct id. */
+  def qBitmapDistinct(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .groupBy(col("o_orderstatus"), expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bmp"))
+      .groupBy("o_orderstatus")
+      .agg(sum(expr("bitmap_count(bmp)")).as("n_distinct_cust"))
+      .orderBy("o_orderstatus")
+
+  /** Time-series resample: per-user hourly average (decimal-exact) on a
+    * gap-free hour spine, gaps filled by last observation carried forward.
+    * The spine is generated per user between that user's own min/max hour
+    * (bounded by data, not by a global range), the join is an equi-join on
+    * (user, hour), and the LOCF window partitions by user — all linear,
+    * all co-partitioned on user_id. */
+  def qResampleLocf(s: SparkSession, sf: String): DataFrame = {
+    // one up-front hash partitioning on user_id serves EVERY downstream
+    // step: HashPartitioning(user_id) satisfies the hourly agg's
+    // ClusteredDistribution(user_id, hr), the bounds agg, the spine join,
+    // and the LOCF window — a single shuffle end-to-end (plan-locked in
+    // PlanSpec), and it un-pins the single-file scan from one core
+    val hourly = Tables.events(s, sf).repartition(col("user_id"))
+      .groupBy(col("user_id"), expr("date_trunc('hour', ts)").as("hr"))
+      .agg(expr(Det.avgDec2("value")).as("v"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("user_id"), explode(expr("sequence(mn, mx, interval 1 hour)")).as("hr"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+        when(col("v").isNull, 1).otherwise(0).as("is_gap"))
+      .orderBy("user_id", "hr")
+  }
+
+  /** Ordered funnel: view -> first click strictly after the first view ->
+    * first purchase strictly after that click, per user; output is the
+    * stage-survival histogram. Three min-over-partition windows share one
+    * hash partitioning on user_id (single shuffle), then a 4-column
+    * distinct collapses to one row per user. */
+  def qFunnel(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, sf)
+      .select("user_id", "ts", "event_type")
+      .withColumn("v_ts", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts", min(when(col("event_type") === "click" &&
+        col("ts") > col("v_ts"), col("ts"))).over(w))
+      .withColumn("p_ts", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("c_ts"), col("ts"))).over(w))
+      .select("user_id", "v_ts", "c_ts", "p_ts").distinct()
+      .agg(
+        count(lit(1)).as("n_users"),
+        count("v_ts").as("n_view"),
+        count("c_ts").as("n_click_after_view"),
+        count("p_ts").as("n_purchase_after_click"))
+  }
+
+  // Quantization arithmetic, shared shape on both engines. float->double
+  // casts are exact; the scalar ops are basic IEEE (exactly rounded on
+  // both); floor(x + 0.5) rounds identically (no banker's rounding); the
+  // final int cast sees an integral double, where truncate-vs-round cannot
+  // differ. Random float embeddings make lmax == lmin impossible.
+  private val quantLambda =
+    "x -> CAST(least(greatest(floor((CAST(x AS DOUBLE) - lmin) / ((lmax - lmin) / 255.0) + 0.5), 0), 255) - 128 AS INT)"
+
+  /** Per-vector int8 linear quantization of the embedding column — the
+    * standard 4x memory cut before ANN indexing at scale. Pure per-row map
+    * work (no shuffle); the transform lambda is interpreted, which is fine
+    * for a 64-lane loop — the 100 TB version would fuse it into a codegen'd
+    * Expression like [[graft.functions.SrpSignature]]. */
+  def qQuantizeInt8(s: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(s, sf)
+      .withColumn("lmin", expr("CAST(array_min(embedding) AS DOUBLE)"))
+      .withColumn("lmax", expr("CAST(array_max(embedding) AS DOUBLE)"))
+      .select(col("vec_id"),
+        expr("(lmax - lmin) / 255.0").as("scale"),
+        expr(s"transform(embedding, $quantLambda)").as("q"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_argmax" -> qAggArgmax _,
+    "q_agg_median" -> qAggMedian _,
+    "q_agg_listagg" -> qAggListagg _,
+    "q_agg_regression" -> qAggRegression _,
+    "q_bitmap_distinct" -> qBitmapDistinct _,
+    "q_resample_locf" -> qResampleLocf _,
+    "q_funnel" -> qFunnel _,
+    "q_quantize_int8" -> qQuantizeInt8 _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_argmax" ->
+      s"""SELECT l_returnflag, max_by(l_orderkey, $tieKey) AS top_order,
+         |       min_by(l_orderkey, $tieKey) AS low_order,
+         |       max(l_extendedprice) AS max_price, min(l_extendedprice) AS min_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_median" ->
+      """SELECT l_returnflag, l_linestatus, median(l_quantity) AS med_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_listagg" ->
+      """SELECT c_nationkey,
+        |       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        |       count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_agg_regression" ->
+      s"""WITH m AS (
+         |  SELECT l_returnflag, ${regSums.mkString(", ")}
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, ${regOut.mkString(", ")}
+         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_bitmap_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_distinct_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_resample_locf" ->
+      s"""WITH hourly AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hr, ${Det.avgDec2("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+         |  FROM (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1)),
+         |j AS (
+         |  SELECT s.user_id, s.hr, h.v FROM spine s
+         |  LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hr = s.hr)
+         |SELECT user_id, hr,
+         |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+         |       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+         |FROM j ORDER BY user_id, hr""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS v_ts
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+        |              OVER (PARTITION BY user_id) AS c_ts
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+        |              OVER (PARTITION BY user_id) AS p_ts
+        |  FROM s2),
+        |u AS (SELECT DISTINCT user_id, v_ts, c_ts, p_ts FROM s3)
+        |SELECT count(*) AS n_users, count(v_ts) AS n_view,
+        |       count(c_ts) AS n_click_after_view,
+        |       count(p_ts) AS n_purchase_after_click
+        |FROM u""".stripMargin,
+    "q_quantize_int8" ->
+      s"""SELECT vec_id, (lmax - lmin) / 255.0 AS scale,
+         |       list_transform(embedding, $quantLambda) AS q
+         |FROM (SELECT vec_id, embedding,
+         |             CAST(list_min(embedding) AS DOUBLE) AS lmin,
+         |             CAST(list_max(embedding) AS DOUBLE) AS lmax
+         |      FROM embeddings)
+         |ORDER BY vec_id""".stripMargin,
+  )
+}

@@ -32,11 +32,16 @@ object StreamTwins {
       .select("event_id", "user_id", "event_type", "ts", "value")
       .orderBy("event_id")
 
+  def qStreamEnrich(s: SparkSession, sf: String): DataFrame =
+    Pipeline.enrichedCounts(Tables.events(s, sf), Tables.nation(s, sf))
+      .orderBy("win_start", "n_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> qStreamTumbling _,
     "q_stream_sliding" -> qStreamSliding _,
     "q_stream_session" -> qStreamSession _,
     "q_stream_dedup" -> qStreamDedup _,
+    "q_stream_enrich" -> qStreamEnrich _,
   )
 
   // DuckDB reads events.ts (parquet timestamp[ns]) truncated to µs — same
@@ -70,5 +75,11 @@ object StreamTwins {
          |FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type, ts, value FROM events ORDER BY event_id""".stripMargin,
+    "q_stream_enrich" ->
+      s"""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+         |       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS win_end,
+         |       n_name, count(*) AS cnt, ${Det.sumDec2("value")} AS sum_value
+         |FROM events JOIN nation ON user_id % 25 = n_nationkey
+         |GROUP BY 1, 2, 3 ORDER BY win_start, n_name""".stripMargin,
   )
 }

@@ -107,6 +107,34 @@ class PlanSpec extends SparkSuite {
       "shard totals must partial-aggregate before their exchange")
   }
 
+  test("q_resample_locf shuffles the events once (user_id partitioning reused end-to-end)") {
+    // hourly agg, bounds agg, spine join, and LOCF window all run on the
+    // ONE up-front HashPartitioning(user_id): any second hash exchange
+    // means a step stopped reusing it
+    val p = SparkEntry.queries("q_resample_locf")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected one hash shuffle for the whole resample pipeline, got $hashExchanges:\n${p.take(3000)}")
+  }
+
+  test("q_funnel shares one user_id shuffle across its three windows and the distinct") {
+    val p = SparkEntry.queries("q_funnel")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected the chained windows + per-user distinct to reuse one user_id shuffle, got $hashExchanges:\n${p.take(3000)}")
+  }
+
+  test("q_bitmap_distinct builds bitmaps map-side (partial ObjectHashAggregate before the exchange)") {
+    val p = SparkEntry.queries("q_bitmap_distinct")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert("ObjectHashAggregate[\\s\\S]{0,600}?Exchange hashpartitioning[\\s\\S]{0,600}?ObjectHashAggregate".r
+      .findFirstIn(p).isDefined,
+      "bucket bitmaps must partial-aggregate before crossing the wire")
+  }
+
   test("q_sessionize shuffles once on user_id (window + groupBy share the partitioning)") {
     // count Exchange OPERATORS ('Exchange hashpartitioning' node headers),
     // not bare 'hashpartitioning(' substrings — the bare token also appears

@@ -30,6 +30,23 @@ class SourcesSpec extends SparkSuite {
       base.agg(sum("event_id")).head.getLong(0))
   }
 
+  test("binaryFile source ingests opaque blobs with typed metadata") {
+    // the multimodal ingestion path: raw image/audio files land as
+    // (path, modificationTime, length, content) rows; length predicates
+    // push down to the file listing so oversized blobs are never read
+    val dir = Files.createTempDirectory("binsrc")
+    (0 until 3).foreach { i =>
+      Files.write(dir.resolve(s"blob_$i.bin"), Array.fill[Byte](10 + i)(i.toByte))
+    }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.columns.sorted.toSeq == Seq("content", "length", "modificationTime", "path"))
+    assert(df.count() == 3)
+    assert(df.filter(col("length") > 10).count() == 2)
+    val sizes = df.select(length(col("content")).as("n"), col("length"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    assert(sizes.forall { case (contentLen, metaLen) => contentLen == metaLen })
+  }
+
   test("observe() collects named pipeline metrics without a second scan") {
     // the monitoring primitive a production pipeline attaches to every
     // stage: metrics ride the same pass as the real computation

@@ -8,6 +8,7 @@ import java.nio.file.Files
 
 case class Imp(ad_id: Long, ts: Timestamp)
 case class Clk(ad_id: Long, ts: Timestamp)
+case class EvU(ts: Timestamp, user_id: Long, value: Double)
 
 /** Further streaming coverage: stream-stream interval join, RocksDB state
   * store provider, file-based source via the source-agnostic factory. */
@@ -60,6 +61,29 @@ class StreamingMoreSpec extends SparkSuite {
     val got = spark.table("enrich_out").orderBy("ad_id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "gold"), (2L, "silver"), (3L, "unknown")))
+  }
+
+  test("stream-static enrichment + windowed rollup matches its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val nation = Tables.nation(spark, sf001)
+    val data = Seq(
+      EvU(ts("2024-01-01 00:05:00"), 1L, 10.0),
+      EvU(ts("2024-01-01 00:15:00"), 26L, 5.0), // 26 % 25 = 1: same nation as user 1
+      EvU(ts("2024-01-01 00:20:00"), 2L, 7.5),
+      EvU(ts("2024-01-01 01:05:00"), 1L, 2.5)) // second window
+    val mem = MemoryStream[EvU]
+    val q = Pipeline.enrichedCounts(mem.toDF(), nation)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_twin_out").start()
+    try { mem.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("win_start", "n_name").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    val streamed = canon(spark.table("enrich_twin_out"))
+    val batch = canon(Pipeline.enrichedCounts(data.toDF(), nation))
+    assert(streamed == batch, "stream and batch enrichment rollups must agree")
+    assert(streamed.map(_._4).sum == data.size, "every event lands in exactly one window")
   }
 
   test("streaming aggregation runs on the RocksDB state store provider") {
