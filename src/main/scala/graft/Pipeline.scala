@@ -60,6 +60,27 @@ object Pipeline {
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** Stream-stream interval join, source-agnostic: every (view, click)
+    * pair for the same user with the click in (view_ts, view_ts + 10 min].
+    * The watermarks bound join state in the streaming flavor (rows older
+    * than 30 min are evictable on both sides — without them the state
+    * store grows forever); in batch they are no-ops. The join itself is an
+    * equi-join on user_id with a range residual — shuffle on user only,
+    * never a time-cross-product. */
+  def clicksWithin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("user_id", "v_ts", "c_ts")
+  }
+
   /** Stream-static enrichment + windowed rollup: join each event to its
     * dimension row (user_id mod 25 keys the synthetic nation dim), then
     * count/sum per (1-hour window, dimension attribute). The dim is

@@ -277,7 +277,26 @@ object Llm {
       .select(col("doc_id"), col("pos"), col("col").as("shingle"))
       .orderBy("doc_id", "pos")
 
+  /** Incremental-ingestion dedup: an incoming batch (every 10th doc as the
+    * stand-in delta) checked against the existing corpus by content hash —
+    * the dedup that runs on every ingestion tick, not the full-corpus
+    * backfill. One equi-join on the hash; at 100 TB the corpus side is a
+    * pre-built hash index (bucketed by hash), so only the small delta
+    * shuffles. */
+  def qDedupIncremental(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      .select(sha2(col("text"), 256).as("h")).distinct()
+      .withColumn("hit", lit(1))
+    batch.join(corpus, Seq("h"), "left")
+      .select(col("doc_id"), when(col("hit").isNull, 1).otherwise(0).as("is_new"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_normalized" -> qDedupNormalized _,
     "q_dedup_latest" -> qDedupLatest _,
@@ -293,6 +312,12 @@ object Llm {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      """SELECT b.doc_id, CASE WHEN c.h IS NULL THEN 1 ELSE 0 END AS is_new
+        |FROM (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 10 = 0) b
+        |LEFT JOIN (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 10 <> 0) c
+        |       ON b.h = c.h
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, sha256(text) AS content_hash
         |FROM documents GROUP BY sha256(text) ORDER BY keeper_id""".stripMargin,

@@ -631,7 +631,28 @@ object Relational {
       .orderBy("n_nationkey", "c_custkey")
   }
 
+  /** TPC-H Q3 shape through the TEXT SQL surface end-to-end: parser →
+    * analyzer → optimizer on `spark.sql(...)` with direct
+    * `parquet.`…`` table references (no temp views, no DataFrame API) —
+    * certifies that a SQL-only user of the library gets the same plans:
+    * broadcast customer filter, shuffled orders⨝lineitem, decimal-exact
+    * revenue, TakeOrderedAndProject top-10. */
+  def qSqlQ3(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT l_orderkey, ${sumAsDouble(revDec)} AS revenue,
+         |       o_orderdate, o_orderpriority
+         |FROM parquet.`$sf/customer.parquet` c
+         |JOIN parquet.`$sf/orders.parquet` o ON c.c_custkey = o.o_custkey
+         |JOIN parquet.`$sf/lineitem.parquet` l ON l.l_orderkey = o.o_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < timestamp'1998-07-01'
+         |  AND l.l_shipdate > timestamp'1998-07-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q3" -> qSqlQ3 _,
     "q_join_lateral" -> qJoinLateral _,
     "q_recursive_cte" -> qRecursiveCte _,
     "q_agg_salted" -> qAggSalted _,
@@ -704,6 +725,18 @@ object Relational {
       """SELECT l_returnflag, count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_q3" ->
+      s"""SELECT l_orderkey, ${sumAsDouble(revDec)} AS revenue,
+         |       o_orderdate, o_orderpriority
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < timestamp'1998-07-01'
+         |  AND l.l_shipdate > timestamp'1998-07-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
     "q_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_scan_count" ->

@@ -36,12 +36,22 @@ object StreamTwins {
     Pipeline.enrichedCounts(Tables.events(s, sf), Tables.nation(s, sf))
       .orderBy("win_start", "n_name")
 
+  def qStreamJoin(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Pipeline.clicksWithin(Tables.events(s, sf))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("v_ts")).as("n_matched_views"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> qStreamTumbling _,
     "q_stream_sliding" -> qStreamSliding _,
     "q_stream_session" -> qStreamSession _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_enrich" -> qStreamEnrich _,
+    "q_stream_join" -> qStreamJoin _,
   )
 
   // DuckDB reads events.ts (parquet timestamp[ns]) truncated to µs — same
@@ -75,6 +85,13 @@ object StreamTwins {
          |FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type, ts, value FROM events ORDER BY event_id""".stripMargin,
+    "q_stream_join" ->
+      """SELECT v.user_id, count(*) AS n_pairs, count(DISTINCT v.ts) AS n_matched_views
+        |FROM events v JOIN events c
+        |  ON c.user_id = v.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
     "q_stream_enrich" ->
       s"""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
          |       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS win_end,

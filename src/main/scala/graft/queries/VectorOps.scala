@@ -261,21 +261,31 @@ object VectorOps {
     if (distinct) bg.distinct() else bg
   }
 
-  /** Core bigram-Jaccard pipeline over any (doc_id, text) frame (tested
-    * directly on hand-built short-doc frames in ExtraOpsSpec). */
-  def ngramPairs(docs0: DataFrame): DataFrame = {
-    val bg = docBigrams(docs0).cache()
+  /** Shared inverted-index candidate generator: distinct (a_id, b_id)
+    * pairs sharing at least one RARE bigram (df <= max(20, 1% corpus)) —
+    * the pruning that keeps pair generation linear in posting-list sizes.
+    * Used by the Jaccard (symmetric) and containment (asymmetric) dedups. */
+  private def rareCandidates(bg: DataFrame, docs0: DataFrame): DataFrame = {
     val nDocs = docs0.agg(count(lit(1)).as("n"))
     val rare = bg.groupBy("bg").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= greatest(lit(20), col("n") / 100))
       .select("bg")
+    bg.select(col("doc_id").as("a_id"), col("bg"))
+      .join(rare, Seq("bg"))
+      .join(bg.select(col("doc_id").as("b_id"), col("bg")), Seq("bg"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Core bigram-Jaccard pipeline over any (doc_id, text) frame (tested
+    * directly on hand-built short-doc frames in ExtraOpsSpec). */
+  def ngramPairs(docs0: DataFrame): DataFrame = {
+    val bg = docBigrams(docs0).cache()
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val aSide = bg.select(col("doc_id").as("a_id"), col("bg"))
     val bSide = bg.select(col("doc_id").as("b_id"), col("bg"))
-    val cand = aSide.join(rare, Seq("bg")).join(bSide, Seq("bg"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val cand = rareCandidates(bg, docs0)
     // size-ratio sieve before the exact-Jaccard join: J(A,B) <= min/max of
     // the set sizes, so jaccard >= 0.5 implies 2*min(sz) >= max(sz) —
     // result-preserving, and on a common-vocab corpus it discards the bulk
@@ -418,13 +428,65 @@ object VectorOps {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric containment near-dup: C(A,B) = |A∩B| / min(|A|,|B|) over
+    * word-bigram sets — catches a document EMBEDDED in a larger one, which
+    * symmetric Jaccard misses (a doc pasted into one 3x its size has
+    * J ≈ 0.33 but containment 1.0). Same inverted-index candidate pruning
+    * as the Jaccard flavor, deliberately WITHOUT its size-ratio sieve:
+    * size asymmetry is exactly what this operator exists to find. */
+  def qDedupContainment(s: SparkSession, sf: String): DataFrame =
+    containmentPairs(Tables.documents(s, sf))
+
+  /** Core containment pipeline over any (doc_id, text) frame (driven
+    * directly on an embedded-doc fixture in ExtraOpsSpec). */
+  def containmentPairs(docs0: DataFrame): DataFrame = {
+    val bg = docBigrams(docs0).cache()
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val aSide = bg.select(col("doc_id").as("a_id"), col("bg"))
+    val bSide = bg.select(col("doc_id").as("b_id"), col("bg"))
+    val inter = rareCandidates(bg, docs0)
+      .join(aSide, Seq("a_id"))
+      .join(bSide, Seq("b_id", "bg"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("ic"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
+      .withColumn("containment", expr("CAST(ic AS DOUBLE) / least(sz_a, sz_b)"))
+      .filter(col("containment") >= 0.8)
+      .select("a_id", "b_id", "sz_a", "sz_b", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding integrity audit: per label, the 2 largest- and 2
+    * smallest-norm vectors (rank-based, vec_id tie-break — deterministic
+    * where any float z-score threshold would not be). Degenerate norms are
+    * how corrupt/zeroed embeddings surface before they poison ANN
+    * indexes. One shuffle: both rank windows share the label
+    * partitioning. The norm is the same sequential fold the cosine
+    * operators use, so it is bit-identical to the oracle's. */
+  def qEmbeddingOutliers(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(s, sf).select(col("vec_id"), col("label"),
+      sqrt(expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")).as("nrm"))
+    val wHi = Window.partitionBy("label").orderBy(col("nrm").desc, col("vec_id").asc)
+    val wLo = Window.partitionBy("label").orderBy(col("nrm").asc, col("vec_id").asc)
+    val r = e.withColumn("rhi", row_number().over(wHi))
+      .withColumn("rlo", row_number().over(wLo))
+    r.filter(col("rhi") <= 2)
+      .select(col("label"), lit("hi").as("side"), col("rhi").as("rnk"), col("vec_id"), col("nrm"))
+      .unionAll(r.filter(col("rlo") <= 2)
+        .select(col("label"), lit("lo").as("side"), col("rlo").as("rnk"), col("vec_id"), col("nrm")))
+      .orderBy("label", "side", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_ngram" -> qDedupNgram _,
+    "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_sim_lsh" -> qSimLsh _,
     "q_sim_ivf" -> qSimIvf _,
     "q_dedup_simhash" -> qDedupSimhash _,
+    "q_embedding_outliers" -> qEmbeddingOutliers _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -467,6 +529,34 @@ object VectorOps {
         |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, count(*) AS ic
+        |          FROM cand c JOIN bg x ON x.doc_id = c.a_id JOIN bg y ON y.doc_id = c.b_id AND y.bg = x.bg
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       CAST(ic AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(ic AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        |            FROM embeddings),
+        |r AS (SELECT vec_id, label, nrm,
+        |             row_number() OVER (PARTITION BY label ORDER BY nrm DESC, vec_id) AS rhi,
+        |             row_number() OVER (PARTITION BY label ORDER BY nrm ASC, vec_id) AS rlo
+        |      FROM e)
+        |SELECT label, 'hi' AS side, rhi AS rnk, vec_id, nrm FROM r WHERE rhi <= 2
+        |UNION ALL
+        |SELECT label, 'lo' AS side, rlo AS rnk, vec_id, nrm FROM r WHERE rlo <= 2
+        |ORDER BY label, side, rnk""".stripMargin,
     "q_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -152,6 +152,23 @@ class ExtraOpsSpec extends SparkSuite {
       "candidates must be a small fraction of brute-force pairs")
   }
 
+  test("containment finds an embedded doc that symmetric Jaccard misses") {
+    import spark.implicits._
+    // doc 1 is verbatim inside doc 2, which is ~4x longer: J ≈ 1/4 (below
+    // the 0.5 Jaccard bar) but containment = 1.0. Padding words are unique
+    // so the small doc's bigrams stay rare (the candidate rule fires).
+    val small = (1 to 12).map(i => s"core$i").mkString(" ")
+    val pad = (1 to 40).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, s"$pad $small")).toDF("doc_id", "text")
+    val pairs = VectorOps.ngramPairs(docs).collect()
+    assert(pairs.isEmpty, "Jaccard flavor must NOT report the embedded doc")
+    val cont = VectorOps.containmentPairs(docs).collect()
+    assert(cont.length == 1, "containment flavor must report exactly the embedded pair")
+    val r = cont.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(4) == 1.0, s"small doc fully contained, got ${r.getDouble(4)}")
+  }
+
   test("connected components: chains collapse to min label, singletons self-label") {
     import spark.implicits._
     // component {1,2,3} as a chain (1-2, 2-3; no 1-3 edge), {10,11} a pair,

@@ -107,15 +107,20 @@ class PlanSpec extends SparkSuite {
       "shard totals must partial-aggregate before their exchange")
   }
 
-  test("q_resample_locf shuffles the events once (user_id partitioning reused end-to-end)") {
-    // hourly agg, bounds agg, spine join, and LOCF window all run on the
-    // ONE up-front HashPartitioning(user_id): any second hash exchange
-    // means a step stopped reusing it
+  test("q_resample_locf: the planner inserts NO hash shuffle (user_id partitioning reused)") {
+    // the only hash exchanges are the EXPLICIT repartition(user_id) at the
+    // branch roots (REPARTITION_BY_COL; Spark duplicates the scan across
+    // the spine/hourly branches — uncached common lineage); the hourly
+    // agg, bounds agg, spine join (broadcast) and LOCF window must all
+    // reuse that partitioning, so an ENSURE_REQUIREMENTS hash exchange
+    // anywhere means a step stopped being satisfied by it
     val p = SparkEntry.queries("q_resample_locf")(spark, sf001)
       .queryExecution.executedPlan.toString
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashExchanges == 1,
-      s"expected one hash shuffle for the whole resample pipeline, got $hashExchanges:\n${p.take(3000)}")
+    assert("Exchange hashpartitioning\\([^)]*\\), ENSURE_REQUIREMENTS".r.findFirstIn(p).isEmpty,
+      s"planner inserted a hash shuffle — a step no longer reuses the user_id partitioning:\n${p.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length ==
+      "REPARTITION_BY_COL".r.findAllIn(p).length,
+      s"every hash exchange must be the explicit user_id repartition:\n${p.take(3000)}")
   }
 
   test("q_funnel shares one user_id shuffle across its three windows and the distinct") {
@@ -126,13 +131,17 @@ class PlanSpec extends SparkSuite {
       s"expected the chained windows + per-user distinct to reuse one user_id shuffle, got $hashExchanges:\n${p.take(3000)}")
   }
 
-  test("q_bitmap_distinct builds bitmaps map-side (partial ObjectHashAggregate before the exchange)") {
+  test("q_bitmap_distinct builds bitmaps map-side (partial aggregate below the exchange)") {
+    // plans as a SortAggregate pair for the bitmap level plus a
+    // HashAggregate pair for the popcount sum; what matters at scale is
+    // that partial_bitmap_construct_agg runs BELOW its exchange (printed
+    // after it, top-down) — 4 KB bucket bitmaps cross the wire, not ids
     val p = SparkEntry.queries("q_bitmap_distinct")(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(p.contains("ObjectHashAggregate"), p.take(2000))
-    assert("ObjectHashAggregate[\\s\\S]{0,600}?Exchange hashpartitioning[\\s\\S]{0,600}?ObjectHashAggregate".r
+    assert(p.contains("bitmap_construct_agg"), p.take(2000))
+    assert("Exchange hashpartitioning[\\s\\S]{0,800}?partial_bitmap_construct_agg".r
       .findFirstIn(p).isDefined,
-      "bucket bitmaps must partial-aggregate before crossing the wire")
+      s"bucket bitmaps must partial-aggregate before crossing the wire:\n${p.take(3000)}")
   }
 
   test("q_sessionize shuffles once on user_id (window + groupBy share the partitioning)") {

@@ -9,6 +9,7 @@ import java.nio.file.Files
 case class Imp(ad_id: Long, ts: Timestamp)
 case class Clk(ad_id: Long, ts: Timestamp)
 case class EvU(ts: Timestamp, user_id: Long, value: Double)
+case class EvT(ts: Timestamp, user_id: Long, event_type: String)
 
 /** Further streaming coverage: stream-stream interval join, RocksDB state
   * store provider, file-based source via the source-agnostic factory. */
@@ -61,6 +62,29 @@ class StreamingMoreSpec extends SparkSuite {
     val got = spark.table("enrich_out").orderBy("ad_id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "gold"), (2L, "silver"), (3L, "unknown")))
+  }
+
+  test("interval-join twin: streaming clicksWithin matches its batch flavor") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      EvT(ts("2024-01-01 10:00:00"), 1L, "view"),
+      EvT(ts("2024-01-01 10:05:00"), 1L, "click"), // within 10m -> joins
+      EvT(ts("2024-01-01 10:20:00"), 1L, "click"), // outside 10m
+      EvT(ts("2024-01-01 10:00:00"), 2L, "view"), // view with no click
+      EvT(ts("2024-01-01 10:03:00"), 3L, "click")) // click with no view
+    val mem = MemoryStream[EvT]
+    val q = Pipeline.clicksWithin(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cw_out").start()
+    try { mem.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "v_ts", "c_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+    val streamed = canon(spark.table("cw_out"))
+    assert(streamed == canon(Pipeline.clicksWithin(data.toDF())),
+      "stream and batch interval joins must agree")
+    assert(streamed ==
+      Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"))))
   }
 
   test("stream-static enrichment + windowed rollup matches its batch twin") {
