@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   * unpartitioned windows.
   */
 object Analytics {
+  import Det._
 
   // Deterministic argmax: max_by/arg_max tie-breaks are unspecified in both
   // engines, so the comparison key folds the tie-breaker into one exact
@@ -190,7 +191,72 @@ object Analytics {
         expr(s"transform(embedding, $quantLambda)").as("q"))
       .orderBy("vec_id")
 
+  /** 7-day trailing moving average of daily revenue. The heavy lineitem
+    * aggregation shuffles normally; the unpartitioned ordered window then
+    * runs over the DAILY rollup — one row per calendar day, a few thousand
+    * rows at any corpus size, so the single-partition window is fine even
+    * at 100 TB (it is the rollup that must scale, and does). Decimal
+    * window sums keep the average exact-then-one-division on both
+    * engines. */
+  def qWinMovingAvg(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.lineitem(s, sf)
+      .groupBy(col("l_shipdate").as("day"))
+      .agg(expr(s"sum($revDec)").as("rev_dec"), count(lit(1)).as("n_items"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily.select(col("day"), col("n_items"),
+        expr("CAST(rev_dec AS DOUBLE)").as("revenue"),
+        (sum(col("rev_dec")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("ma7"))
+      .orderBy("day")
+  }
+
+  /** Deterministic mode: most frequent quantity per return flag, ties
+    * broken toward the smaller value — built-in mode()'s tie choice is
+    * engine-unspecified, so the count+rank formulation is the
+    * hash-matchable (and still two-shuffle) way to ask for it. */
+  def qAggMode(s: SparkSession, sf: String): DataFrame = {
+    val counts = Tables.lineitem(s, sf)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Winsorization: clip prices to each group's exact [p05, p95] — the
+    * outlier-taming normalization before statistics that can't take a
+    * heavy tail. Two linear passes: one percentile aggregate to a 3-row
+    * bounds table, broadcast back over one clip-and-aggregate pass. The
+    * clipped sum is decimal-exact; the interpolated bounds are the same
+    * p·(n-1) arithmetic both engines use (q_agg_percentile's contract). */
+  def qWinsorize(s: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(s, sf)
+    val bounds = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    // the winsorized sum decomposes EXACTLY: in-range originals are
+    // 2-decimal (decimal sum is lossless), clipped rows contribute
+    // n·bound — one double multiply-add per group at the end. Summing the
+    // clipped doubles directly would need a decimal cast of the
+    // INTERPOLATED bounds, whose rounding the engines disagree on.
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(col("l_extendedprice") < col("lo"), 1)).as("n_clip_lo"),
+        count(when(col("l_extendedprice") > col("hi"), 1)).as("n_clip_hi"),
+        expr("CAST(sum(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)").as("sum_mid"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+      .select(col("l_returnflag"), col("n_clip_lo"), col("n_clip_hi"),
+        expr("sum_mid + CAST(n_clip_lo AS DOUBLE) * lo + CAST(n_clip_hi AS DOUBLE) * hi").as("sum_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_moving_avg" -> qWinMovingAvg _,
+    "q_agg_mode" -> qAggMode _,
+    "q_winsorize" -> qWinsorize _,
     "q_agg_argmax" -> qAggArgmax _,
     "q_agg_median" -> qAggMedian _,
     "q_agg_listagg" -> qAggListagg _,
@@ -202,6 +268,40 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_moving_avg" ->
+      s"""WITH daily AS (
+         |  SELECT l_shipdate AS day, sum($revDec) AS rev_dec, count(*) AS n_items
+         |  FROM lineitem GROUP BY 1)
+         |SELECT day, n_items, CAST(rev_dec AS DOUBLE) AS revenue,
+         |       CAST(sum(rev_dec) OVER w AS DOUBLE) / count(*) OVER w AS ma7
+         |FROM daily
+         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY day""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY cnt DESC, l_quantity ASC) = 1
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo,
+        |         quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1),
+        |g AS (
+        |  SELECT l.l_returnflag,
+        |         count(*) FILTER (WHERE l_extendedprice < lo) AS n_clip_lo,
+        |         count(*) FILTER (WHERE l_extendedprice > hi) AS n_clip_hi,
+        |         CAST(sum(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_mid,
+        |         min(lo) AS lo, min(hi) AS hi
+        |  FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n_clip_lo, n_clip_hi,
+        |       sum_mid + CAST(n_clip_lo AS DOUBLE) * lo + CAST(n_clip_hi AS DOUBLE) * hi AS sum_winsorized
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "q_agg_argmax" ->
       s"""SELECT l_returnflag, max_by(l_orderkey, $tieKey) AS top_order,
          |       min_by(l_orderkey, $tieKey) AS low_order,
