@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -93,6 +93,29 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Last-touch attribution: each purchase credits the most recent
+    * PRECEDING view/click by the same user within a 1-day horizon — the
+    * backward as-of with a tolerance that ad/analytics pipelines run.
+    * ONE window pass over the per-user timeline (ignore-nulls last over a
+    * preceding-rows frame); no purchase×touch self-join, no interval
+    * explosion — linear and single-shuffle at any scale. */
+  def qAttribution(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = (c: Column) =>
+      last(when(col("event_type").isin("view", "click"), c), ignoreNulls = true).over(w)
+    Tables.events(s, sf)
+      .withColumn("t_id", touch(col("event_id")))
+      .withColumn("t_ts", touch(col("ts")))
+      .withColumn("t_ty", touch(col("event_type")))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CASE WHEN t_ts >= ts - INTERVAL 1 DAY THEN t_id END").as("touch_event_id"),
+        expr("CASE WHEN t_ts >= ts - INTERVAL 1 DAY THEN t_ts END").as("touch_ts"),
+        expr("CASE WHEN t_ts >= ts - INTERVAL 1 DAY THEN t_ty END").as("touch_type"))
+      .orderBy("event_id")
+  }
+
   /** first_value / last_value / nth_value over a full-partition frame
     * (deterministic via the unique (date, key) order). */
   def qWinFirstLast(s: SparkSession, sf: String): DataFrame = {
@@ -154,6 +177,7 @@ object Windows {
     "q_win_range_frame" -> qWinRangeFrame _,
     "q_win_ntile" -> qWinNtile _,
     "q_join_asof" -> qJoinAsof _,
+    "q_attribution" -> qAttribution _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,5 +247,19 @@ object Windows {
         |       lag(value, 1) OVER w AS prior_value
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         last_value(CASE WHEN event_type IN ('view', 'click') THEN event_id END IGNORE NULLS) OVER w AS t_id,
+        |         last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END IGNORE NULLS) OVER w AS t_ts,
+        |         last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS) OVER w AS t_ty
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN t_ts >= ts - INTERVAL 1 DAY THEN t_id END AS touch_event_id,
+        |       CASE WHEN t_ts >= ts - INTERVAL 1 DAY THEN t_ts END AS touch_ts,
+        |       CASE WHEN t_ts >= ts - INTERVAL 1 DAY THEN t_ty END AS touch_type
+        |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
   )
 }

@@ -107,6 +107,17 @@ class PlanSpec extends SparkSuite {
       "shard totals must partial-aggregate before their exchange")
   }
 
+  test("q_sql_q3 (text SQL surface) gets the same physical plan quality as the DataFrame API") {
+    val p = plan("q_sql_q3")
+    assert(p.contains("TakeOrderedAndProject"),
+      "SQL top-10 must not plan a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "filtered customer dim must broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]") ||
+      p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the parquet scan")
+  }
+
   test("q_resample_locf: the planner inserts NO hash shuffle (user_id partitioning reused)") {
     // the only hash exchanges are the EXPLICIT repartition(user_id) at the
     // branch roots (REPARTITION_BY_COL; Spark duplicates the scan across
