@@ -181,14 +181,17 @@ object Analytics {
     * standard 4x memory cut before ANN indexing at scale. Pure per-row map
     * work (no shuffle); the transform lambda is interpreted, which is fine
     * for a 64-lane loop — the 100 TB version would fuse it into a codegen'd
-    * Expression like [[graft.functions.SrpSignature]]. */
+    * Expression like [[graft.functions.SrpSignature]]. The code array is
+    * emitted as a comma-joined string: the oracle diff requires scalar
+    * top-level columns (array cells are unsortable in the harness), and
+    * int→string formatting is identical on both engines. */
   def qQuantizeInt8(s: SparkSession, sf: String): DataFrame =
     Tables.embeddings(s, sf)
       .withColumn("lmin", expr("CAST(array_min(embedding) AS DOUBLE)"))
       .withColumn("lmax", expr("CAST(array_max(embedding) AS DOUBLE)"))
       .select(col("vec_id"),
         expr("(lmax - lmin) / 255.0").as("scale"),
-        expr(s"transform(embedding, $quantLambda)").as("q"))
+        expr(s"array_join(transform(embedding, $quantLambda), ',')").as("q"))
       .orderBy("vec_id")
 
   /** 7-day trailing moving average of daily revenue. The heavy lineitem
@@ -361,7 +364,7 @@ object Analytics {
         |FROM u""".stripMargin,
     "q_quantize_int8" ->
       s"""SELECT vec_id, (lmax - lmin) / 255.0 AS scale,
-         |       list_transform(embedding, $quantLambda) AS q
+         |       array_to_string(list_transform(embedding, $quantLambda), ',') AS q
          |FROM (SELECT vec_id, embedding,
          |             CAST(list_min(embedding) AS DOUBLE) AS lmin,
          |             CAST(list_max(embedding) AS DOUBLE) AS lmax

@@ -29,14 +29,24 @@ object VectorOps {
     * WholeStageCodegen with the same sequential-fold accumulation order as
     * the SQL/oracle formulation, so results are bit-equal. Quadratic by
     * construction — the documented test-scale baseline; the 100 TB path is
-    * q_sim_lsh's banding, which bounds the pair space by bucket. */
+    * q_sim_lsh's banding, which bounds the pair space by bucket.
+    *
+    * The `vec_id < BruteForceCap` rule (mirrored in the oracle) bounds the
+    * exactness audit to an absolute corpus slice — same treatment as
+    * q_sim_topk's probe cap: at any corpus size the broadcast side is at
+    * most Cap rows and the pair space at most Cap²/2 ≈ 8M dots, so the
+    * query stays runnable at 100 TB while remaining exhaustive at every
+    * test SF (embeddings ≤ 2000 rows). */
+  val BruteForceCap = 4096
   def qDedupEmbcos(s: SparkSession, sf: String): DataFrame = {
     import graft.functions.VectorExpressions.dot
     // norms are pair-invariant, so hoist them out of the O(n²) join: one
     // interpreted HOF fold per VECTOR (bit-identical to the oracle's
     // sqrt(Σx²) fold), leaving only the codegen'd dot per PAIR — 3x fewer
     // flops in the quadratic stage
-    val e = Tables.embeddings(s, sf).withColumn("nrm",
+    val e = Tables.embeddings(s, sf)
+      .filter(col("vec_id") < BruteForceCap)
+      .withColumn("nrm",
       sqrt(expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
     // repartition the probe side: a single-file corpus otherwise pins the
     // whole pair scan to one input partition regardless of session cores
@@ -321,27 +331,38 @@ object VectorOps {
     * large-star/small-star re-wiring (Kiveris et al., "Connected
     * Components in MapReduce and Beyond"), which this exhibit omits for
     * determinism-auditable simplicity. */
-  private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      edgeHalvesPerPartition: Long = 1L << 20): DataFrame = {
     // iterate ONLY over edge-touched vertices: the pair graph is a tiny
     // fraction of the corpus (near-dup rate, not corpus size), so the
     // per-round joins never touch the full document set — singletons get
-    // their self-label in one left join at the end. The label frames are
-    // sized by near-dup mass, so they are collapsed to one partition here;
-    // at a scale where the pair graph itself is huge, drop the repartition
-    // and let the joins shuffle on the vertex id (the loop is unchanged).
+    // their self-label in one left join at the end. The loop's shuffle
+    // fan-out is NOT hardcoded: it is derived below from the measured edge
+    // count (1 partition per ~1M edge-halves, capped at session
+    // parallelism), so the same code runs 1-partition at near-dup-mass
+    // test scale and fans out when the pair graph itself is large.
     val spark = vertices.sparkSession
     // symmetrize in ONE pass over the edge frame: a union of two selects
     // would evaluate the (expensive, uncached) pair-generation lineage once
     // per branch — explode emits both directions from a single evaluation
-    val sym = edges.select(explode(array(
+    val symRaw = edges.select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(1).cache()
-    // materialize sym NOW, with the session's full parallelism — its
-    // lineage (the pair-generation pipeline) is the expensive part, and it
-    // must not run under the loop's 1-partition shuffle config below
+      .cache()
+    // materialize NOW, with the session's full parallelism — the lineage
+    // (the pair-generation pipeline) is the expensive part, and it must
+    // not run under the loop's reduced shuffle config below. The count it
+    // returns is the scalar that sizes the loop.
+    val edgeHalves = symRaw.count()
+    val loopParts = math.min(
+      math.max(1L, (edgeHalves + edgeHalvesPerPartition - 1) / edgeHalvesPerPartition),
+      spark.sparkContext.defaultParallelism.toLong).toInt
+    // compact the cached edge frame to the loop's fan-out: each round scans
+    // it once, and loopParts cached partitions = loopParts scan tasks/round
+    val sym = symRaw.repartition(loopParts).cache()
     sym.count()
+    symRaw.unpersist()
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
     var changed = 1L
@@ -349,15 +370,14 @@ object VectorOps {
     var prevCached: Option[DataFrame] = None
     // AQE re-plans and materializes every exchange of every round as its
     // own job — pure scheduling overhead on these bounded label frames,
-    // where the static plan (broadcast the tiny side, one small shuffle)
-    // is already the right one. Turn it off for the loop only, and run the
-    // loop's shuffles at one partition (the frames are near-dup-mass
-    // sized); the corpus-wide assignment join below runs with the
-    // session's AQE and parallelism.
+    // where the static plan (one small shuffle at the edge-derived
+    // fan-out) is already the right one. Turn it off for the loop only;
+    // the corpus-wide assignment join below runs with the session's AQE
+    // and parallelism.
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     // one min-label propagation step: each vertex takes the minimum of its
     // own label and its neighbors' labels. Plain joins, not broadcast():
     // under the loop's 1-partition config each join is one tiny shuffle
@@ -402,14 +422,18 @@ object VectorOps {
     // an oracle run would catch
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge within $rounds rounds ($changed labels still changing)")
-    // converged labels are tiny (edge-touched vertices only):
+    // converged labels are bounded by edge-touched vertices:
     // localCheckpoint truncates the round lineage entirely, so every later
-    // evaluation of the returned frame broadcasts the materialized label
-    // rows instead of replaying or cache-scanning the iterative plan
-    val finalLabels = labels.repartition(1).localCheckpoint()
+    // evaluation of the returned frame reads the materialized label rows
+    // instead of replaying or cache-scanning the iterative plan. Broadcast
+    // the labels into the corpus-wide assignment join only when the edge
+    // mass says they fit one partition; a large pair graph shuffles on
+    // doc_id instead.
+    val finalLabels = labels.repartition(loopParts).localCheckpoint()
     prevCached.foreach(_.unpersist())
     sym.unpersist()
-    vertices.select("doc_id").join(broadcast(finalLabels), Seq("doc_id"), "left")
+    val labelSide = if (loopParts == 1) broadcast(finalLabels) else finalLabels
+    vertices.select("doc_id").join(labelSide, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
@@ -558,7 +582,8 @@ object VectorOps {
         |SELECT label, 'lo' AS side, rlo AS rnk, vec_id, nrm FROM r WHERE rlo <= 2
         |ORDER BY label, side, rnk""".stripMargin,
     "q_dedup_embcos" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id < 4096)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |       round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
         |             (sqrt(list_sum(list_transform(a.v, x -> x * x))) *

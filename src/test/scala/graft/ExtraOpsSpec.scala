@@ -186,6 +186,25 @@ class ExtraOpsSpec extends SparkSuite {
     assert(chain.values.forall(_ == 0L), s"chain must collapse to 0, got $chain")
   }
 
+  test("connected components: loop fans out past one partition on a large edge frame") {
+    import spark.implicits._
+    // 300 edges over components of 4 ({0..3},{4..7},…; diameter 3). With
+    // the per-partition threshold forced down to 100 edge-halves, the
+    // 600-half frame must pick ceil(600/100)=4 loop partitions — the
+    // >1-partition branch the production default only reaches at real
+    // near-dup mass — and the answers must be identical to the
+    // 1-partition run.
+    val n = 400L
+    val vertices = (0L until n).toDF("doc_id")
+    val edges = (0L until n).filter(_ % 4 != 3).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = VectorOps.connectedComponents(vertices, edges, edgeHalvesPerPartition = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    (0L until n).foreach { i =>
+      assert(got(i) == (i / 4) * 4, s"vertex $i labeled ${got(i)}, want ${(i / 4) * 4}")
+    }
+  }
+
   test("q_dedup_clusters covers every doc; edges agree with cluster assignment") {
     val docs = Tables.documents(spark, sf001)
     val clusters = VectorOps.qDedupClusters(spark, sf001).collect()

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** Structural guard on the driver-harness contract: the oracle diff sorts
+  * result rows over ALL columns in pandas, and array/map cells are
+  * unhashable there — a top-level complex column makes the query
+  * unverifiable regardless of whether the values are right (how
+  * q_quantize_int8 went red in round 5). Flatten (posexplode / array_join)
+  * before returning from any oracled query. */
+class HarnessContractSpec extends SparkSuite {
+
+  test("no oracled query emits a top-level Array/Map/Struct column") {
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, sf001).schema
+      val complex = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+      complex
+    }
+    assert(offenders.isEmpty,
+      s"oracled outputs must be scalar-only for the pandas diff:\n${offenders.mkString("\n")}")
+  }
+
+  test("every oracled key has a queries implementation and vice-versa naming stays 1:1") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracleSql keys without queries impl: ${(o -- q).toSeq.sorted}")
+  }
+}
