@@ -19,9 +19,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE knob for A/B runs: at bench SFs every query is sub-second and the
+    // static 32-partition plan already matches cores, so AQE's per-stage
+    // re-plan jobs are measurable fixed overhead; at real scale AQE earns
+    // its keep (skew splits, partition coalescing — exercised in ScaleSpec)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -358,11 +358,10 @@ object VectorOps {
     val loopParts = math.min(
       math.max(1L, (edgeHalves + edgeHalvesPerPartition - 1) / edgeHalvesPerPartition),
       spark.sparkContext.defaultParallelism.toLong).toInt
-    // compact the cached edge frame to the loop's fan-out: each round scans
-    // it once, and loopParts cached partitions = loopParts scan tasks/round
-    val sym = symRaw.repartition(loopParts).cache()
-    sym.count()
-    symRaw.unpersist()
+    // compact the edge frame to the loop's fan-out with a NARROW coalesce
+    // over the existing cache — a repartition+cache here would pay a second
+    // materialization job per call for frames that are near-dup-mass sized
+    val sym = symRaw.coalesce(loopParts)
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
     var changed = 1L
@@ -431,7 +430,7 @@ object VectorOps {
     // doc_id instead.
     val finalLabels = labels.repartition(loopParts).localCheckpoint()
     prevCached.foreach(_.unpersist())
-    sym.unpersist()
+    symRaw.unpersist()
     val labelSide = if (loopParts == 1) broadcast(finalLabels) else finalLabels
     vertices.select("doc_id").join(labelSide, Seq("doc_id"), "left")
       .select(col("doc_id"),
