@@ -22,12 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ StreamTwins.queries ++ Windows.queries ++
       Funcs.queries ++ Llm.queries ++ TextOps.queries ++ VectorOps.queries ++
-      Media.queries ++ Analytics.queries
+      Media.queries ++ Analytics.queries ++ Behavior.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ StreamTwins.oracle ++ Windows.oracle ++
       Funcs.oracle ++ Llm.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
-      Media.oracle ++ Analytics.oracle
+      Media.oracle ++ Analytics.oracle ++ Behavior.oracle
 }

@@ -256,7 +256,78 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // Higher-moment sums, decimal-exact like regSums: quantity powers stay
+  // far under the 38-digit cap (50^4 = 6.25e6 at scale 8, summed over 600k
+  // rows ~ 4e12), and every sum crosses to DOUBLE through the exact-string
+  // bridge. The central-moment arithmetic below is shared IEEE text —
+  // integer literals (not decimal literals, which Spark ANSI types as
+  // DECIMAL) multiply doubles exactly on both engines.
+  private val qtyDec = "CAST(l_quantity AS DECIMAL(8,2))"
+  private val momentSums = Seq(
+    "CAST(count(*) AS DOUBLE) AS n",
+    "count(*) AS n_items",
+    dec2dbl(s"sum($qtyDec)") + " AS s1",
+    dec2dbl(s"sum($qtyDec * $qtyDec)") + " AS s2",
+    dec2dbl(s"sum(($qtyDec * $qtyDec) * $qtyDec)") + " AS s3",
+    dec2dbl(s"sum((($qtyDec * $qtyDec) * $qtyDec) * $qtyDec)") + " AS s4")
+  private val momentOut = Seq(
+    "s1 / n AS mean",
+    "s2 / n - (s1 / n) * (s1 / n) AS var_pop",
+    "(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))" +
+      " / (var_pop * sqrt(var_pop)) AS skewness",
+    "(s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)" +
+      " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / (var_pop * var_pop) - 3 AS kurtosis")
+
+  /** Population skewness and excess kurtosis of quantity per return flag,
+    * from exact decimal power sums — the distributed higher-moment shape:
+    * built-in skewness/kurtosis float-sum in partition order and cannot
+    * hash-match a second engine, while raw moments are order-free exact
+    * decimals and the closed-form central-moment arithmetic is one
+    * deterministic IEEE evaluation per GROUP (3 groups), not per row.
+    * One shuffle of 6 fixed-size partial sums per group at any scale. */
+  def qAggSkewKurt(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy("l_returnflag")
+      .agg(expr(momentSums.head), momentSums.tail.map(expr): _*)
+      .withColumn("mean", expr(momentOut(0).stripSuffix(" AS mean")))
+      .withColumn("var_pop", expr(momentOut(1).stripSuffix(" AS var_pop")))
+      .withColumn("skewness", expr(momentOut(2).stripSuffix(" AS skewness")))
+      .withColumn("kurtosis", expr(momentOut(3).stripSuffix(" AS kurtosis")))
+      .select("l_returnflag", "n_items", "mean", "var_pop", "skewness", "kurtosis")
+      .orderBy("l_returnflag")
+
+  // Z-value bit-interleave, shared integer arithmetic: bit i of the custkey
+  // lane lands at position 2i, bit i of the day lane at 2i+1. Engine
+  // syntax differs (Spark shiftleft/shiftright functions vs DuckDB
+  // operators) but every op is exact integer arithmetic, so the 32-bit
+  // z-values are identical.
+  private val zvalSpark =
+    "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> " +
+      "acc + shiftleft(shiftright(ck, i) & 1, 2 * i) + shiftleft(shiftright(dy, i) & 1, 2 * i + 1))"
+
+  /** Z-order layout audit — the multi-dimensional clustering key for
+    * 100 TB parquet layout: interleaving the bits of (custkey, order-day)
+    * gives a single sort key whose ranges are compact in BOTH dimensions,
+    * so range-partitioning files by z-value lets min/max footer stats
+    * prune scans filtering on either column (classic space-filling-curve
+    * data layout). Emits per-bucket (top 10 z-bits) occupancy + lane
+    * ranges — the histogram a table optimizer inspects before rewriting
+    * the layout. Pure per-row integer map work + one small aggregate. */
+  def qZorderLayout(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .withColumn("ck", expr("o_custkey % 65536"))
+      .withColumn("dy", expr("CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01 00:00:00') AS BIGINT) % 65536"))
+      .withColumn("zval", expr(zvalSpark))
+      .groupBy(expr("shiftright(zval, 22)").as("z_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("zval").as("min_z"), max("zval").as("max_z"),
+        min("ck").as("min_ck"), max("ck").as("max_ck"),
+        min("dy").as("min_dy"), max("dy").as("max_dy"))
+      .orderBy("z_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_skewkurt" -> qAggSkewKurt _,
+    "q_zorder_layout" -> qZorderLayout _,
     "q_win_moving_avg" -> qWinMovingAvg _,
     "q_agg_mode" -> qAggMode _,
     "q_winsorize" -> qWinsorize _,
@@ -325,6 +396,29 @@ object Analytics {
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag, ${regOut.mkString(", ")}
          |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_agg_skewkurt" ->
+      s"""WITH sums AS (
+         |  SELECT l_returnflag, ${momentSums.mkString(", ")}
+         |  FROM lineitem GROUP BY l_returnflag),
+         |m AS (SELECT *, ${momentOut(0)}, ${momentOut(1)} FROM sums)
+         |SELECT l_returnflag, n_items, mean, var_pop,
+         |       ${momentOut(2)},
+         |       ${momentOut(3)}
+         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_zorder_layout" ->
+      """WITH o AS (
+        |  SELECT o_custkey % 65536 AS ck,
+        |         CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) % 65536 AS dy
+        |  FROM orders),
+        |z AS (SELECT ck, dy,
+        |             CAST(list_sum(list_transform(range(0, 16), i ->
+        |               (((ck >> i) & 1) << (2 * i)) + (((dy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
+        |      FROM o)
+        |SELECT zval >> 22 AS z_bucket, count(*) AS n_orders,
+        |       min(zval) AS min_z, max(zval) AS max_z,
+        |       min(ck) AS min_ck, max(ck) AS max_ck,
+        |       min(dy) AS min_dy, max(dy) AS max_dy
+        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin,
     "q_bitmap_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_distinct_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

@@ -337,7 +337,57 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Tokenizer-vocabulary coverage audit: build the corpus' top-100 token
+    * vocabulary (by occurrence count, token-asc tie-break for engine
+    * determinism), then measure per-language out-of-vocabulary rates — the
+    * check run before committing a tokenizer vocab to a training mix.
+    * Token counting is one explode + partial-agg groupBy; the top-100 is
+    * TakeOrderedAndProject (100 rows cross the wire, not the vocabulary);
+    * the coverage pass broadcasts the vocab into a left join, so the
+    * corpus is scanned twice and shuffled only on the 5-row lang key. The
+    * OOV rate divides two exact longs — bit-identical cross-engine. */
+  def qVocabCoverage(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(100)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count("in_vocab")).as("n_oov"),
+        ((count(lit(1)) - count("in_vocab")).cast("double") / count(lit(1))).as("oov_rate"))
+      .orderBy("lang")
+  }
+
+  /** Distance-bounded skip-gram counts (window ≤ 2): the co-occurrence
+    * statistic under word-embedding training and collocation mining.
+    * Adjacent (dist 1) and one-apart (dist 2) pairs are exploded in two
+    * passes over the repartitioned corpus and partial-agg counted; the
+    * top-20 is TakeOrderedAndProject with a full deterministic tie-break.
+    */
+  def qTextSkipgrams(s: SparkSession, sf: String): DataFrame = {
+    def pairs(dist: Int): DataFrame =
+      Tables.documents(s, sf)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), expr("split(text, ' ')").as("t"))
+        .filter(size(col("t")) > dist)
+        .select(explode(expr(s"sequence(1, size(t) - $dist)")).as("i"), col("t"))
+        .select(expr("element_at(t, i)").as("w1"),
+          expr(s"element_at(t, i + $dist)").as("w2"),
+          lit(dist).as("dist"))
+    pairs(1).unionAll(pairs(2))
+      .groupBy("w1", "w2", "dist")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc, col("dist").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> qVocabCoverage _,
+    "q_text_skipgrams" -> qTextSkipgrams _,
     "q_embedding_coverage" -> qEmbeddingCoverage _,
     "q_filter_outliers" -> qFilterOutliers _,
     "q_text_tfidf" -> qTextTfidf _,
@@ -361,6 +411,26 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok, 1 AS in_vocab FROM toks GROUP BY tok
+        |  ORDER BY count(*) DESC, tok ASC LIMIT 100)
+        |SELECT lang, count(*) AS n_tokens,
+        |       count(*) - count(in_vocab) AS n_oov,
+        |       CAST(count(*) - count(in_vocab) AS DOUBLE) / count(*) AS oov_rate
+        |FROM toks LEFT JOIN vocab USING (tok)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_skipgrams" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, 1 AS dist FROM d, UNNEST(range(1, len(t))) AS u(i)
+        |  UNION ALL
+        |  SELECT t[i] AS w1, t[i+2] AS w2, 2 AS dist FROM d, UNNEST(range(1, len(t) - 1)) AS u(i))
+        |SELECT w1, w2, dist, count(*) AS n
+        |FROM p GROUP BY 1, 2, 3
+        |ORDER BY n DESC, w1 ASC, w2 ASC, dist ASC LIMIT 20""".stripMargin,
     "q_embedding_coverage" ->
       """SELECT lang, count(*) AS n_docs, count(e.vec_id) AS n_with_emb,
         |       count(*) - count(e.vec_id) AS n_missing
