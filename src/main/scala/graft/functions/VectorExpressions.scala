@@ -198,6 +198,68 @@ case class SrpSignature(child: Expression)
     copy(child = newChild)
 }
 
+/** Shared kernel for [[Int8Codes]] — one pass for min/max and one for the
+  * quantized code string, called from both eval and generated code (Scala
+  * objects emit static forwarders). The arithmetic replicates the SQL
+  * lambda formulation EXACTLY — (double)x - lmin, divided by the
+  * precomputed (lmax-lmin)/255.0 step, +0.5, floor, clamp [0,255], -128 —
+  * so the expression is a drop-in for the interpreted HOF with
+  * bit-identical output (locked by VectorExprSpec). */
+object Int8Quant {
+  def codes(xs: Array[Float]): org.apache.spark.unsafe.types.UTF8String = {
+    if (xs.length == 0) throw new IllegalArgumentException(
+      "graft_int8_codes: empty vector")
+    var lminF = xs(0); var lmaxF = xs(0); var i = 1
+    while (i < xs.length) {
+      if (xs(i) < lminF) lminF = xs(i)
+      if (xs(i) > lmaxF) lmaxF = xs(i)
+      i += 1
+    }
+    val lmin = lminF.toDouble; val lmax = lmaxF.toDouble
+    if (lmax == lmin) throw new IllegalArgumentException(
+      "graft_int8_codes: degenerate (constant) vector has no quantization range")
+    val step = (lmax - lmin) / 255.0
+    val sb = new java.lang.StringBuilder(xs.length * 4)
+    i = 0
+    while (i < xs.length) {
+      if (i > 0) sb.append(',')
+      val c = math.floor((xs(i).toDouble - lmin) / step + 0.5)
+      val clamped = math.min(math.max(c, 0.0), 255.0).toInt - 128
+      sb.append(clamped)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Comma-joined int8 linear-quantization codes of an array<float> column
+  * as a single codegen'd expression — the fused form of the
+  * `transform(embedding, x -> …)` HOF lambda (CodegenFallback,
+  * interpreted per element) + `array_join`: one array materialization,
+  * one primitive loop, no per-element Catalyst eval. This is the "100 TB
+  * form" the quantize query's scaladoc promised. */
+case class Int8Codes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_int8_codes expects array<float>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_int8_codes"
+
+  override def nullSafeEval(a: Any): Any =
+    Int8Quant.codes(a.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Int8Quant.codes($a.toFloatArray());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Cosine similarity of two array<float> columns, as a codegen'd Column. */
   def cosineSim(a: Column, b: Column): Column =
@@ -212,4 +274,9 @@ object VectorExpressions {
   /** 64-bit SRP signature of an array<float> column (see [[SrpSignature]]). */
   def srpSig(v: Column): Column =
     GraftSqlBridge.column(SrpSignature(GraftSqlBridge.expression(v)))
+
+  /** Comma-joined int8 quantization codes of an array<float> column
+    * (see [[Int8Codes]]). */
+  def int8Codes(v: Column): Column =
+    GraftSqlBridge.column(Int8Codes(GraftSqlBridge.expression(v)))
 }

@@ -179,13 +179,27 @@ object Analytics {
 
   /** Per-vector int8 linear quantization of the embedding column — the
     * standard 4x memory cut before ANN indexing at scale. Pure per-row map
-    * work (no shuffle); the transform lambda is interpreted, which is fine
-    * for a 64-lane loop — the 100 TB version would fuse it into a codegen'd
-    * Expression like [[graft.functions.SrpSignature]]. The code array is
-    * emitted as a comma-joined string: the oracle diff requires scalar
+    * work (no shuffle). The code string comes from the codegen'd
+    * [[graft.functions.Int8Codes]] expression (one fused primitive loop
+    * inside WholeStageCodegen — the 100 TB form), whose arithmetic is
+    * bit-identical to the `transform` lambda shared textually with the
+    * DuckDB oracle (equivalence locked by VectorExprSpec). The code array
+    * is emitted as a comma-joined string: the oracle diff requires scalar
     * top-level columns (array cells are unsortable in the harness), and
     * int→string formatting is identical on both engines. */
   def qQuantizeInt8(s: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(s, sf)
+      .withColumn("lmin", expr("CAST(array_min(embedding) AS DOUBLE)"))
+      .withColumn("lmax", expr("CAST(array_max(embedding) AS DOUBLE)"))
+      .select(col("vec_id"),
+        expr("(lmax - lmin) / 255.0").as("scale"),
+        graft.functions.VectorExpressions.int8Codes(col("embedding")).as("q"))
+      .orderBy("vec_id")
+
+  /** The interpreted HOF formulation of [[qQuantizeInt8]]'s code column —
+    * kept as the executable spec the codegen'd expression is tested
+    * against (VectorExprSpec), textually aligned with the oracle SQL. */
+  private[graft] def quantizeInt8Hof(s: SparkSession, sf: String): DataFrame =
     Tables.embeddings(s, sf)
       .withColumn("lmin", expr("CAST(array_min(embedding) AS DOUBLE)"))
       .withColumn("lmax", expr("CAST(array_max(embedding) AS DOUBLE)"))
@@ -325,7 +339,38 @@ object Analytics {
         min("dy").as("min_dy"), max("dy").as("max_dy"))
       .orderBy("z_bucket")
 
+  /** Incremental materialized-view maintenance — the pattern that keeps a
+    * 100 TB rollup fresh without daily full recomputes: the view's state
+    * is PARTIAL aggregates (count + exact decimal sum per day), a new
+    * batch is aggregated to the same partials, and the refresh is a
+    * union + re-aggregate of partials — associative merge, never a
+    * re-scan of history. Here the events table is split at a cutoff into
+    * "history" and "today's batch", maintained incrementally, and the
+    * oracle computes the same rollup directly over everything — green
+    * means merged-partials ≡ full recompute. avg is finished from the
+    * merged exact partials (one double division), never averaged across
+    * batches. */
+  def qMvIncremental(s: SparkSession, sf: String): DataFrame = {
+    val cutoff = "2024-02-01"
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(CAST(value AS DECIMAL(18,2)))").as("v_dec"))
+    val ev = Tables.events(s, sf)
+    val base  = partials(ev.filter(to_date(col("ts")) <  lit(cutoff).cast("date")))
+    val delta = partials(ev.filter(to_date(col("ts")) >= lit(cutoff).cast("date")))
+    base.unionByName(delta)
+      .groupBy("day", "event_type")
+      .agg(sum("n").as("n_events"),
+        sum("v_dec").as("v_merged"))
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("v_merged").cast("double").as("sum_value"),
+        (col("v_merged").cast("double") / col("n_events")).as("avg_value"))
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_incremental" -> qMvIncremental _,
     "q_agg_skewkurt" -> qAggSkewKurt _,
     "q_zorder_layout" -> qZorderLayout _,
     "q_win_moving_avg" -> qWinMovingAvg _,
@@ -342,6 +387,11 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mv_incremental" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_win_moving_avg" ->
       s"""WITH daily AS (
          |  SELECT l_shipdate AS day, sum($revDec) AS rev_dec, count(*) AS n_items

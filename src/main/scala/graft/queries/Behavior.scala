@@ -77,13 +77,128 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** Sequence-pattern detection (the MATCH_RECOGNIZE shape): each user's
+    * journey is flattened to an ordered initial string (v=view c=click
+    * p=purchase s=signup e=error) and scanned for `vc+p` runs —
+    * view, one-or-more clicks, purchase — the behavioral funnel as a
+    * regex instead of per-step windows. The per-user string is built by
+    * sorting the collected (ts, event_id) structs INSIDE the aggregate,
+    * so the result is independent of partition arrival order; the regex
+    * is alternation-free, where Java (backtracking) and RE2
+    * (leftmost-longest) find identical match sets. Journeys are
+    * user-sized (bounded), so the collected array never exceeds one
+    * user's events — the same bound a streaming sessionizer holds. */
+  def qSeqPattern(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .withColumn("ini", substring(col("event_type"), 1, 1))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("array_join(transform(array_sort(collect_list(struct(ts, event_id, ini))), x -> x.ini), '')").as("seq"))
+      .withColumn("n_funnel_runs",
+        size(expr("regexp_extract_all(seq, 'vc+p', 0)")))
+      .orderBy("user_id")
+
+  /** Interval union (coverage): each event opens a 5-minute activity
+    * interval; overlapping intervals merge, and the output is each user's
+    * merged-island count and total covered seconds — the dwell-time /
+    * uptime statistic that a naive sum-of-intervals double-counts. The
+    * running-max-end + new-island-flag + flag-prefix-sum formulation is
+    * one window pass (no self-join); all epoch-µs integer arithmetic. */
+  def qIntervalUnion(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("st").asc, col("event_id").asc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + lit(300000000L))
+      .withColumn("prev_max_en", max("en").over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(wRun))
+      .groupBy("user_id", "island")
+      .agg(min("st").as("i_st"), max("en").as("i_en"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_en") - col("i_st")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  /** Time-weighted average of `value` per user — the right mean for
+    * irregularly-sampled measurements (each reading weighted by how long
+    * it was current, until the next reading). Weights are epoch-µs gaps
+    * (exact longs); values are 2-decimal (decimal cast lossless), so the
+    * weighted sum is an exact decimal and the single final division is
+    * the only float op — bit-identical cross-engine. The last reading
+    * has no successor and carries no weight; single-event users yield
+    * NULL (no covered time), preserved as such. One shuffle on user_id
+    * shared by the window and the aggregate. */
+  def qTimeWeightedAvg(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .withColumn("dt", unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("dt").as("sum_dt_us"),
+        expr("sum(CAST(value AS DECIMAL(18,2)) * CAST(dt AS DECIMAL(14,0)))").as("wsum"))
+      .select(col("user_id"), col("n_events"), col("sum_dt_us"),
+        // ×100 lifts the scale-2 decimal to an integral value first: a
+        // scale-0 decimal→double cast is ONE rounding on both engines,
+        // while casting scale 2 directly is double(unscaled)/100 in some
+        // engines (two roundings — observed 1-ulp divergence); the 100 is
+        // divided back out in float space, identically on both sides.
+        (expr("CAST(CAST(wsum * 100 AS DECIMAL(38,0)) AS DOUBLE)") /
+          (lit(100.0) * col("sum_dt_us").cast("double"))).as("twa"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> qRetention _,
     "q_event_transitions" -> qEventTransitions _,
     "q_win_streaks" -> qWinStreaks _,
+    "q_seq_pattern" -> qSeqPattern _,
+    "q_interval_union" -> qIntervalUnion _,
+    "q_time_weighted_avg" -> qTimeWeightedAvg _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, seq,
+        |       CAST(len(regexp_extract_all(seq, 'vc+p')) AS INT) AS n_funnel_runs
+        |FROM s ORDER BY user_id""".stripMargin,
+    "q_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st, epoch_us(ts) + 300000000 AS en
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_en
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+        |                     THEN 1 ELSE 0 END AS new_island FROM m),
+        |i AS (SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+        |g AS (SELECT user_id, island, min(st) AS i_st, max(en) AS i_en FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |       CAST(sum(i_en - i_st) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |         epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |           - epoch_us(ts) AS dt
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events, CAST(sum(dt) AS BIGINT) AS sum_dt_us,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(dt AS DECIMAL(14,0))) * 100
+        |            AS DECIMAL(38,0)) AS DOUBLE)
+        |         / (100.0 * CAST(sum(dt) AS DOUBLE)) AS twa
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud)

@@ -651,7 +651,30 @@ object Relational {
          |ORDER BY revenue DESC, l_orderkey
          |LIMIT 10""".stripMargin)
 
+  /** TPC-H Q18 shape (large-volume customers) through the text SQL
+    * surface: the IN-subquery over a grouped HAVING is the part worth
+    * certifying — Catalyst rewrites it to a left-semi join against the
+    * re-aggregated lineitem (no correlated per-row execution), the big
+    * orders⨝lineitem join shuffles on the order key both subquery and
+    * outer side, and the top-100 is TakeOrderedAndProject. Quantity sums
+    * are exact decimals surfaced as DOUBLE. */
+  def qSqlQ18(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+         |FROM parquet.`$sf/customer.parquet` c
+         |JOIN parquet.`$sf/orders.parquet` o ON c_custkey = o_custkey
+         |JOIN parquet.`$sf/lineitem.parquet` l ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM parquet.`$sf/lineitem.parquet`
+         |  GROUP BY l_orderkey
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q18" -> qSqlQ18 _,
     "q_sql_q3" -> qSqlQ3 _,
     "q_join_lateral" -> qJoinLateral _,
     "q_recursive_cte" -> qRecursiveCte _,
@@ -725,6 +748,19 @@ object Relational {
       """SELECT l_returnflag, count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c_custkey = o_custkey
+        |JOIN lineitem l ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q_sql_q3" ->
       s"""SELECT l_orderkey, ${sumAsDouble(revDec)} AS revenue,
          |       o_orderdate, o_orderpriority

@@ -385,7 +385,89 @@ object TextOps {
       .limit(20)
   }
 
+  /** Collocation mining by PMI lift: for each adjacent word pair, the
+    * ratio of its observed bigram probability to the product of its
+    * unigram probabilities — pairs with lift >> 1 are collocations
+    * ("machine learning"), the phrase-detection statistic under phrase
+    * tokenizers and word2vec preprocessing. The lift is the PMI argument
+    * WITHOUT the log: every factor is an exact long count, so the double
+    * arithmetic is the same two multiplies and two divides on both
+    * engines (a log would tie the hash to libm rounding). Unigram and
+    * bigram counting are partial-agg groupBys; the two corpus totals are
+    * 1-row frames broadcast into the scoring join; min-support 5 prunes
+    * the long tail before ranking; top-30 is TakeOrderedAndProject. */
+  def qTextColloc(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr("split(text, ' ')").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("t")) > 1)
+      .select(explode(expr("sequence(1, size(t) - 1)")).as("i"), col("t"))
+      .select(expr("element_at(t, i)").as("w1"), expr("element_at(t, i + 1)").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val nU = uni.agg(sum("c").as("n_u"))
+    val nB = bi.agg(sum("c_ab").as("n_b"))
+    bi.filter(col("c_ab") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nU)).crossJoin(broadcast(nB))
+      .withColumn("lift",
+        expr("(CAST(c_ab AS DOUBLE) / n_b) / ((CAST(c_a AS DOUBLE) / n_u) * (CAST(c_b AS DOUBLE) / n_u))"))
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "lift")
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(30)
+  }
+
+  /** Token-rarity scoring: each document's tokens joined against the
+    * corpus document-frequency table; the per-doc mean and minimum df
+    * say how common the doc's vocabulary is (low mean-df = rare/technical
+    * text, df 1 tokens = possible junk) — the integer-exact stand-in for
+    * LM-perplexity quality filters (surprisal ~ -log df/N needs libm; the
+    * df moments carry the same signal hash-matchably). The df table is
+    * per-doc-distinct then counted (two partial-agg groupBys); the scoring
+    * join shuffles on the token key; mean divides two exact longs. */
+  def qTokenRarity(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(df, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("df").as("sum_df"),
+        min("df").as("min_df"))
+      .withColumn("mean_df", col("sum_df").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mix rebalancing — the sampler that turns a skewed crawl into
+    * a target training mix: every source is downsampled to the size of
+    * the smallest source (uniform target mix), membership decided by
+    * rank under a deterministic content-hash order (sha256 of text,
+    * doc_id tie-break), so the kept set is stable across runs, engines,
+    * and cluster layouts — never an RNG draw. One shuffle to rank within
+    * each source; the 1-row target size broadcasts into the filter. At
+    * 100 TB the same shape holds with a per-source rate map instead of
+    * the min (the rank threshold is the only thing that changes). */
+  def qDomainMix(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val target = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(min("c").as("quota"))
+    val w = Window.partitionBy("source")
+      .orderBy(sha2(col("text"), 256).asc, col("doc_id").asc)
+    docs.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .filter(col("rk") <= col("quota"))
+      .select("doc_id", "source", "rk")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_colloc" -> qTextColloc _,
+    "q_token_rarity" -> qTokenRarity _,
+    "q_domain_mix" -> qDomainMix _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_text_skipgrams" -> qTextSkipgrams _,
     "q_embedding_coverage" -> qEmbeddingCoverage _,
@@ -411,6 +493,39 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_colloc" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM d),
+        |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |bi AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM d, UNNEST(range(1, len(t))) AS r(i)),
+        |b AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+        |nu AS (SELECT sum(c) AS n_u FROM u),
+        |nb AS (SELECT sum(c_ab) AS n_b FROM b)
+        |SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |       (CAST(c_ab AS DOUBLE) / n_b) /
+        |         ((CAST(ua.c AS DOUBLE) / n_u) * (CAST(ub.c AS DOUBLE) / n_u)) AS lift
+        |FROM b JOIN u ua ON ua.w = b.w1 JOIN u ub ON ub.w = b.w2, nu, nb
+        |WHERE c_ab >= 5
+        |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin,
+    "q_token_rarity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(df) AS BIGINT) AS sum_df,
+        |       min(df) AS min_df,
+        |       CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+        |FROM toks JOIN df USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_domain_mix" ->
+      """WITH q AS (
+        |  SELECT min(c) AS quota FROM (
+        |    SELECT source, count(*) AS c FROM documents GROUP BY source)),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY sha256(text) ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk FROM r, q WHERE rk <= quota
+        |ORDER BY doc_id""".stripMargin,
     "q_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -538,7 +538,43 @@ object VectorOps {
       .orderBy("label", "side", "rnk")
   }
 
+  /** Distributed k-means assignment step (the E-step every embedding
+    * clustering / IVF index build iterates), made bit-exact cross-engine
+    * by running the whole kernel in QUANTIZED integer space: each lane is
+    * floor(x·128) — ×128 is a pure exponent shift, so the quantization
+    * itself performs NO float rounding — centroids are the floor'd mean
+    * of member lanes, and every dot product is an exact BIGINT sum,
+    * order-free under any shuffle (the reason this formulation hash-
+    * matches while a float k-means never would). Output is the
+    * label→assigned-centroid transition matrix. Shapes at 100 TB: the
+    * centroid table is K×dims (tiny, broadcast); the dot-product join
+    * fans each lane out K ways then partial-aggregates on (vec, centroid)
+    * — O(n·dims·K) work with map-side combine, no shuffle of the raw
+    * vectors beyond their one posexplode pass; the argmax is a
+    * vec-partitioned window over K rows each. A production loop would
+    * fuse the K dots into one codegen'd expression over a broadcast
+    * matrix (the [[graft.functions.SrpSignature]] pattern) — the join
+    * form is the engine-agnostic exhibit of the same plan. */
+  def qClusterAssign(s: SparkSession, sf: String): DataFrame = {
+    val dims = Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("qx", expr("CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT)"))
+    val cent = dims.groupBy("label", "pos")
+      .agg(sum("qx").as("sq"), count(lit(1)).as("n"))
+      .select(col("label").as("c_label"), col("pos"),
+        expr("CAST(floor(CAST(sq AS DOUBLE) / n) AS BIGINT)").as("qc"))
+    val dots = dims.join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "label", "c_label")
+      .agg(sum(col("qx") * col("qc")).as("qdot"))
+    val w = Window.partitionBy("vec_id").orderBy(col("qdot").desc, col("c_label").asc)
+    dots.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"), col("c_label").as("assigned"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "assigned")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_assign" -> qClusterAssign _,
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_edit" -> qDedupEdit _,
@@ -551,6 +587,24 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cluster_assign" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, i - 1 AS pos,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT) AS qx
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
+        |cent AS (
+        |  SELECT label AS c_label, pos,
+        |         CAST(floor(CAST(sum(qx) AS DOUBLE) / count(*)) AS BIGINT) AS qc
+        |  FROM dims GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT vec_id, label, c_label, sum(qx * qc) AS qdot
+        |  FROM dims JOIN cent USING (pos) GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY qdot DESC, c_label ASC) AS rn
+        |  FROM dots)
+        |SELECT label, c_label AS assigned, count(*) AS n_vecs
+        |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE
         |d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

@@ -93,4 +93,118 @@ class BehaviorSpec extends SparkSuite {
     val ns = sg.map(_.getLong(3))
     assert(ns.forall(_ > 0) && ns.sameElements(ns.sortBy(-_)))
   }
+
+  test("seq_pattern: journey lengths cover all events; runs bounded by purchase count") {
+    val rows = Behavior.qSeqPattern(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    val ev = Tables.events(spark, sf001)
+    assert(rows.map(_._2).sum == ev.count(), "sum of journey lengths must equal total events")
+    rows.foreach { case (u, n, seq, runs) =>
+      assert(seq.length == n, s"user $u: seq length ${seq.length} != n_events $n")
+      val purchases = seq.count(_ == 'p')
+      assert(runs <= purchases, s"user $u: $runs funnel runs but only $purchases purchases")
+      assert(runs == "vc+p".r.findAllIn(seq).length, s"user $u: regex disagreement")
+    }
+  }
+
+  test("interval_union: coverage bounded by naive sum and single-interval floor") {
+    val rows = Behavior.qIntervalUnion(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perUser = Tables.events(spark, sf001).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == perUser.keySet)
+    rows.foreach { case (u, islands, covered) =>
+      val n = perUser(u)
+      assert(islands >= 1 && islands <= n)
+      assert(covered >= 300000000L, s"user $u: covered $covered below one interval")
+      assert(covered <= 300000000L * n, s"user $u: covered $covered exceeds naive sum")
+    }
+  }
+
+  test("time_weighted_avg: twa lies within the user's value range") {
+    val bounds = Tables.events(spark, sf001).groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Behavior.qTimeWeightedAvg(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, n) = (r.getLong(0), r.getLong(1))
+      if (!r.isNullAt(3)) {
+        val twa = r.getDouble(3)
+        val (lo, hi) = bounds(u)
+        assert(twa >= lo - 1e-9 && twa <= hi + 1e-9,
+          s"user $u: twa $twa outside [$lo, $hi]")
+      } else assert(n == 1, s"user $u: null twa but $n events")
+    }
+  }
+
+  test("mv_incremental merge equals a direct full recompute") {
+    val merged = Analytics.qMvIncremental(spark, sf001)
+    val direct = Tables.events(spark, sf001)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+    val joined = merged.select("day", "event_type", "n_events", "sum_value")
+      .except(direct.select("day", "event_type", "n_events", "sum_value"))
+    assert(joined.isEmpty, "incrementally maintained partials diverge from recompute")
+    assert(merged.count() == direct.count(), "row counts diverge")
+  }
+
+  test("cluster_assign: transition matrix covers every vector exactly once") {
+    val rows = VectorOps.qClusterAssign(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val nVecs = Tables.embeddings(spark, sf001).count()
+    assert(rows.map(_._3).sum == nVecs, "every vector must be assigned exactly once")
+    assert(rows.map(_._2).distinct.sorted.forall(a => a >= 0 && a <= 9))
+    // quantized centroids should mostly reassign vectors to their own label
+    // cluster (labels in the fixture correlate with geometry): diagonal mass
+    // must dominate any single off-diagonal cell
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum
+    val maxOff = (rows.filter(r => r._1 != r._2).map(_._3) :+ 0L).max
+    assert(diag >= maxOff, s"diagonal $diag below largest off-diagonal $maxOff")
+  }
+
+  test("colloc: lift respects min support and the top-30 ordering") {
+    val rows = TextOps.qTextColloc(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.forall(_._3 >= 5), "min support violated")
+    val lifts = rows.map(_._4)
+    assert(lifts.sameElements(lifts.sortBy(-_)), "not sorted by lift desc")
+    assert(lifts.forall(l => l > 0 && !l.isNaN && !l.isInfinite))
+  }
+
+  test("token_rarity: min_df ≥ 1 and mean_df within [min_df, corpus doc count]") {
+    val nDocs = Tables.documents(spark, sf001).count()
+    val rows = TextOps.qTokenRarity(spark, sf001).collect()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (minDf, mean) = (r.getLong(3), r.getDouble(4))
+      assert(minDf >= 1 && mean >= minDf && mean <= nDocs)
+    }
+  }
+
+  test("domain_mix: every source lands exactly the quota") {
+    val counts = Tables.documents(spark, sf001).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quota = counts.values.min
+    val kept = TextOps.qDomainMix(spark, sf001).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == counts.keySet)
+    kept.foreach { case (src, n) => assert(n == quota, s"$src kept $n != quota $quota") }
+  }
+
+  test("sql_q18: every order in the result truly exceeds the quantity threshold") {
+    val res = queries.Relational.qSqlQ18(spark, sf001).collect()
+    assert(res.nonEmpty, "threshold too high for sf0.001 fixture")
+    val qtyByOrder = Tables.lineitem(spark, sf001).groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    res.foreach { r =>
+      val ok = r.getLong(2)
+      assert(qtyByOrder(ok) > 250, s"order $ok qty ${qtyByOrder(ok)} <= 250")
+      assert(math.abs(r.getDouble(5) - qtyByOrder(ok)) < 1e-9)
+    }
+  }
 }

