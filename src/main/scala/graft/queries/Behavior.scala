@@ -154,7 +154,35 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** Daily-volume anomaly detection: each (event_type, day) count is
+    * z-scored against that event type's all-days mean and population
+    * stddev — the ops-dashboard query that flags traffic spikes/drops.
+    * The moments come from exact integer power sums (Σn, Σn²) and the
+    * mean/σ/z finish is ONE closed-form double expression shared
+    * textually with the oracle (the [[Analytics.qAggSkewKurt]] recipe:
+    * built-in stddev float-sums in partition order and cannot
+    * hash-match). Two partial-agg levels (day rollup, then per-type
+    * moments) + a broadcast join of the tiny per-type stats back onto
+    * the daily rows. */
+  def qAnomalyDays(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("m"), sum("n").as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mu", expr("CAST(sx AS DOUBLE) / m"))
+      .withColumn("sigma",
+        expr("sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / m)"))
+      .withColumn("z", expr("(CAST(n AS DOUBLE) - mu) / sigma"))
+      .withColumn("is_anomaly", expr("abs(z) > 2.0"))
+      .select("event_type", "day", "n", "mu", "sigma", "z", "is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_days" -> qAnomalyDays _,
     "q_retention" -> qRetention _,
     "q_event_transitions" -> qEventTransitions _,
     "q_win_streaks" -> qWinStreaks _,
@@ -164,6 +192,23 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS m, CAST(sum(n) AS BIGINT) AS sx,
+        |         CAST(sum(n * n) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, day, n,
+        |       CAST(sx AS DOUBLE) / m AS mu,
+        |       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / m) AS sigma,
+        |       (CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / m)
+        |         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / m) AS z,
+        |       abs((CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / m)
+        |         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / m)) > 2.0 AS is_anomaly
+        |FROM daily JOIN st USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
     "q_seq_pattern" ->
       """WITH s AS (
         |  SELECT user_id, count(*) AS n_events,

@@ -573,7 +573,39 @@ object VectorOps {
       .orderBy("label", "assigned")
   }
 
+  /** One PageRank power-iteration step over the near-dup similarity graph
+    * (edges: n-gram Jaccard ≥ 0.5 pairs, symmetrized) — centrality in the
+    * duplication graph ranks BOILERPLATE HUBS: a template shared by many
+    * documents accumulates rank from every copy, which is how web-scale
+    * corpus pipelines surface domains/templates worth demoting. Starting
+    * from the uniform vector, each neighbor j contributes rank/deg_j;
+    * the per-edge contribution is computed as floor(10^12 / deg_j) — an
+    * exact BIGINT (floor of a correctly-rounded division whose only
+    * integer-boundary cases are exact divisors), so the in-neighbor SUM
+    * is order-free and the damped finish is one deterministic double
+    * expression from exact longs. A full PageRank iterates exactly this
+    * step: edge-partitioned equi-joins + partial-agg sums, no driver
+    * state, linear per iteration at any scale. */
+  def qPagerankStep(s: SparkSession, sf: String): DataFrame = {
+    val edges = ngramPairs(Tables.documents(s, sf)).select("a_id", "b_id")
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nDocs = Tables.documents(s, sf).agg(count(lit(1)).as("n"))
+    sym.join(deg, Seq("src"))
+      .select(col("dst").as("doc_id"),
+        expr("CAST(floor(1000000000000.0 / deg) AS BIGINT)").as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_in"), sum("c").as("r_scaled"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rank",
+        expr("0.15 / n + 0.85 * (CAST(r_scaled AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0))"))
+      .select("doc_id", "n_in", "r_scaled", "rank")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank_step" -> qPagerankStep _,
     "q_cluster_assign" -> qClusterAssign _,
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_ngram" -> qDedupNgram _,
@@ -587,6 +619,30 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pagerank_step" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, count(*) AS ic
+        |          FROM cand c JOIN bg x ON x.doc_id = c.a_id JOIN bg y ON y.doc_id = c.b_id AND y.bg = x.bg
+        |          GROUP BY 1, 2),
+        |e AS (SELECT a_id, b_id
+        |      FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |      WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM e
+        |        UNION ALL SELECT b_id AS src, a_id AS dst FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)
+        |SELECT dst AS doc_id, count(*) AS n_in,
+        |       CAST(sum(CAST(floor(1000000000000.0 / deg) AS BIGINT)) AS BIGINT) AS r_scaled,
+        |       0.15 / (SELECT n FROM nd)
+        |         + 0.85 * (CAST(sum(CAST(floor(1000000000000.0 / deg) AS BIGINT)) AS DOUBLE)
+        |                   / (CAST((SELECT n FROM nd) AS DOUBLE) * 1000000000000.0)) AS rank
+        |FROM sym JOIN deg USING (src)
+        |GROUP BY dst ORDER BY doc_id""".stripMargin,
     "q_cluster_assign" ->
       """WITH dims AS (
         |  SELECT vec_id, label, i - 1 AS pos,

@@ -195,6 +195,39 @@ class BehaviorSpec extends SparkSuite {
     kept.foreach { case (src, n) => assert(n == quota, s"$src kept $n != quota $quota") }
   }
 
+  test("pagerank_step: in-degree symmetry and contribution accounting") {
+    val pr = VectorOps.qPagerankStep(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val edges = VectorOps.qDedupNgram(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pr.nonEmpty && edges.nonEmpty)
+    // symmetrized graph: in-degree equals degree; node set = edge endpoints
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+    assert(pr.map(_._1).toSet == deg.keys.toSet)
+    pr.foreach { case (id, nIn, rScaled, rank) =>
+      assert(nIn == deg(id), s"doc $id: n_in $nIn != degree ${deg(id)}")
+      assert(rScaled >= nIn, "each neighbor contributes at least floor(1e12/maxdeg) >= 1")
+      assert(rank > 0.0 && rank < 1.0)
+    }
+    // hand-recompute r_scaled from the edge list
+    val expected = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._2).view.mapValues(_.map { case (src, _) =>
+        math.floor(1e12 / deg(src)).toLong }.sum)
+    pr.foreach { case (id, _, rScaled, _) =>
+      assert(rScaled == expected(id), s"doc $id: r_scaled $rScaled != ${expected(id)}")
+    }
+  }
+
+  test("anomaly_days: daily rollup accounts for all events; z-scores center at zero") {
+    val rows = Behavior.qAnomalyDays(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(5)))
+    assert(rows.map(_._2).sum == Tables.events(spark, sf001).count())
+    rows.groupBy(_._1).foreach { case (et, days) =>
+      val zSum = days.map(_._3).sum
+      assert(math.abs(zSum) < 1e-6, s"$et: z-scores sum to $zSum, expected ~0")
+    }
+  }
+
   test("sql_q18: every order in the result truly exceeds the quantity threshold") {
     val res = queries.Relational.qSqlQ18(spark, sf001).collect()
     assert(res.nonEmpty, "threshold too high for sf0.001 fixture")
