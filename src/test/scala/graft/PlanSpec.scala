@@ -155,6 +155,38 @@ class PlanSpec extends SparkSuite {
       s"bucket bitmaps must partial-aggregate before crossing the wire:\n${p.take(3000)}")
   }
 
+  test("q_sql_q18: IN-subquery plans as a semi join; top-100 avoids a global sort") {
+    val p = plan("q_sql_q18")
+    assert(p.contains("LeftSemi"),
+      "grouped-HAVING IN subquery must decorrelate to a left-semi join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "SQL top-100 must not plan a global sort")
+  }
+
+  test("q_cluster_assign broadcasts the centroid table and partial-aggregates the dots") {
+    val p = plan("q_cluster_assign")
+    assert(p.contains("BroadcastHashJoin"),
+      "KxD centroid table must broadcast, never shuffle the exploded lanes")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    assert(firstHashAgg >= 0 && p.lastIndexOf("HashAggregate") != firstHashAgg,
+      "dot-product sums must partial-aggregate map-side")
+  }
+
+  test("q_anomaly_days broadcasts the per-type stats back onto the daily rollup") {
+    val p = plan("q_anomaly_days")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_interval_union and q_time_weighted_avg shuffle once on user_id") {
+    Seq("q_interval_union", "q_time_weighted_avg").foreach { n =>
+      val p = SparkEntry.queries(n)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges == 1,
+        s"$n: expected the windows + per-user aggregate to share one user_id shuffle, got $hashExchanges:\n${p.take(3000)}")
+    }
+  }
+
   test("q_sessionize shuffles once on user_id (window + groupBy share the partitioning)") {
     // count Exchange OPERATORS ('Exchange hashpartitioning' node headers),
     // not bare 'hashpartitioning(' substrings — the bare token also appears
