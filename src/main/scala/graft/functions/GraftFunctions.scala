@@ -43,6 +43,10 @@ object GraftFunctions {
       info("graft_cms_sketch", classOf[CmsSketchAgg],
         "graft_cms_sketch(x) - mergeable count-min-sketch frequency aggregate (serialized sketch bytes)"),
       (es: Seq[Expression]) => CmsSketchAgg(es.head)),
+    (FunctionIdentifier("graft_int8_codes"),
+      info("graft_int8_codes", classOf[Int8Codes],
+        "graft_int8_codes(v) - comma-joined int8 linear-quantization codes of an array<float> vector (codegen'd, fused min/max + quantize loop)"),
+      (es: Seq[Expression]) => Int8Codes(es.head)),
   )
 
   /** Register every graft function into an existing session (temp-function

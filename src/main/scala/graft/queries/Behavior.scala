@@ -181,7 +181,48 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  // Conditional decimal sums for the A/B arms, shared textually with the
+  // oracle. The ×100/×10000 lifts re-route the final decimal→double casts
+  // through scale-0 values (single rounding on both engines — the
+  // q_time_weighted_avg lesson applied preemptively: these sums grow with
+  // corpus size and WILL cross 2^53 unscaled at some SF).
+  // Intermediate casts stay well under 38 digits so NEITHER engine hits
+  // its decimal-overflow path (Spark would silently shrink the scale,
+  // DuckDB would reject the multiply): per-row squares fit DECIMAL(20,4)
+  // (value² < 10⁶), arm sums are re-bounded to DECIMAL(30,·) (10²⁸
+  // capacity — beyond any SF) before the small integer lift.
+  private def armSum(grp: Int): String =
+    s"CAST(CAST(CAST(sum(CASE WHEN user_id % 2 = $grp THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(30,2)) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0"
+  private def armSumSq(grp: Int): String =
+    s"CAST(CAST(CAST(sum(CASE WHEN user_id % 2 = $grp THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(20,4)) END) AS DECIMAL(30,4)) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0"
+
+  /** Deterministic A/B comparison (Welch t): users split into arms by a
+    * deterministic id hash (`user_id % 2` here; a production split salts
+    * and hashes), per event type the two arms' means are compared with
+    * the unequal-variance t statistic. Moments come from exact
+    * conditional DECIMAL sums in ONE aggregation pass over the events
+    * (no per-arm subqueries, map-side combinable), and the mean/variance/
+    * t finish is a closed-form double expression shared textually with
+    * the oracle — the experimentation-platform query, hash-matchable. */
+  def qAbTtest(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy("event_type")
+      .agg(
+        expr("count(CASE WHEN user_id % 2 = 0 THEN 1 END)").as("n_a"),
+        expr("count(CASE WHEN user_id % 2 = 1 THEN 1 END)").as("n_b"),
+        expr(armSum(0)).as("sv_a"), expr(armSum(1)).as("sv_b"),
+        expr(armSumSq(0)).as("svv_a"), expr(armSumSq(1)).as("svv_b"))
+      .withColumn("mean_a", expr("sv_a / n_a"))
+      .withColumn("mean_b", expr("sv_b / n_b"))
+      .withColumn("var_a", expr("(svv_a - sv_a * sv_a / n_a) / (n_a - 1)"))
+      .withColumn("var_b", expr("(svv_b - sv_b * sv_b / n_b) / (n_b - 1)"))
+      .withColumn("t_stat",
+        expr("(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)"))
+      .select("event_type", "n_a", "n_b", "mean_a", "mean_b", "t_stat")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_ttest" -> qAbTtest _,
     "q_anomaly_days" -> qAnomalyDays _,
     "q_retention" -> qRetention _,
     "q_event_transitions" -> qEventTransitions _,
@@ -192,6 +233,20 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ab_ttest" ->
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |         count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+         |         count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
+         |         ${armSum(0)} AS sv_a, ${armSum(1)} AS sv_b,
+         |         ${armSumSq(0)} AS svv_a, ${armSumSq(1)} AS svv_b
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type, n_a, n_b,
+         |       sv_a / n_a AS mean_a, sv_b / n_b AS mean_b,
+         |       ((sv_a / n_a) - (sv_b / n_b))
+         |         / sqrt(((svv_a - sv_a * sv_a / n_a) / (n_a - 1)) / n_a
+         |              + ((svv_b - sv_b * sv_b / n_b) / (n_b - 1)) / n_b) AS t_stat
+         |FROM g ORDER BY event_type""".stripMargin,
     "q_anomaly_days" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

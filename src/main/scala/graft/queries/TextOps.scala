@@ -464,7 +464,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** One BPE merge-selection step — the kernel a byte-pair-encoding
+    * tokenizer trainer iterates: count adjacent character pairs across
+    * the corpus vocabulary WEIGHTED by word frequency (the word table is
+    * the compression: pair counting touches each distinct word once, not
+    * each corpus token), then pick the top pairs — rank 1 is the next
+    * merge. Pure integer counting; two partial-agg groupBys (word freq,
+    * then pair totals) + TakeOrderedAndProject. A full trainer loops:
+    * merge rank-1, re-pair, repeat — each iteration is exactly this
+    * distributed shape. */
+  def qBpeStep(s: SparkSession, sf: String): DataFrame = {
+    val words = Tables.documents(s, sf)
+      .repartition(col("doc_id"))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("w"), col("f"), explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("f"))
+      .groupBy("pair").agg(sum("f").as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_step" -> qBpeStep _,
     "q_text_colloc" -> qTextColloc _,
     "q_token_rarity" -> qTokenRarity _,
     "q_domain_mix" -> qDomainMix _,
@@ -493,6 +516,18 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_step" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, i, 2) AS pair, f
+        |  FROM words, UNNEST(range(1, length(w))) AS r(i)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "q_text_colloc" ->
       """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT unnest(t) AS w FROM d),

@@ -228,6 +228,49 @@ class BehaviorSpec extends SparkSuite {
     }
   }
 
+  test("bpe_step: top-20 pairs match a pure-Scala recomputation") {
+    val got = TextOps.qBpeStep(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val texts = Tables.documents(spark, sf001).select("text").collect().map(_.getString(0))
+    val wordFreq = texts.flatMap(_.split(" ", -1)).groupBy(identity).view.mapValues(_.size.toLong)
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    wordFreq.foreach { case (w, f) =>
+      if (w.length >= 2) (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+      }
+    }
+    val expected = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == expected, s"got ${got.take(5).toSeq} expected ${expected.take(5)}")
+  }
+
+  test("ab_ttest: arm sizes partition each event type; t matches a double recompute") {
+    val rows = Behavior.qAbTtest(spark, sf001).collect()
+    val ev = Tables.events(spark, sf001)
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet == byType.keySet)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val (a, b) = byType(et).partition(_._2 % 2 == 0)
+      assert(r.getLong(1) == a.length && r.getLong(2) == b.length)
+      def stats(xs: Array[(String, Long, Double)]) = {
+        val vs = xs.map(x => BigDecimal(x._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        val n = vs.length
+        val sv = vs.sum.toDouble
+        val svv = vs.map(v => v * v).sum.toDouble
+        val mu = sv / n
+        (n, mu, (svv - sv * sv / n) / (n - 1))
+      }
+      val (na, ma, va) = stats(a); val (nb, mb, vb) = stats(b)
+      val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+      assert(math.abs(r.getDouble(3) - ma) < 1e-9, s"$et mean_a")
+      assert(math.abs(r.getDouble(4) - mb) < 1e-9, s"$et mean_b")
+      assert(math.abs(r.getDouble(5) - t) < 1e-9, s"$et t: got ${r.getDouble(5)} want $t")
+    }
+  }
+
   test("sql_q18: every order in the result truly exceeds the quantity threshold") {
     val res = queries.Relational.qSqlQ18(spark, sf001).collect()
     assert(res.nonEmpty, "threshold too high for sf0.001 fixture")
