@@ -221,7 +221,47 @@ object Behavior {
       .select("event_type", "n_a", "n_b", "mean_a", "mean_b", "t_stat")
       .orderBy("event_type")
 
+  /** Survivorship / golden-record merge — the entity-resolution step after
+    * dedup clusters records: one surviving row per user assembled by
+    * per-attribute rules (latest NON-NULL measurement — error events
+    * carry no value; latest event type; first/last seen). One full-frame
+    * window per user over the (ts, event_id) total order; the DISTINCT
+    * collapse reuses the same partitioning. last(ignoreNulls) over an
+    * unbounded frame is the per-column survivorship rule — adding
+    * attributes is adding window columns, not passes. */
+  def qGoldenRecord(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+      .select(col("user_id"),
+        count(lit(1)).over(w).as("n_events"),
+        first("ts").over(w).as("first_ts"),
+        last("ts").over(w).as("last_ts"),
+        last("v", ignoreNulls = true).over(w).as("golden_value"),
+        last("event_type").over(w).as("last_type"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
+  /** Ratio-to-report: each event type's share of its day's traffic — the
+    * mix-shift dashboard query. The daily rollup shuffles once; the
+    * day-partitioned total window reuses nothing heavier than the
+    * already-aggregated rollup; the share divides two exact longs. */
+  def qShareOfTotal(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("day")
+    daily.withColumn("day_total", sum("n").over(w))
+      .withColumn("share", col("n").cast("double") / col("day_total"))
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_golden_record" -> qGoldenRecord _,
+    "q_share_of_total" -> qShareOfTotal _,
     "q_ab_ttest" -> qAbTtest _,
     "q_anomaly_days" -> qAnomalyDays _,
     "q_retention" -> qRetention _,
@@ -233,6 +273,26 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_golden_record" ->
+      """SELECT DISTINCT user_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_events,
+        |       first_value(ts) OVER w AS first_ts,
+        |       last_value(ts) OVER w AS last_ts,
+        |       last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+        |         OVER w AS golden_value,
+        |       last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
+    "q_share_of_total" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n,
+        |       CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
+        |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS share
+        |FROM daily ORDER BY day, event_type""".stripMargin,
     "q_ab_ttest" ->
       s"""WITH g AS (
          |  SELECT event_type,

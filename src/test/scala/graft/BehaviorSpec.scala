@@ -271,6 +271,39 @@ class BehaviorSpec extends SparkSuite {
     }
   }
 
+  test("golden_record: one survivor per user with the latest non-error value") {
+    val rows = Behavior.qGoldenRecord(spark, sf001).collect()
+    val ev = Tables.events(spark, sf001)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val byUser = ev.groupBy(_._1)
+    assert(rows.length == byUser.size, "exactly one golden row per user")
+    assert(rows.map(r => r.getLong(1)).sum == ev.length)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val ordered = byUser(u).sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+      val lastNonErr = ordered.reverse.find(_._4 != "error")
+      lastNonErr match {
+        case Some(e) => assert(r.getDouble(4) == e._5, s"user $u golden_value")
+        case None => assert(r.isNullAt(4), s"user $u: all-error user must have null golden")
+      }
+      assert(r.getString(5) == ordered.last._4, s"user $u last_type")
+    }
+  }
+
+  test("share_of_total: per-day shares sum to one and totals account for all events") {
+    val rows = Behavior.qShareOfTotal(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val byDay = rows.groupBy(_._1)
+    byDay.foreach { case (day, es) =>
+      val total = es.head._3
+      assert(es.forall(_._3 == total), s"$day: inconsistent day_total")
+      assert(es.map(_._2).sum == total, s"$day: counts don't sum to total")
+      assert(math.abs(es.map(_._4).sum - 1.0) < 1e-12, s"$day: shares don't sum to 1")
+    }
+    assert(rows.map(_._2).sum == Tables.events(spark, sf001).count())
+  }
+
   test("sql_q18: every order in the result truly exceeds the quantity threshold") {
     val res = queries.Relational.qSqlQ18(spark, sf001).collect()
     assert(res.nonEmpty, "threshold too high for sf0.001 fixture")
