@@ -314,10 +314,13 @@ object Analytics {
   // lane lands at position 2i, bit i of the day lane at 2i+1. Engine
   // syntax differs (Spark shiftleft/shiftright functions vs DuckDB
   // operators) but every op is exact integer arithmetic, so the 32-bit
-  // z-values are identical.
-  private val zvalSpark =
-    "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> " +
-      "acc + shiftleft(shiftright(ck, i) & 1, 2 * i) + shiftleft(shiftright(dy, i) & 1, 2 * i + 1))"
+  // z-values are identical. The 16 lanes are UNROLLED into one flat sum:
+  // the equivalent `aggregate(sequence(0,15), …)` HOF fold is
+  // CodegenFallback — interpreted per row, measured 1.0 s vs ~0.1 s at
+  // sf0.1 — while the unrolled shifts stay inside WholeStageCodegen.
+  private val zvalSpark = (0 until 16).map(i =>
+    s"shiftleft(shiftright(ck, $i) & 1, ${2 * i}) + shiftleft(shiftright(dy, $i) & 1, ${2 * i + 1})")
+    .mkString("CAST(0 AS BIGINT) + ", " + ", "")
 
   /** Z-order layout audit — the multi-dimensional clustering key for
     * 100 TB parquet layout: interleaving the bits of (custkey, order-day)

@@ -276,6 +276,16 @@ class ExtraOpsSpec extends SparkSuite {
     val total = spark.sql("SELECT count(*) FROM documents").head.getLong(0)
     assert(est >= exactWeb && est <= exactWeb + math.ceil(0.001 * total).toLong + 5,
       s"SQL-built CMS estimate $est outside bounds around $exactWeb")
+    // int8 quantization codes are SQL-reachable and match the Column API
+    val sqlCodes = spark.sql(
+      "SELECT vec_id, graft_int8_codes(embedding) AS q FROM embeddings ORDER BY vec_id LIMIT 20")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val colCodes = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.int8Codes(col("embedding")).as("q"))
+      .orderBy("vec_id").limit(20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sqlCodes == colCodes, "SQL and Column API must produce identical codes")
   }
 
   test("chunker covers every token exactly: windows tile the doc with stride overlap") {

@@ -129,4 +129,25 @@ class PropertySpec extends SparkSuite {
         fold(xs) == model
     })
   }
+
+  test("Int8Quant kernel: codes in range, endpoints pinned, dequant error within half a step") {
+    import graft.functions.Int8Quant
+    val vec = Gen.nonEmptyListOf(Gen.chooseNum(-100.0f, 100.0f))
+      .suchThat(xs => xs.max > xs.min) // degenerate (constant) vectors raise by contract
+    check("int8 quant", 200, Prop.forAll(vec) { xs =>
+      val arr = xs.toArray
+      val codes = Int8Quant.codes(arr).toString.split(',').map(_.toInt)
+      val lmin = arr.min.toDouble; val lmax = arr.max.toDouble
+      val step = (lmax - lmin) / 255.0
+      codes.length == arr.length &&
+        codes.forall(c => c >= -128 && c <= 127) &&
+        codes(arr.indexOf(arr.min)) == -128 &&
+        codes(arr.indexOf(arr.max)) == 127 &&
+        arr.zip(codes).forall { case (x, c) =>
+          // reconstruction from the code center lands within half a step
+          // (+ a whisker for the double arithmetic)
+          math.abs((c + 128) * step + lmin - x.toDouble) <= step / 2 + 1e-9
+        }
+    })
+  }
 }
