@@ -673,7 +673,31 @@ object Relational {
          |ORDER BY o_totalprice DESC, o_orderkey
          |LIMIT 100""".stripMargin)
 
+  /** TPC-H Q5 shape (local-supplier volume) through the text SQL surface —
+    * the join-ORDER exhibit: six tables, where Catalyst must broadcast
+    * the region→nation chain, route customer/supplier through it, and
+    * keep the orders⨝lineitem backbone as the one big shuffle; the
+    * co-location predicate (customer and supplier in the same nation)
+    * rides the join, not a post-filter. Revenue is the exact decimal
+    * fragment shared with every other revenue oracle. */
+  def qSqlQ5(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT n_name, ${sumAsDouble(revDec)} AS revenue, count(*) AS n_items
+         |FROM parquet.`$sf/customer.parquet`
+         |JOIN parquet.`$sf/orders.parquet`   ON c_custkey = o_custkey
+         |JOIN parquet.`$sf/lineitem.parquet` ON l_orderkey = o_orderkey
+         |JOIN parquet.`$sf/supplier.parquet` ON l_suppkey = s_suppkey
+         |                                    AND c_nationkey = s_nationkey
+         |JOIN parquet.`$sf/nation.parquet`   ON s_nationkey = n_nationkey
+         |JOIN parquet.`$sf/region.parquet`   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= timestamp'1996-01-01'
+         |  AND o_orderdate < timestamp'1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q5" -> qSqlQ5 _,
     "q_sql_q18" -> qSqlQ18 _,
     "q_sql_q3" -> qSqlQ3 _,
     "q_join_lateral" -> qJoinLateral _,
@@ -748,6 +772,19 @@ object Relational {
       """SELECT l_returnflag, count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_q5" ->
+      s"""SELECT n_name, ${sumAsDouble(revDec)} AS revenue, count(*) AS n_items
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= timestamp'1996-01-01'
+         |  AND o_orderdate < timestamp'1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_sql_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty

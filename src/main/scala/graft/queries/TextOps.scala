@@ -448,9 +448,14 @@ object TextOps {
     * rank under a deterministic content-hash order (sha256 of text,
     * doc_id tie-break), so the kept set is stable across runs, engines,
     * and cluster layouts — never an RNG draw. One shuffle to rank within
-    * each source; the 1-row target size broadcasts into the filter. At
-    * 100 TB the same shape holds with a per-source rate map instead of
-    * the min (the rank threshold is the only thing that changes). */
+    * each source; the 1-row target size broadcasts into the filter.
+    * Scale note: the rank window sorts each source partition — the price
+    * of an EXACT per-source quota (and of oracle equality). At 100 TB
+    * the standard trade is the shuffle-free variant: keep rows whose
+    * hash VALUE falls below quota/count scaled to the hash range — same
+    * hash, same determinism, approximate quota (binomial jitter), no
+    * sort. This exhibit keeps the exact form; swap the filter, not the
+    * shape, to scale. */
   def qDomainMix(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
     val target = docs.groupBy("source").agg(count(lit(1)).as("c"))

@@ -163,6 +163,14 @@ class PlanSpec extends SparkSuite {
       "SQL top-100 must not plan a global sort")
   }
 
+  test("q_sql_q5: dimension chain broadcasts; region filter reaches the scan") {
+    val p = plan("q_sql_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "region→nation (and their consumers) must broadcast, not shuffle")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "region filter must push into the parquet scan")
+  }
+
   test("q_cluster_assign broadcasts the centroid table and partial-aggregates the dots") {
     val p = plan("q_cluster_assign")
     assert(p.contains("BroadcastHashJoin"),
