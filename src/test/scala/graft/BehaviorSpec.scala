@@ -304,6 +304,26 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.map(_._2).sum == Tables.events(spark, sf001).count())
   }
 
+  test("multimodal frames: extents stay inside the blob and sampled indices are strided") {
+    def n(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
+    val rows = queries.Media.qMultimodalFrames(spark, sf001).collect()
+      .map(r => (n(r, 0), n(r, 1), n(r, 2), n(r, 3)))
+    val meta = queries.Media.qMultimodalMeta(spark, sf001).collect()
+      .map(r => n(r, 0) -> (n(r, 1), n(r, 5))).toMap // byte_len, n_frames
+    assert(rows.nonEmpty && rows.map(_._1).toSet == meta.keySet)
+    rows.groupBy(_._1).foreach { case (id, fs) =>
+      val (byteLen, nFrames) = meta(id)
+      val idxs = fs.map(_._2).sorted
+      assert(idxs.head == 0 && idxs.last < nFrames)
+      assert(idxs.length <= 4, s"doc $id: stride must keep at most 4 frames, got ${idxs.length}")
+      fs.foreach { case (_, idx, off, sz) =>
+        assert(sz == byteLen / nFrames)
+        assert(off == idx * sz && off + sz <= byteLen,
+          s"doc $id frame $idx: extent [$off, ${off + sz}) outside blob of $byteLen")
+      }
+    }
+  }
+
   test("sql_q18: every order in the result truly exceeds the quantity threshold") {
     val res = queries.Relational.qSqlQ18(spark, sf001).collect()
     assert(res.nonEmpty, "threshold too high for sf0.001 fixture")
