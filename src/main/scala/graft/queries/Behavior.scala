@@ -259,7 +259,34 @@ object Behavior {
       .orderBy("day", "event_type")
   }
 
+  /** Audience overlap: exact Jaccard between every pair of event types'
+    * distinct-user sets — the segment-overlap query behind campaign
+    * planning and dedup across cohorts. The distinct audience table
+    * shuffles once on user_id; the self-join on the user key turns pair
+    * intersection into an equi-join (K² pair keys never materialize
+    * outside the per-user K-row neighborhood); set sizes broadcast back
+    * onto the tiny pair matrix. At extreme cardinality the same query
+    * swaps the exact distinct for the mergeable-sketch path
+    * (q_agg_hll / theta-style), trading exactness for fixed memory. */
+  def qSetOverlap(s: SparkSession, sf: String): DataFrame = {
+    val ut = Tables.events(s, sf)
+      .select("event_type", "user_id").distinct()
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = ut.select(col("event_type").as("type_a"), col("user_id"))
+      .join(ut.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .select("type_a", "type_b", "n_a", "n_b", "n_inter", "jaccard")
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_overlap" -> qSetOverlap _,
     "q_golden_record" -> qGoldenRecord _,
     "q_share_of_total" -> qShareOfTotal _,
     "q_ab_ttest" -> qAbTtest _,
@@ -273,6 +300,20 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_set_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_inter
+        |  FROM ut a JOIN ut b USING (user_id)
+        |  WHERE a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.event_type = type_a
+        |JOIN sz sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_golden_record" ->
       """SELECT DISTINCT user_id,
         |       CAST(count(*) OVER w AS BIGINT) AS n_events,

@@ -431,12 +431,17 @@ object TextOps {
     val toks = Tables.documents(s, sf)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val df = toks.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    toks.join(df, Seq("tok"))
+    // per-doc term frequencies FIRST: the df join then moves one row per
+    // DISTINCT (doc, term), not one per token occurrence — on a natural
+    // corpus that is the difference between shuffling the corpus and
+    // shuffling its vocabulary footprint, and Σ tf·df ≡ Σ-over-occurrences
+    // df exactly (integer arithmetic, same result)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("tok"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum("df").as("sum_df"),
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("df")).as("sum_df"),
         min("df").as("min_df"))
       .withColumn("mean_df", col("sum_df").cast("double") / col("n_tokens"))
       .orderBy("doc_id")

@@ -304,6 +304,19 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.map(_._2).sum == Tables.events(spark, sf001).count())
   }
 
+  test("set_overlap: all pairs present; intersections bounded by set sizes") {
+    val rows = Behavior.qSetOverlap(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val types = Tables.events(spark, sf001).select("event_type").distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2, "every unordered type pair exactly once")
+    rows.foreach { case (a, b, na, nb, inter, j) =>
+      assert(a < b)
+      assert(inter <= math.min(na, nb), s"$a/$b: intersection exceeds a set size")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - inter.toDouble / (na + nb - inter)) < 1e-15)
+    }
+  }
+
   test("multimodal frames: extents stay inside the blob and sampled indices are strided") {
     def n(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
     val rows = queries.Media.qMultimodalFrames(spark, sf001).collect()
