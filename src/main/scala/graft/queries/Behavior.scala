@@ -285,7 +285,35 @@ object Behavior {
       .orderBy("type_a", "type_b")
   }
 
+  /** Event-time lateness audit — the measurement that PICKS a watermark
+    * delay before anyone turns on a streaming job: within each user's
+    * arrival order (event_id), how far behind the running max event-time
+    * does each event arrive? The out-of-order magnitudes are bucketed
+    * (on-time / <1 min / <1 h / ≥1 h) and counted; the watermark should
+    * cover the bucket mass you refuse to drop. Running max over a
+    * 1-preceding frame + integer µs arithmetic; one user_id shuffle
+    * shared by window and final rollup's partial aggregation. */
+  def qLatenessAudit(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_max", max("ts_us").over(w))
+      .withColumn("late_us", // coalesce: first arrival has no predecessor
+        greatest(lit(0L), coalesce(col("prev_max") - col("ts_us"), lit(0L))))
+      .withColumn("bucket",
+        when(col("late_us") === 0, "ontime")
+          .when(col("late_us") < 60L * 1000000L, "lt1m")
+          .when(col("late_us") < 3600L * 1000000L, "lt1h")
+          .otherwise("ge1h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), max("late_us").as("max_late_us"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateness_audit" -> qLatenessAudit _,
     "q_set_overlap" -> qSetOverlap _,
     "q_golden_record" -> qGoldenRecord _,
     "q_share_of_total" -> qShareOfTotal _,
@@ -300,6 +328,22 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lateness_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM events),
+        |l AS (
+        |  SELECT greatest(0, coalesce(prev_max - ts_us, 0)) AS late_us FROM e),
+        |b AS (
+        |  SELECT CASE WHEN late_us = 0 THEN 'ontime'
+        |              WHEN late_us < 60000000 THEN 'lt1m'
+        |              WHEN late_us < 3600000000 THEN 'lt1h'
+        |              ELSE 'ge1h' END AS bucket, late_us
+        |  FROM l)
+        |SELECT bucket, count(*) AS n, max(late_us) AS max_late_us
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_set_overlap" ->
       """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
         |sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),

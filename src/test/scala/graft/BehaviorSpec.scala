@@ -304,6 +304,24 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.map(_._2).sum == Tables.events(spark, sf001).count())
   }
 
+  test("lateness audit: buckets partition all events; on-time includes every first arrival") {
+    val rows = Behavior.qLatenessAudit(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val total = Tables.events(spark, sf001).count()
+    val nUsers = Tables.events(spark, sf001).select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == total, "buckets must partition the event stream")
+    val ontime = rows.find(_._1 == "ontime")
+    assert(ontime.exists(_._2 >= nUsers), "each user's first arrival is on-time by definition")
+    rows.foreach { case (b, _, maxLate) =>
+      b match {
+        case "ontime" => assert(maxLate == 0)
+        case "lt1m" => assert(maxLate > 0 && maxLate < 60000000L)
+        case "lt1h" => assert(maxLate >= 60000000L && maxLate < 3600000000L)
+        case "ge1h" => assert(maxLate >= 3600000000L)
+      }
+    }
+  }
+
   test("set_overlap: all pairs present; intersections bounded by set sizes") {
     val rows = Behavior.qSetOverlap(spark, sf001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
