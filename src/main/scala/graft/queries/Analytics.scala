@@ -372,7 +372,47 @@ object Analytics {
       .orderBy("day", "event_type")
   }
 
+  /** Data-quality check suite — the dbt-style audit a pipeline runs
+    * before promoting a batch: primary-key uniqueness, referential
+    * integrity (orphaned facts), accepted value ranges, and null rates,
+    * each as one aggregate over its table, unioned into a single
+    * (check, n_checked, n_violations) report. Each check is a partial-agg
+    * scan or an anti-join — no check shuffles anything wider than its
+    * violation count; adding a check is adding a union branch. */
+  def qDqChecks(s: SparkSession, sf: String): DataFrame = {
+    val orders = Tables.orders(s, sf)
+    val lineitem = Tables.lineitem(s, sf)
+    val events = Tables.events(s, sf)
+    val docs = Tables.documents(s, sf)
+    val pkUnique = orders.agg(
+      lit("orders_pk_unique").as("check"),
+      count(lit(1)).as("n_checked"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+    val orphans = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left") // PK side: no fan-out
+      .agg(lit("lineitem_orphans").as("check"),
+        count(lit(1)).as("n_checked"),
+        count(when(col("o_orderkey").isNull, 1)).as("n_violations"))
+    val valueRange = events.agg(
+      lit("events_value_range").as("check"),
+      count(lit(1)).as("n_checked"),
+      count(when(col("value") < 0 || col("value") > 1000, 1)).as("n_violations"))
+    val nullProps = events.agg(
+      lit("events_props_notnull").as("check"),
+      count(lit(1)).as("n_checked"),
+      count(when(col("props").isNull, 1)).as("n_violations"))
+    val docEmpty = docs.agg(
+      lit("documents_nonempty").as("check"),
+      count(lit(1)).as("n_checked"),
+      count(when(col("n_chars") <= 0, 1)).as("n_violations"))
+    pkUnique.unionByName(orphans).unionByName(valueRange)
+      .unionByName(nullProps).unionByName(docEmpty)
+      .orderBy("check")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> qDqChecks _,
     "q_mv_incremental" -> qMvIncremental _,
     "q_agg_skewkurt" -> qAggSkewKurt _,
     "q_zorder_layout" -> qZorderLayout _,
@@ -390,6 +430,28 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_pk_unique' AS "check", count(*) AS n_checked,
+        |         count(*) - count(DISTINCT o_orderkey) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_orphans', count(*),
+        |         count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'events_value_range', count(*),
+        |         count(CASE WHEN value < 0 OR value > 1000 THEN 1 END)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events_props_notnull', count(*),
+        |         count(CASE WHEN props IS NULL THEN 1 END)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents_nonempty', count(*),
+        |         count(CASE WHEN n_chars <= 0 THEN 1 END)
+        |  FROM documents)
+        |ORDER BY "check"""".stripMargin,
     "q_mv_incremental" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

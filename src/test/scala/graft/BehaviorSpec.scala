@@ -304,6 +304,18 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.map(_._2).sum == Tables.events(spark, sf001).count())
   }
 
+  test("dq checks: clean fixture passes every check with full coverage counts") {
+    val byName = Analytics.qDqChecks(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byName.size == 5)
+    assert(byName("orders_pk_unique")._1 == Tables.orders(spark, sf001).count())
+    assert(byName("lineitem_orphans")._1 == Tables.lineitem(spark, sf001).count())
+    byName.foreach { case (check, (checked, violations)) =>
+      assert(checked > 0, s"$check: empty coverage")
+      assert(violations == 0, s"$check: generated fixture must be clean, got $violations")
+    }
+  }
+
   test("lateness audit: buckets partition all events; on-time includes every first arrival") {
     val rows = Behavior.qLatenessAudit(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
