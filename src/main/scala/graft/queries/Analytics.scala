@@ -411,7 +411,27 @@ object Analytics {
       .orderBy("check")
   }
 
+  /** Running-record detection (the 1-D skyline / cummax analytic): within
+    * each order priority, the orders that set a new all-time price record
+    * at their date — "best so far" tracking, the same window shape that
+    * powers high-watermark and personal-best queries. One running max
+    * over a 1-preceding frame per priority; records are the rows strictly
+    * above it (the first row of each priority is a record by definition).
+    * Raw double comparison — both engines compare the same parquet
+    * doubles, no arithmetic. */
+  def qRunningRecords(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.orders(s, sf)
+      .withColumn("prev_record", max("o_totalprice").over(w))
+      .filter(col("prev_record").isNull || col("o_totalprice") > col("prev_record"))
+      .select("o_orderpriority", "o_orderdate", "o_orderkey", "o_totalprice", "prev_record")
+      .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_running_records" -> qRunningRecords _,
     "q_dq_checks" -> qDqChecks _,
     "q_mv_incremental" -> qMvIncremental _,
     "q_agg_skewkurt" -> qAggSkewKurt _,
@@ -430,6 +450,16 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_running_records" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderdate, o_orderkey, o_totalprice,
+        |         max(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_orderdate, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_record
+        |  FROM orders)
+        |SELECT * FROM r
+        |WHERE prev_record IS NULL OR o_totalprice > prev_record
+        |ORDER BY o_orderpriority, o_orderdate, o_orderkey""".stripMargin,
     "q_dq_checks" ->
       """SELECT * FROM (
         |  SELECT 'orders_pk_unique' AS "check", count(*) AS n_checked,

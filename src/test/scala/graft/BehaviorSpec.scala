@@ -304,6 +304,22 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.map(_._2).sum == Tables.events(spark, sf001).count())
   }
 
+  test("running records: strictly increasing within each priority, first date included") {
+    val rows = Analytics.qRunningRecords(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prio, rs) =>
+      val prices = rs.map(_._3) // already in (date, orderkey) order
+      assert(prices.zip(prices.tail).forall { case (a, b) => b > a },
+        s"$prio: record sequence must be strictly increasing")
+      // the global max of the priority class is always its last record
+      val globalMax = Tables.orders(spark, sf001)
+        .filter(col("o_orderpriority") === prio)
+        .agg(max("o_totalprice")).collect()(0).getDouble(0)
+      assert(prices.last == globalMax, s"$prio: last record must be the class max")
+    }
+  }
+
   test("dq checks: clean fixture passes every check with full coverage counts") {
     val byName = Analytics.qDqChecks(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
