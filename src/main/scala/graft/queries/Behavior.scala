@@ -312,7 +312,84 @@ object Behavior {
       .orderBy("bucket")
   }
 
+  /** Growth accounting (the new/retained/resurrected/churned matrix):
+    * each user-week is classified against the user's previous week and
+    * first week — THE weekly growth report. Distinct user-weeks shuffle
+    * once on user_id; the self-join on (user, week-1) and the first-week
+    * window reuse that partitioning; churned rows come from the mirror
+    * anti-join (active week w-1, absent week w). All integer weeks and
+    * counts. */
+  def qChurnMatrix(s: SparkSession, sf: String): DataFrame = {
+    val uw = Tables.events(s, sf)
+      // floor() explicitly: a bare int cast of the division truncates in
+      // Spark but ROUNDS in DuckDB — floor is the one shared semantic
+      .select(col("user_id"),
+        expr("CAST(floor(datediff(to_date(ts), DATE'2024-01-01') / 7.0) AS INT)").as("w"))
+      .distinct()
+      .repartition(col("user_id"))
+      .cache()
+    val fw = uw.groupBy("user_id").agg(min("w").as("first_w"))
+    val prev = uw.select(col("user_id"), (col("w") + 1).as("w"), lit(1).as("was_prev"))
+    val maxW = uw.agg(max("w").as("max_w"))
+    val active = uw.join(fw, Seq("user_id"))
+      .join(prev, Seq("user_id", "w"), "left")
+      .withColumn("status",
+        when(col("w") === col("first_w"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected"))
+      .select("w", "status")
+    val churned = prev.join(uw, Seq("user_id", "w"), "left_anti")
+      .crossJoin(broadcast(maxW))
+      .filter(col("w") <= col("max_w"))
+      .select(col("w"), lit("churned").as("status"))
+    active.unionByName(churned)
+      .groupBy("w", "status").agg(count(lit(1)).as("n_users"))
+      .orderBy("w", "status")
+  }
+
+  /** Cohort LTV curve: cumulative value per signup cohort across day
+    * offsets — retention's revenue twin (does a cohort keep PAYING, not
+    * just showing up). Per-(cohort, offset) revenue is an exact decimal
+    * sum; the cumulative curve is a decimal window sum over the tiny
+    * per-cohort offset series; doubles only at the emit boundary. */
+  def qCohortLtv(s: SparkSession, sf: String): DataFrame = {
+    val wU = Window.partitionBy("user_id")
+    val ev = Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cohort_day", min("day").over(wU))
+    val daily = ev.groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(expr("sum(CAST(value AS DECIMAL(18,2)))").as("rev_dec"))
+    val wC = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("cohort_day"), col("day_offset"),
+        col("rev_dec").cast("double").as("revenue"),
+        sum("rev_dec").over(wC).cast("double").as("cum_revenue"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Day-over-day top movers: each event type's count delta vs its
+    * previous ACTIVE day, ranked by absolute swing — the "what changed"
+    * dashboard. Lag over the tiny per-type daily series; top-20 is
+    * TakeOrderedAndProject with full deterministic tie-break. */
+  def qTopMovers(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.withColumn("prev_n", lag("n", 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("delta", col("n") - col("prev_n"))
+      .orderBy(abs(col("delta")).desc, col("day").asc, col("event_type").asc)
+      .limit(20)
+      .select("event_type", "day", "n", "prev_n", "delta")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_churn_matrix" -> qChurnMatrix _,
+    "q_cohort_ltv" -> qCohortLtv _,
+    "q_top_movers" -> qTopMovers _,
     "q_lateness_audit" -> qLatenessAudit _,
     "q_set_overlap" -> qSetOverlap _,
     "q_golden_record" -> qGoldenRecord _,
@@ -328,6 +405,54 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_churn_matrix" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS INT) AS w
+        |  FROM events),
+        |fw AS (SELECT user_id, min(w) AS first_w FROM uw GROUP BY user_id),
+        |mx AS (SELECT max(w) AS max_w FROM uw),
+        |active AS (
+        |  SELECT c.w,
+        |         CASE WHEN c.w = f.first_w THEN 'new'
+        |              WHEN p.user_id IS NOT NULL THEN 'retained'
+        |              ELSE 'resurrected' END AS status
+        |  FROM uw c
+        |  JOIN fw f ON f.user_id = c.user_id
+        |  LEFT JOIN uw p ON p.user_id = c.user_id AND p.w = c.w - 1),
+        |churned AS (
+        |  SELECT p.w + 1 AS w, 'churned' AS status
+        |  FROM uw p LEFT JOIN uw c ON c.user_id = p.user_id AND c.w = p.w + 1, mx
+        |  WHERE c.user_id IS NULL AND p.w + 1 <= max_w),
+        |allrows AS (SELECT * FROM active UNION ALL SELECT * FROM churned)
+        |SELECT w, status, count(*) AS n_users
+        |FROM allrows GROUP BY w, status ORDER BY w, status""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, value, CAST(ts AS DATE) AS day,
+        |         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM events),
+        |d AS (
+        |  SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS rev_dec
+        |  FROM e GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset,
+        |       CAST(rev_dec AS DOUBLE) AS revenue,
+        |       CAST(sum(rev_dec) OVER (PARTITION BY cohort_day ORDER BY day_offset
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+        |FROM d ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_top_movers" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, n,
+        |         lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        |  FROM daily)
+        |SELECT event_type, day, n, CAST(prev_n AS BIGINT) AS prev_n,
+        |       CAST(n - prev_n AS BIGINT) AS delta
+        |FROM l WHERE prev_n IS NOT NULL
+        |ORDER BY abs(n - prev_n) DESC, day ASC, event_type ASC LIMIT 20""".stripMargin,
     "q_lateness_audit" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,

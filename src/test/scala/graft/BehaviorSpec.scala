@@ -304,6 +304,45 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.map(_._2).sum == Tables.events(spark, sf001).count())
   }
 
+  test("churn matrix: week-0 users are all new; statuses conserve the active count") {
+    val rows = Behavior.qChurnMatrix(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val byWeek = rows.groupBy(_._1)
+    assert(byWeek(0).forall(_._2 == "new"), "week 0 has no previous week: everyone is new")
+    // per week, new+retained+resurrected equals the distinct active users
+    val uw = Tables.events(spark, sf001)
+      .select(col("user_id"),
+        expr("CAST(floor(datediff(to_date(ts), DATE'2024-01-01') / 7.0) AS INT)").as("w"))
+      .distinct().groupBy("w").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byWeek.foreach { case (w, sts) =>
+      val active = sts.filter(_._2 != "churned").map(_._3).sum
+      assert(active == uw(w), s"week $w: statuses $active != active ${uw(w)}")
+    }
+  }
+
+  test("cohort ltv: cumulative revenue is nondecreasing and ends at the cohort total") {
+    val rows = Behavior.qCohortLtv(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (cohort, offs) =>
+      val sorted = offs.sortBy(_._2)
+      val cums = sorted.map(_._4)
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"$cohort: cum_revenue must be nondecreasing")
+      assert(math.abs(sorted.map(_._3).sum - cums.last) < 1e-6,
+        s"$cohort: final cum must equal summed revenue")
+    }
+  }
+
+  test("top movers: deltas verified against the daily rollup, sorted by swing") {
+    val rows = Behavior.qTopMovers(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (_, _, n, prev, delta) => assert(delta == n - prev) }
+    val swings = rows.map(r => math.abs(r._5))
+    assert(swings.zip(swings.tail).forall { case (a, b) => a >= b }, "sorted by |delta| desc")
+  }
+
   test("running records: strictly increasing within each priority, first date included") {
     val rows = Analytics.qRunningRecords(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
