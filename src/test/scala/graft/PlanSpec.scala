@@ -55,6 +55,27 @@ class PlanSpec extends SparkSuite {
       "expected partial + final HashAggregate pair")
   }
 
+  test("BroadcastNestedLoopJoin appears only in the declared bounded cases") {
+    // Two legitimate classes, each bounded by construction:
+    //  - scalar broadcasts: a 1-row aggregate (corpus count, quota, p99,
+    //    unigram/bigram totals, max week) cross-joined onto a big frame —
+    //    the standard way to attach a global scalar without collect();
+    //  - declared quadratic/bounded pair joins: embcos (capped pair space),
+    //    the guarded cross join, sim_topk's capped probe broadcast.
+    // ANY other query acquiring a BNLJ is an accidental nested loop — the
+    // quadratic scale-killer this net exists to catch.
+    val allowed = Set(
+      "q_churn_matrix", "q_dedup_containment", "q_dedup_edit", "q_dedup_ngram",
+      "q_domain_mix", "q_filter_outliers", "q_pagerank_step", "q_sim_ivf",
+      "q_text_colloc", "q_text_tfidf", // scalar broadcasts
+      "q_dedup_embcos", "q_join_cross", "q_sim_topk") // declared pair joins
+    SparkEntry.queries.keys.filterNot(allowed).foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$n: unexpected BroadcastNestedLoopJoin — bounded-by-construction or bug?")
+    }
+  }
+
   test("no query plans a CartesianProduct except the declared cross join") {
     SparkEntry.queries.keys.filterNot(Set("q_join_cross")).foreach { n =>
       val p = plan(n)
