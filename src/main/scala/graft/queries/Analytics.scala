@@ -430,7 +430,47 @@ object Analytics {
       .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
   }
 
+  /** Equi-depth histogram: 10 equal-population price buckets with their
+    * boundaries and counts — what a range partitioner or cost-based
+    * optimizer computes before range-distributing data. The EXACT form
+    * needs a total order, so this is a declared unpartitioned-window
+    * exhibit (single-partition sort — fine at oracle scale, NOT the
+    * 100 TB plan): at scale the same statistic comes from
+    * `approx_percentile(price, array(0.1 … 0.9))` (the mergeable-sketch
+    * path already exhibited by q_agg_approx_percentile) or from Spark's
+    * own sampled RangePartitioning. Exactness here is what makes the
+    * bucket boundaries oracle-checkable. */
+  def qEquidepthHist(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, sf)
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Fulfillment-latency distribution: days from order to each line's
+    * ship date, bucketed per order priority — the supply-chain SLA
+    * histogram. One equi-join on the order key (the natural shuffle both
+    * tables already need) + integer datediff buckets. */
+  def qLatencyHist(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(s, sf).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat_days", datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .withColumn("bucket",
+        when(col("lat_days") <= 30, "m1_le30")
+          .when(col("lat_days") <= 60, "m2_le60")
+          .when(col("lat_days") <= 90, "m3_le90")
+          .otherwise("m4_gt90"))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n"), max("lat_days").as("max_days"))
+      .orderBy("o_orderpriority", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_equidepth_hist" -> qEquidepthHist _,
+    "q_latency_hist" -> qLatencyHist _,
     "q_running_records" -> qRunningRecords _,
     "q_dq_checks" -> qDqChecks _,
     "q_mv_incremental" -> qMvIncremental _,
@@ -450,6 +490,26 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_equidepth_hist" ->
+      """WITH b AS (
+        |  SELECT o_totalprice,
+        |         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n_orders,
+        |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_latency_hist" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority,
+        |         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        |       CASE WHEN lat_days <= 30 THEN 'm1_le30'
+        |            WHEN lat_days <= 60 THEN 'm2_le60'
+        |            WHEN lat_days <= 90 THEN 'm3_le90'
+        |            ELSE 'm4_gt90' END AS bucket,
+        |       count(*) AS n, max(lat_days) AS max_days
+        |FROM j GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin,
     "q_running_records" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderdate, o_orderkey, o_totalprice,

@@ -359,6 +359,32 @@ class BehaviorSpec extends SparkSuite {
     }
   }
 
+  test("equidepth hist: buckets partition the table with near-equal population and ordered ranges") {
+    val rows = Analytics.qEquidepthHist(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.orders(spark, sf001).count()
+    assert(rows.length == 10 && rows.map(_._2).sum == total)
+    val (minN, maxN) = (rows.map(_._2).min, rows.map(_._2).max)
+    assert(maxN - minN <= 1, "equi-depth buckets differ by at most one row")
+    rows.sortBy(_._1).sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3 + 1e-9, "bucket ranges must be ordered and non-overlapping")
+    }
+  }
+
+  test("latency hist: buckets account for every lineitem and respect bounds") {
+    val rows = Analytics.qLatencyHist(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getAs[Number](3).longValue))
+    assert(rows.map(_._3).sum == Tables.lineitem(spark, sf001).count())
+    rows.foreach { case (_, b, _, maxD) =>
+      b match {
+        case "m1_le30" => assert(maxD <= 30)
+        case "m2_le60" => assert(maxD > 30 && maxD <= 60)
+        case "m3_le90" => assert(maxD > 60 && maxD <= 90)
+        case "m4_gt90" => assert(maxD > 90)
+      }
+    }
+  }
+
   test("dq checks: clean fixture passes every check with full coverage counts") {
     val byName = Analytics.qDqChecks(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
