@@ -367,8 +367,8 @@ object Analytics {
       .agg(sum("n").as("n_events"),
         sum("v_dec").as("v_merged"))
       .select(col("day"), col("event_type"), col("n_events"),
-        col("v_merged").cast("double").as("sum_value"),
-        (col("v_merged").cast("double") / col("n_events")).as("avg_value"))
+        expr(Det.liftDec2("v_merged")).as("sum_value"),
+        expr(s"${Det.liftDec2("v_merged")} / n_events").as("avg_value"))
       .orderBy("day", "event_type")
   }
 
@@ -543,10 +543,10 @@ object Analytics {
         |  FROM documents)
         |ORDER BY "check"""".stripMargin,
     "q_mv_incremental" ->
-      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+      s"""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+         |       ${Det.liftDec2("sum(CAST(value AS DECIMAL(18,2)))")} AS sum_value,
+         |       ${Det.liftDec2("sum(CAST(value AS DECIMAL(18,2)))")} / count(*) AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_win_moving_avg" ->
       s"""WITH daily AS (
          |  SELECT l_shipdate AS day, sum($revDec) AS rev_dec, count(*) AS n_items

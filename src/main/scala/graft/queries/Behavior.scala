@@ -173,9 +173,13 @@ object Behavior {
         sum(col("n") * col("n")).as("sxx"))
     daily.join(broadcast(stats), Seq("event_type"))
       .withColumn("mu", expr("CAST(sx AS DOUBLE) / m"))
+      // greatest(0.0, ·) clamps the catastrophic-cancellation case (a tiny
+      // negative variance on constant series: Spark sqrt → NaN, DuckDB may
+      // error); sigma = 0 → z NULL keeps both engines off the 0/0 path
+      // (Spark's non-ANSI Divide yields NULL, DuckDB IEEE yields inf/NaN).
       .withColumn("sigma",
-        expr("sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / m)"))
-      .withColumn("z", expr("(CAST(n AS DOUBLE) - mu) / sigma"))
+        expr("sqrt(greatest(0.0, (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / m))"))
+      .withColumn("z", expr("CASE WHEN sigma = 0.0 THEN NULL ELSE (CAST(n AS DOUBLE) - mu) / sigma END"))
       .withColumn("is_anomaly", expr("abs(z) > 2.0"))
       .select("event_type", "day", "n", "mu", "sigma", "z", "is_anomaly")
       .orderBy("event_type", "day")
@@ -214,10 +218,19 @@ object Behavior {
         expr(armSumSq(0)).as("svv_a"), expr(armSumSq(1)).as("svv_b"))
       .withColumn("mean_a", expr("sv_a / n_a"))
       .withColumn("mean_b", expr("sv_b / n_b"))
-      .withColumn("var_a", expr("(svv_a - sv_a * sv_a / n_a) / (n_a - 1)"))
-      .withColumn("var_b", expr("(svv_b - sv_b * sv_b / n_b) / (n_b - 1)"))
+      // n ≤ 1 → variance undefined → NULL (Spark's non-ANSI 0-divide gives
+      // NULL, DuckDB IEEE gives inf — guard BEFORE the divide so both agree);
+      // the greatest(0.0, ·) clamp kills tiny negative variances from
+      // cancellation on constant arms (sqrt → NaN vs error). The guard also
+      // ensures greatest never sees a NULL operand (Spark skips NULLs in
+      // greatest, DuckDB does not — don't let the engines disagree there).
+      .withColumn("var_a", expr(
+        "CASE WHEN n_a <= 1 THEN NULL ELSE greatest(0.0, svv_a - sv_a * sv_a / n_a) / (n_a - 1) END"))
+      .withColumn("var_b", expr(
+        "CASE WHEN n_b <= 1 THEN NULL ELSE greatest(0.0, svv_b - sv_b * sv_b / n_b) / (n_b - 1) END"))
+      .withColumn("se", expr("sqrt(var_a / n_a + var_b / n_b)"))
       .withColumn("t_stat",
-        expr("(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)"))
+        expr("CASE WHEN se = 0.0 THEN NULL ELSE (mean_a - mean_b) / se END"))
       .select("event_type", "n_a", "n_b", "mean_a", "mean_b", "t_stat")
       .orderBy("event_type")
 
@@ -363,9 +376,13 @@ object Behavior {
       .agg(expr("sum(CAST(value AS DECIMAL(18,2)))").as("rev_dec"))
     val wC = Window.partitionBy("cohort_day").orderBy("day_offset")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.select(col("cohort_day"), col("day_offset"),
-        col("rev_dec").cast("double").as("revenue"),
-        sum("rev_dec").over(wC).cast("double").as("cum_revenue"))
+    // Both emit casts go through the scale-0 lift: these sums grow with
+    // corpus size and the raw DECIMAL→DOUBLE cast double-rounds in DuckDB
+    // past 2^53 unscaled (the q_time_weighted_avg lesson).
+    daily.withColumn("cum_dec", sum("rev_dec").over(wC))
+      .select(col("cohort_day"), col("day_offset"),
+        expr(Det.liftDec2("rev_dec")).as("revenue"),
+        expr(Det.liftDec2("cum_dec")).as("cum_revenue"))
       .orderBy("cohort_day", "day_offset")
   }
 
@@ -428,19 +445,23 @@ object Behavior {
         |SELECT w, status, count(*) AS n_users
         |FROM allrows GROUP BY w, status ORDER BY w, status""".stripMargin,
     "q_cohort_ltv" ->
-      """WITH e AS (
-        |  SELECT user_id, value, CAST(ts AS DATE) AS day,
-        |         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
-        |  FROM events),
-        |d AS (
-        |  SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
-        |         sum(CAST(value AS DECIMAL(18,2))) AS rev_dec
-        |  FROM e GROUP BY 1, 2)
-        |SELECT cohort_day, day_offset,
-        |       CAST(rev_dec AS DOUBLE) AS revenue,
-        |       CAST(sum(rev_dec) OVER (PARTITION BY cohort_day ORDER BY day_offset
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
-        |FROM d ORDER BY cohort_day, day_offset""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT user_id, value, CAST(ts AS DATE) AS day,
+         |         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+         |  FROM events),
+         |d AS (
+         |  SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+         |         sum(CAST(value AS DECIMAL(18,2))) AS rev_dec
+         |  FROM e GROUP BY 1, 2),
+         |c AS (
+         |  SELECT cohort_day, day_offset, rev_dec,
+         |         sum(rev_dec) OVER (PARTITION BY cohort_day ORDER BY day_offset
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+         |  FROM d)
+         |SELECT cohort_day, day_offset,
+         |       ${Det.liftDec2("rev_dec")} AS revenue,
+         |       ${Det.liftDec2("cum_dec")} AS cum_revenue
+         |FROM c ORDER BY cohort_day, day_offset""".stripMargin,
     "q_top_movers" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
@@ -510,13 +531,17 @@ object Behavior {
          |         count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
          |         ${armSum(0)} AS sv_a, ${armSum(1)} AS sv_b,
          |         ${armSumSq(0)} AS svv_a, ${armSumSq(1)} AS svv_b
-         |  FROM events GROUP BY event_type)
-         |SELECT event_type, n_a, n_b,
-         |       sv_a / n_a AS mean_a, sv_b / n_b AS mean_b,
-         |       ((sv_a / n_a) - (sv_b / n_b))
-         |         / sqrt(((svv_a - sv_a * sv_a / n_a) / (n_a - 1)) / n_a
-         |              + ((svv_b - sv_b * sv_b / n_b) / (n_b - 1)) / n_b) AS t_stat
-         |FROM g ORDER BY event_type""".stripMargin,
+         |  FROM events GROUP BY event_type),
+         |m AS (
+         |  SELECT event_type, n_a, n_b,
+         |         sv_a / n_a AS mean_a, sv_b / n_b AS mean_b,
+         |         CASE WHEN n_a <= 1 THEN NULL ELSE greatest(0.0, svv_a - sv_a * sv_a / n_a) / (n_a - 1) END AS var_a,
+         |         CASE WHEN n_b <= 1 THEN NULL ELSE greatest(0.0, svv_b - sv_b * sv_b / n_b) / (n_b - 1) END AS var_b
+         |  FROM g),
+         |s AS (SELECT *, sqrt(var_a / n_a + var_b / n_b) AS se FROM m)
+         |SELECT event_type, n_a, n_b, mean_a, mean_b,
+         |       CASE WHEN se = 0.0 THEN NULL ELSE (mean_a - mean_b) / se END AS t_stat
+         |FROM s ORDER BY event_type""".stripMargin,
     "q_anomaly_days" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
@@ -524,16 +549,17 @@ object Behavior {
         |st AS (
         |  SELECT event_type, count(*) AS m, CAST(sum(n) AS BIGINT) AS sx,
         |         CAST(sum(n * n) AS BIGINT) AS sxx
-        |  FROM daily GROUP BY event_type)
-        |SELECT event_type, day, n,
-        |       CAST(sx AS DOUBLE) / m AS mu,
-        |       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / m) AS sigma,
-        |       (CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / m)
-        |         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / m) AS z,
-        |       abs((CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / m)
-        |         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / m)) > 2.0 AS is_anomaly
-        |FROM daily JOIN st USING (event_type)
-        |ORDER BY event_type, day""".stripMargin,
+        |  FROM daily GROUP BY event_type),
+        |j AS (
+        |  SELECT event_type, day, n,
+        |         CAST(sx AS DOUBLE) / m AS mu,
+        |         sqrt(greatest(0.0, (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / m)) AS sigma
+        |  FROM daily JOIN st USING (event_type)),
+        |zz AS (
+        |  SELECT *, CASE WHEN sigma = 0.0 THEN NULL ELSE (CAST(n AS DOUBLE) - mu) / sigma END AS z
+        |  FROM j)
+        |SELECT event_type, day, n, mu, sigma, z, abs(z) > 2.0 AS is_anomaly
+        |FROM zz ORDER BY event_type, day""".stripMargin,
     "q_seq_pattern" ->
       """WITH s AS (
         |  SELECT user_id, count(*) AS n_events,

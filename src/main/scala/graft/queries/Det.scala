@@ -46,4 +46,16 @@ object Det {
     "(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)))"
 
   def sumAsDouble(decExpr: String): String = s"CAST(sum($decExpr) AS DOUBLE)"
+
+  /** Scale-0 lift for a scale-2 decimal aggregate that grows with corpus
+    * size (and so WILL cross 2^53 unscaled at some SF): DuckDB casts
+    * DECIMAL(p,2) to DOUBLE as double(unscaled)/100.0 — TWO roundings —
+    * while Spark rounds the decimal once. Multiplying into an exact
+    * scale-0 integer first (lossless: the value has exactly 2 decimals)
+    * and dividing back in float space makes both engines round once, on
+    * identical operands. The DECIMAL(30,2) re-bound keeps the ×100 under
+    * 38 digits on both engines (Spark would silently shrink the scale;
+    * DuckDB would reject the multiply). */
+  def liftDec2(c: String): String =
+    s"(CAST(CAST(CAST($c AS DECIMAL(30,2)) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)"
 }

@@ -448,6 +448,60 @@ class BehaviorSpec extends SparkSuite {
     }
   }
 
+  test("anomaly/ttest degenerate inputs: sigma=0 and n<=1 arms yield NULL, never NaN/Inf") {
+    // Synthetic events table hitting the divide-by-zero paths the driver
+    // fixtures never exercise: a constant daily series (sigma = 0), a
+    // single-row arm (n <= 1 -> variance undefined), and two constant arms
+    // (pooled standard error = 0). ts written as int64 nanos, matching the
+    // pandas-written fixture layout Tables.events normalizes.
+    val dir = java.nio.file.Files.createTempDirectory("degen-events").toString
+    import spark.implicits._
+    def nanos(day: Int): Long =
+      java.time.LocalDate.of(2024, 1, day).toEpochDay * 86400L * 1000000000L
+    val rows = Seq(
+      // "const": one event per day for 3 days -> daily n = [1,1,1], sigma = 0
+      (1L, nanos(1), 1L, "const", 10.00),
+      (2L, nanos(2), 1L, "const", 11.00),
+      (3L, nanos(3), 1L, "const", 12.00),
+      // "vary": counts [1,2] -> sigma > 0, z finite
+      (4L, nanos(1), 1L, "vary", 1.00),
+      (5L, nanos(2), 1L, "vary", 2.00),
+      (6L, nanos(2), 2L, "vary", 3.00),
+      // "solo": single even user -> n_a = 1, n_b = 0
+      (7L, nanos(1), 2L, "solo", 5.00),
+      // "constarm": both arms constant -> var 0 each -> se = 0
+      (8L, nanos(1), 2L, "constarm", 7.00),
+      (9L, nanos(1), 4L, "constarm", 7.00),
+      (10L, nanos(1), 1L, "constarm", 9.00),
+      (11L, nanos(1), 3L, "constarm", 9.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val anom = Behavior.qAnomalyDays(spark, dir).collect()
+    val constRows = anom.filter(_.getString(0) == "const")
+    assert(constRows.length == 3)
+    constRows.foreach { r =>
+      assert(r.getDouble(4) == 0.0, "constant series must have sigma 0")
+      assert(r.isNullAt(5), "z must be NULL when sigma = 0 (not NaN/Inf)")
+      assert(r.isNullAt(6), "is_anomaly must be NULL when z is NULL")
+    }
+    val varyRows = anom.filter(_.getString(0) == "vary")
+    assert(varyRows.nonEmpty && varyRows.forall(r =>
+      !r.isNullAt(5) && !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+
+    val tt = Behavior.qAbTtest(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(tt("solo").isNullAt(5), "n_a=1/n_b=0 must yield NULL t_stat")
+    assert(tt("constarm").isNullAt(5), "se=0 must yield NULL t_stat")
+    assert(tt("constarm").getDouble(3) == 7.0 && tt("constarm").getDouble(4) == 9.0)
+    tt.values.foreach { r =>
+      (3 to 5).foreach { i =>
+        assert(r.isNullAt(i) || (!r.getDouble(i).isNaN && !r.getDouble(i).isInfinite),
+          s"${r.getString(0)} col $i must never be NaN/Inf")
+      }
+    }
+  }
+
   test("sql_q18: every order in the result truly exceeds the quantity threshold") {
     val res = queries.Relational.qSqlQ18(spark, sf001).collect()
     assert(res.nonEmpty, "threshold too high for sf0.001 fixture")
