@@ -414,17 +414,41 @@ object Analytics {
   /** Running-record detection (the 1-D skyline / cummax analytic): within
     * each order priority, the orders that set a new all-time price record
     * at their date — "best so far" tracking, the same window shape that
-    * powers high-watermark and personal-best queries. One running max
-    * over a 1-preceding frame per priority; records are the rows strictly
-    * above it (the first row of each priority is a record by definition).
-    * Raw double comparison — both engines compare the same parquet
-    * doubles, no arithmetic. */
+    * powers high-watermark and personal-best queries.
+    *
+    * A single window partitioned by the 5-value priority would cap
+    * parallelism at 5 — one task sorting n/5 of the corpus at ANY cluster
+    * size. Instead the running max decomposes associatively into the
+    * two-phase prefix shape (the q_pack_sequences technique): (1) a
+    * per-(priority, date) max rollup (map-side-combinable partial agg);
+    * (2) an EXCLUSIVE prefix max over that tiny rollup (window over
+    * #priorities x #days rows — bounded by the calendar, not the corpus);
+    * (3) broadcast the prefix back and run the 1-preceding running max
+    * WITHIN each (priority, date) — parallelism is the number of
+    * (priority, date) buckets, proportional to the key space instead of 5.
+    * prev(row) = max(prefix of earlier dates, running max within the date):
+    * the same value set as the single window, so rows hash-match the
+    * unchanged single-window oracle. greatest() skips NULLs on both sides
+    * of the split (empty prefix for the first date, empty frame for the
+    * first row of a date) and is NULL only when BOTH are — exactly the
+    * first row of each priority, the original NULL set. Raw double
+    * max/compare — no arithmetic, no float drift. */
   def qRunningRecords(s: SparkSession, sf: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val orders = Tables.orders(s, sf)
+      .select("o_orderpriority", "o_orderdate", "o_orderkey", "o_totalprice")
+    val daily = orders.groupBy("o_orderpriority", "o_orderdate")
+      .agg(max("o_totalprice").as("day_max"))
+    val wPrefix = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.orders(s, sf)
-      .withColumn("prev_record", max("o_totalprice").over(w))
+    val prefix = daily
+      .withColumn("prefix_max", max("day_max").over(wPrefix))
+      .select("o_orderpriority", "o_orderdate", "prefix_max")
+    val wWithin = Window.partitionBy("o_orderpriority", "o_orderdate")
+      .orderBy(col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    orders.join(broadcast(prefix), Seq("o_orderpriority", "o_orderdate"))
+      .withColumn("prev_record",
+        greatest(col("prefix_max"), max("o_totalprice").over(wWithin)))
       .filter(col("prev_record").isNull || col("o_totalprice") > col("prev_record"))
       .select("o_orderpriority", "o_orderdate", "o_orderkey", "o_totalprice", "prev_record")
       .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
@@ -432,23 +456,59 @@ object Analytics {
 
   /** Equi-depth histogram: 10 equal-population price buckets with their
     * boundaries and counts — what a range partitioner or cost-based
-    * optimizer computes before range-distributing data. The EXACT form
-    * needs a total order, so this is a declared unpartitioned-window
-    * exhibit (single-partition sort — fine at oracle scale, NOT the
-    * 100 TB plan): at scale the same statistic comes from
-    * `approx_percentile(price, array(0.1 … 0.9))` (the mergeable-sketch
-    * path already exhibited by q_agg_approx_percentile) or from Spark's
-    * own sampled RangePartitioning. Exactness here is what makes the
-    * bucket boundaries oracle-checkable. */
+    * optimizer computes before range-distributing data.
+    *
+    * The EXACT form needs each row's global rank in the (price, key)
+    * total order — but a global rank does NOT need a global sort. This is
+    * the distributed exact-rank construction (what RDD zipWithIndex does,
+    * kept declarative): (1) bin rows by value range (bin = a monotone
+    * function of price, so the total order is bin-major: broadcast 1-row
+    * min/max/count scalars, fixed bin count); (2) count rows per bin and
+    * take an EXCLUSIVE prefix sum over the ≤RankBins bin counts (window
+    * over the tiny rollup — bounded by the bin count, never the corpus);
+    * (3) broadcast the offsets back and rank WITHIN each bin:
+    * global_rank = bin_offset + within-bin row_number. Parallelism is the
+    * bin count at every phase; no task ever sorts more than one bin.
+    * The ntile bucket is then closed-form arithmetic on (rank, N) — the
+    * SQL-standard split where the first N mod k buckets take one extra
+    * row — so the result hash-matches the unchanged global-ntile oracle.
+    * Degenerate all-equal-prices input collapses to one bin (guarded
+    * divide), which is the honest skew floor of any equi-depth split. */
   def qEquidepthHist(s: SparkSession, sf: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Tables.orders(s, sf)
-      .withColumn("bucket", ntile(10).over(w))
+    val orders = Tables.orders(s, sf).select("o_orderkey", "o_totalprice")
+    val bounds = orders.agg(
+      min("o_totalprice").as("pmin"), max("o_totalprice").as("pmax"),
+      count(lit(1)).as("n_total"))
+    val binned = orders.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("pmax") === col("pmin"), 0)
+          .otherwise(least(lit(RankBins - 1),
+            floor((col("o_totalprice") - col("pmin")) /
+              ((col("pmax") - col("pmin")) / RankBins)).cast("int"))))
+    val wOff = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_off", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select("bin", "bin_off")
+    val wRank = Window.partitionBy("bin")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    binned.join(broadcast(offsets), Seq("bin"))
+      .withColumn("rn", col("bin_off") + row_number().over(wRank))
+      .withColumn("bucket", expr(
+        """CASE WHEN rn <= (n_total % 10) * (n_total DIV 10 + 1)
+          |THEN (rn - 1) DIV (n_total DIV 10 + 1) + 1
+          |ELSE n_total % 10 + (rn - (n_total % 10) * (n_total DIV 10 + 1) - 1) DIV (n_total DIV 10) + 1
+          |END""".stripMargin).cast("int"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_orders"),
         min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
       .orderBy("bucket")
   }
+
+  /** Value-range bin count for the distributed exact-rank construction —
+    * the parallelism floor of qEquidepthHist's rank phase. At 100 TB this
+    * rises with the cluster (it only has to dominate the executor count);
+    * the result is bin-count-invariant, so tuning it is free. */
+  private val RankBins = 1024
 
   /** Fulfillment-latency distribution: days from order to each line's
     * ship date, bucketed per order priority — the supply-chain SLA

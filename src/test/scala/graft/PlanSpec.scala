@@ -66,8 +66,8 @@ class PlanSpec extends SparkSuite {
     // quadratic scale-killer this net exists to catch.
     val allowed = Set(
       "q_churn_matrix", "q_dedup_containment", "q_dedup_edit", "q_dedup_ngram",
-      "q_domain_mix", "q_filter_outliers", "q_pagerank_step", "q_sim_ivf",
-      "q_text_colloc", "q_text_tfidf", // scalar broadcasts
+      "q_domain_mix", "q_equidepth_hist", "q_filter_outliers", "q_pagerank_step",
+      "q_sim_ivf", "q_text_colloc", "q_text_tfidf", // scalar broadcasts
       "q_dedup_embcos", "q_join_cross", "q_sim_topk") // declared pair joins
     SparkEntry.queries.keys.filterNot(allowed).foreach { n =>
       val p = plan(n)
@@ -214,6 +214,34 @@ class PlanSpec extends SparkSuite {
       assert(hashExchanges == 1,
         s"$n: expected the windows + per-user aggregate to share one user_id shuffle, got $hashExchanges:\n${p.take(3000)}")
     }
+  }
+
+  test("q_equidepth_hist ranks within value bins — the corpus is never sorted on one task") {
+    val p = SparkEntry.queries("q_equidepth_hist")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ntile"),
+      "the global ntile is the single-reducer corpus sort this rewrite removed")
+    assert("\\], \\[bin#\\d+\\], \\[o_totalprice".r.findFirstIn(p).isDefined,
+      s"the corpus rank window must be partitioned by the value bin:\n${p.take(3000)}")
+    // single-partition exchanges may carry only aggregate rows (the 1-row
+    // bounds scalars and the <=RankBins bin-count rollup) — each must sit
+    // directly on top of a HashAggregate, never on corpus rows
+    val singles = "Exchange SinglePartition[\\s\\S]{0,250}?(HashAggregate|$)".r
+      .findAllIn(p).toList
+    assert(singles.nonEmpty && singles.forall(_.contains("HashAggregate")),
+      s"a SinglePartition exchange is carrying non-aggregated corpus rows:\n${p.take(3000)}")
+  }
+
+  test("q_running_records: per-date windows + broadcast prefix maxima, no 5-way parallelism cap") {
+    val p = SparkEntry.queries("q_running_records")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("\\], \\[o_orderpriority#\\d+, o_orderdate#\\d+\\], \\[o_orderkey".r
+      .findFirstIn(p).isDefined,
+      s"the corpus running max must be partitioned by (priority, date):\n${p.take(3000)}")
+    assert("\\], \\[o_orderpriority#\\d+\\], \\[o_orderkey".r.findFirstIn(p).isEmpty,
+      "a corpus window keyed only by the 5-value priority caps parallelism at 5")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-(priority, date) prefix maxima must broadcast back onto the corpus")
   }
 
   test("q_sessionize shuffles once on user_id (window + groupBy share the partitioning)") {
