@@ -608,7 +608,123 @@ object VectorOps {
       .orderBy("doc_id")
   }
 
+  /** Fixed iteration count of [[qPagerank]]: with damping 0.85 the
+    * residual after k iterations is bounded by 2·0.85^k of the uniform
+    * mass — at k = 40 that is ~0.3% of the 10^12 scale, comfortably under
+    * the 1% convergence guard [[PagerankTol]]. A FIXED count (rather than
+    * iterate-to-fixed-point) is what makes the query oracle-checkable:
+    * both engines run exactly the same number of exact-integer steps, so
+    * hashes match; the guard then certifies that the fixed count really
+    * did converge rather than silently emitting a transient. */
+  private[graft] val PagerankIters = 40
+  private[graft] val PagerankTol = 10000000000L // 1% of the 10^12 scale
+
+  /** Full PageRank — [[qPagerankStep]]'s loop closed, run to convergence
+    * through the same driver-loop machinery as [[connectedComponents]]:
+    * edge list symmetrized in one pass and cached, loop fan-out derived
+    * from the measured edge count, AQE/shuffle config scoped to the loop,
+    * one scalar (the final max delta) to the driver. Every iteration is
+    * exact scaled-BIGINT arithmetic — contribution floor(r div deg),
+    * damped finish (85·Σ) div 100 + 0.15·10^12 — so the iterate is
+    * order-free and bit-identical to the DuckDB recursive-CTE oracle
+    * running the same 40 steps. Ranks are in uniform-relative scale
+    * (r = rank·N·10^12, uniform start r = 10^12): exact while
+    * N·10^12 < 2^63/85, i.e. to ~10^5 corpus docs per rank unit of mass —
+    * beyond that, drop the scale one decade per 10× corpus growth.
+    * Per iteration: one equi-join + partial-agg sum at edge-mass
+    * parallelism, no driver state — linear at any scale. */
+  def qPagerank(s: SparkSession, sf: String): DataFrame = {
+    val edges = ngramPairs(Tables.documents(s, sf)).select("a_id", "b_id")
+    val nDocs = Tables.documents(s, sf).agg(count(lit(1)).as("n"))
+    pagerank(edges, PagerankIters)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rank",
+        expr("CAST(r_scaled AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)"))
+      .select("doc_id", "r_scaled", "rank")
+      .orderBy("doc_id")
+  }
+
+  /** Damped power iteration in exact scaled-BIGINT arithmetic for a fixed
+    * iteration count over an (a_id, b_id) edge frame; returns
+    * (doc_id, r_scaled) for every edge-touched vertex. Loop scaffolding
+    * mirrors [[connectedComponents]] (see its scaladoc for the rationale
+    * of each piece); differences: the per-step frames chain through
+    * cached InMemoryRelations WITHOUT a per-step action (the step count
+    * is fixed, so no convergence scalar is needed mid-loop — one terminal
+    * action materializes the whole chain), and the single driver scalar
+    * is the final-step max |delta|, which certifies convergence. */
+  private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val symRaw = edges.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    val edgeHalves = symRaw.count()
+    if (edgeHalves == 0) {
+      symRaw.unpersist()
+      return edges.sparkSession.range(0)
+        .select(col("id").as("doc_id"), col("id").as("r_scaled"))
+    }
+    val loopParts = math.min(
+      math.max(1L, (edgeHalves + (1L << 20) - 1) / (1L << 20)),
+      spark.sparkContext.defaultParallelism.toLong).toInt
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      // (src, dst, deg) contribution edges, built once: every iteration
+      // joins ranks onto THIS cached frame, never back to the pair pipeline
+      val sym = symRaw.coalesce(loopParts)
+      val symDeg = sym
+        .join(sym.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+        .cache()
+      def step(r: DataFrame): DataFrame = symDeg
+        .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("cs"))
+        .select(col("dst").as("doc_id"),
+          expr("CAST(150000000000 + (85 * cs) div 100 AS BIGINT)").as("r"))
+      var ranks = symDeg.select(col("src").as("doc_id")).distinct()
+        .withColumn("r", lit(1000000000000L))
+      // Fuse a few lazy steps per localCheckpoint: the checkpoint truncates
+      // the logical lineage, without which Catalyst's cache-lookup
+      // canonicalization over an iters-deep plan tree goes quadratic in the
+      // iteration count (measured: 40 chained cached steps plan slower than
+      // they execute by an order of magnitude). One tiny job per fused
+      // block; at scale each block is still one equi-join + partial agg per
+      // step at edge-mass parallelism. (localCheckpoint trades executor
+      // fault-tolerance for speed — a cluster deployment recovering from
+      // executor loss would use reliable checkpointing to the job dir.)
+      val fused = 8
+      var i = 0
+      while (i < iters - 1) {
+        val take = math.min(fused, iters - 1 - i)
+        var next = ranks
+        (1 to take).foreach(_ => next = step(next))
+        ranks = next.localCheckpoint()
+        i += take
+      }
+      val last = step(ranks).localCheckpoint() // r_iters; ranks = r_{iters-1}
+      val maxDelta = last
+        .join(ranks.withColumnRenamed("r", "r_prev"), Seq("doc_id"))
+        .agg(max(abs(col("r") - col("r_prev")))).collect()(0).getLong(0)
+      // never return an unconverged transient silently — same posture as
+      // connectedComponents' round-cap guard
+      if (maxDelta > PagerankTol) throw new IllegalStateException(
+        s"pagerank not converged after $iters iterations (max delta $maxDelta)")
+      symDeg.unpersist()
+      symRaw.unpersist()
+      last.select(col("doc_id"), col("r").as("r_scaled"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> qPagerank _,
     "q_pagerank_step" -> qPagerankStep _,
     "q_cluster_assign" -> qClusterAssign _,
     "q_dedup_embcos" -> qDedupEmbcos _,
@@ -622,31 +738,57 @@ object VectorOps {
     "q_embedding_outliers" -> qEmbeddingOutliers _,
   )
 
+  // Shared oracle CTE prefix: the exact bigram-Jaccard pair graph
+  // (q_dedup_ngram's edge set), symmetrized, with per-vertex degrees —
+  // used verbatim by the q_pagerank_step and q_pagerank oracles so the
+  // two can never drift apart on the graph definition.
+  private val pairGraphSql =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
+      |nd AS (SELECT count(*) AS n FROM documents),
+      |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+      |inter AS (SELECT c.a_id, c.b_id, count(*) AS ic
+      |          FROM cand c JOIN bg x ON x.doc_id = c.a_id JOIN bg y ON y.doc_id = c.b_id AND y.bg = x.bg
+      |          GROUP BY 1, 2),
+      |e AS (SELECT a_id, b_id
+      |      FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      |      WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5),
+      |sym AS (SELECT a_id AS src, b_id AS dst FROM e
+      |        UNION ALL SELECT b_id AS src, a_id AS dst FROM e),
+      |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_pagerank_step" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-        |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
-        |nd AS (SELECT count(*) AS n FROM documents),
-        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
-        |inter AS (SELECT c.a_id, c.b_id, count(*) AS ic
-        |          FROM cand c JOIN bg x ON x.doc_id = c.a_id JOIN bg y ON y.doc_id = c.b_id AND y.bg = x.bg
-        |          GROUP BY 1, 2),
-        |e AS (SELECT a_id, b_id
-        |      FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
-        |      WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5),
-        |sym AS (SELECT a_id AS src, b_id AS dst FROM e
-        |        UNION ALL SELECT b_id AS src, a_id AS dst FROM e),
-        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)
-        |SELECT dst AS doc_id, count(*) AS n_in,
-        |       CAST(sum(CAST(floor(1000000000000.0 / deg) AS BIGINT)) AS BIGINT) AS r_scaled,
-        |       0.15 / (SELECT n FROM nd)
-        |         + 0.85 * (CAST(sum(CAST(floor(1000000000000.0 / deg) AS BIGINT)) AS DOUBLE)
-        |                   / (CAST((SELECT n FROM nd) AS DOUBLE) * 1000000000000.0)) AS rank
-        |FROM sym JOIN deg USING (src)
-        |GROUP BY dst ORDER BY doc_id""".stripMargin,
+      s"""WITH $pairGraphSql
+         |SELECT dst AS doc_id, count(*) AS n_in,
+         |       CAST(sum(CAST(floor(1000000000000.0 / deg) AS BIGINT)) AS BIGINT) AS r_scaled,
+         |       0.15 / (SELECT n FROM nd)
+         |         + 0.85 * (CAST(sum(CAST(floor(1000000000000.0 / deg) AS BIGINT)) AS DOUBLE)
+         |                   / (CAST((SELECT n FROM nd) AS DOUBLE) * 1000000000000.0)) AS rank
+         |FROM sym JOIN deg USING (src)
+         |GROUP BY dst ORDER BY doc_id""".stripMargin,
+    // The recursive term is one exact-integer power-iteration step: floor
+    // contributions (// is floor division; all values positive, matching
+    // Spark's div), damped finish in integers, exactly PagerankIters
+    // times. DuckDB sums BIGINT into HUGEINT, so the (85·Σ) product
+    // cannot overflow before the final BIGINT re-cast.
+    "q_pagerank" ->
+      s"""WITH RECURSIVE $pairGraphSql,
+         |pr AS (
+         |  SELECT src AS doc_id, CAST(1000000000000 AS BIGINT) AS r, 0 AS it FROM deg
+         |  UNION ALL
+         |  SELECT s.dst AS doc_id,
+         |         CAST(150000000000 + (85 * sum(p.r // d.deg)) // 100 AS BIGINT) AS r,
+         |         p.it + 1 AS it
+         |  FROM pr p JOIN sym s ON s.src = p.doc_id JOIN deg d ON d.src = p.doc_id
+         |  WHERE p.it < ${PagerankIters}
+         |  GROUP BY s.dst, p.it)
+         |SELECT doc_id, r AS r_scaled,
+         |       CAST(r AS DOUBLE) / (CAST((SELECT n FROM nd) AS DOUBLE) * 1000000000000.0) AS rank
+         |FROM pr WHERE it = ${PagerankIters} ORDER BY doc_id""".stripMargin,
     "q_cluster_assign" ->
       """WITH dims AS (
         |  SELECT vec_id, label, i - 1 AS pos,

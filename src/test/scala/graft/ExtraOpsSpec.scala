@@ -205,6 +205,35 @@ class ExtraOpsSpec extends SparkSuite {
     }
   }
 
+  test("pagerank: converged ranks are the exact fixed point of the integer recurrence") {
+    import spark.implicits._
+    // star (hub 0, leaves 1..5) plus a detached pair {10,11}: the hub must
+    // dominate, and the distributed loop must reproduce, bit-for-bit, a
+    // plain-Scala replay of the same scaled-BIGINT recurrence (Scala / on
+    // positive longs is the same floor division as SQL div).
+    val edges = (1L to 5L).map(l => (0L, l)) :+ (10L, 11L)
+    val got = VectorOps.pagerank(edges.toDF("a_id", "b_id"), VectorOps.PagerankIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to VectorOps.PagerankIters) {
+      val contrib = sym.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = r.keys.map(k => k -> (150000000000L + 85L * contrib(k) / 100L)).toMap
+    }
+    assert(got == r, s"distributed ranks diverge from the exact replay:\n$got\nvs $r")
+    assert(got(0L) > got(1L), "hub must outrank its leaves")
+    // mass conservation: sum of ranks stays |V| (in uniform-relative
+    // scale) up to the bounded floor-division loss
+    val mass = got.values.sum
+    assert(math.abs(mass - got.size * 1000000000000L) < got.size * 1000000L,
+      s"rank mass $mass drifted from ${got.size} x 1e12")
+    // empty edge frame: no vertices, no loop, typed empty result
+    assert(VectorOps.pagerank(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"), 5).count() == 0)
+  }
+
   test("q_dedup_clusters covers every doc; edges agree with cluster assignment") {
     val docs = Tables.documents(spark, sf001)
     val clusters = VectorOps.qDedupClusters(spark, sf001).collect()

@@ -66,8 +66,8 @@ class PlanSpec extends SparkSuite {
     // quadratic scale-killer this net exists to catch.
     val allowed = Set(
       "q_churn_matrix", "q_dedup_containment", "q_dedup_edit", "q_dedup_ngram",
-      "q_domain_mix", "q_equidepth_hist", "q_filter_outliers", "q_pagerank_step",
-      "q_sim_ivf", "q_text_colloc", "q_text_tfidf", // scalar broadcasts
+      "q_domain_mix", "q_equidepth_hist", "q_filter_outliers", "q_pagerank",
+      "q_pagerank_step", "q_sim_ivf", "q_text_colloc", "q_text_tfidf", // scalar broadcasts
       "q_dedup_embcos", "q_join_cross", "q_sim_topk") // declared pair joins
     SparkEntry.queries.keys.filterNot(allowed).foreach { n =>
       val p = plan(n)
