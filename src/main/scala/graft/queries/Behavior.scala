@@ -333,14 +333,26 @@ object Behavior {
     * anti-join (active week w-1, absent week w). All integer weeks and
     * counts. */
   def qChurnMatrix(s: SparkSession, sf: String): DataFrame = {
-    val uw = Tables.events(s, sf)
+    // cache registration snapshots the physical plan: under AQE the
+    // InMemoryRelation wraps an AdaptiveSparkPlan whose output partitioning
+    // is unknown until materialized, so every consumer would insert its own
+    // user_id re-shuffle above the cache scan. Registering with AQE scoped
+    // off preserves hashpartitioning(user_id) on the cached frame — all
+    // five consumers then reuse the ONE corpus shuffle (locked in
+    // PlanSpec). distinct comes AFTER the repartition for the same reason:
+    // grouping on (user_id, w) is satisfied by the user_id partitioning,
+    // so the cached lineage itself holds a single exchange.
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val uw = try Tables.events(s, sf)
       // floor() explicitly: a bare int cast of the division truncates in
       // Spark but ROUNDS in DuckDB — floor is the one shared semantic
       .select(col("user_id"),
         expr("CAST(floor(datediff(to_date(ts), DATE'2024-01-01') / 7.0) AS INT)").as("w"))
-      .distinct()
       .repartition(col("user_id"))
+      .distinct()
       .cache()
+    finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
     val fw = uw.groupBy("user_id").agg(min("w").as("first_w"))
     val prev = uw.select(col("user_id"), (col("w") + 1).as("w"), lit(1).as("was_prev"))
     val maxW = uw.agg(max("w").as("max_w"))

@@ -244,6 +244,55 @@ class PlanSpec extends SparkSuite {
       "the per-(priority, date) prefix maxima must broadcast back onto the corpus")
   }
 
+  test("Behavior single-shuffle claims: the user_id repartition is the only corpus shuffle") {
+    // each query's scaladoc asserts one user_id shuffle; a second hash
+    // exchange is legal ONLY for the final rollup, where it must carry
+    // partial-aggregated rows (HashAggregate below the exchange)
+    val expected = Map(
+      "q_retention" -> 2, "q_event_transitions" -> 2, "q_lateness_audit" -> 2,
+      "q_win_streaks" -> 1, "q_golden_record" -> 1)
+    expected.foreach { case (n, want) =>
+      val p = SparkEntry.queries(n)(spark, sf001).queryExecution.executedPlan.toString
+      val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hash == want, s"$n: expected $want hash exchanges, got $hash:\n${p.take(3000)}")
+      assert("REPARTITION_BY_COL".r.findAllIn(p).length == 1,
+        s"$n: the explicit user_id repartition must be the only corpus shuffle")
+      if (want == 2)
+        assert(("HashAggregate[\\s\\S]{0,600}?Exchange hashpartitioning" +
+          "[\\s\\S]{0,600}?HashAggregate").r.findFirstIn(p).isDefined,
+          s"$n: the rollup exchange must carry partial-aggregated rows:\n${p.take(3000)}")
+    }
+  }
+
+  test("q_churn_matrix: every consumer reads the ONE cached user-week shuffle") {
+    // the cached frame's internal exchanges print in the string dump but
+    // are not live operators — count programmatically, with AQE off so the
+    // executed plan is a traversable tree (see q_sessionize note below)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_churn_matrix")(spark, sf001)
+        .queryExecution.executedPlan
+      val caches = plan.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+      assert(caches.size >= 4,
+        s"fw/prev/active/churned/maxW must all read the cached user-week frame, saw ${caches.size}")
+      val liveHash = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e }
+      // live hash exchanges may carry only (w, status)-keyed aggregate
+      // rows; a live exchange keyed on user_id would mean a consumer
+      // re-shuffled the user-week corpus instead of reusing the cache
+      liveHash.foreach { e =>
+        val keys = e.outputPartitioning.asInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning].expressions
+        assert(!keys.exists(_.toString.contains("user_id")),
+          s"a consumer re-shuffled the user-week frame on the user key: $e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("q_sessionize shuffles once on user_id (window + groupBy share the partitioning)") {
     // count Exchange OPERATORS ('Exchange hashpartitioning' node headers),
     // not bare 'hashpartitioning(' substrings — the bare token also appears
