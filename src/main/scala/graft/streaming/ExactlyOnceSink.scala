@@ -27,6 +27,23 @@ import org.apache.spark.sql.DataFrame
   */
 object ExactlyOnceSink {
 
+  // One lock per (outDir, batch): concurrent DUPLICATE attempts in the same
+  // JVM (speculative/re-executed tasks, a second query instance on the same
+  // checkpoint) serialize here, so at most one attempt is ever in the
+  // write-then-publish window. This matters because Hadoop FileSystem
+  // rename is NOT a reliable exclusive commit under contention: the local
+  // implementation falls back to move-into-directory or copy-with-overwrite
+  // semantics when the destination exists, either of which can clobber or
+  // pollute an already-committed batch (observed: a losing attempt's
+  // partial output REPLACING the winner's). Cross-PROCESS zombies are
+  // narrowed by the re-check just before the rename — and in a real
+  // deployment the streaming checkpoint already admits one driver, while
+  // object stores swap this commit step for a transactional producer (see
+  // above). Entries are one tiny Object per batch ever committed by this
+  // JVM — bounded by the stream's lifetime, cleared with the process.
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** foreachBatch handler writing each micro-batch to outDir/batch=N. */
   def parquetSink(outDir: String): (DataFrame, Long) => Unit = (df, batchId) => {
     val spark = df.sparkSession
@@ -34,12 +51,27 @@ object ExactlyOnceSink {
     val out = new Path(outDir)
     val fs = out.getFileSystem(conf)
     val committed = new Path(out, s"batch=$batchId")
-    if (!fs.exists(committed)) {
-      val staging = new Path(out, s"_staging_batch=$batchId")
-      if (fs.exists(staging)) fs.delete(staging, true)
-      df.write.mode("overwrite").parquet(staging.toString)
-      // atomic publish; if a concurrent/replayed attempt won, drop ours
-      if (!fs.rename(staging, committed)) fs.delete(staging, true)
+    val lock = commitLocks.computeIfAbsent(s"$outDir#$batchId", _ => new Object)
+    lock.synchronized {
+      if (!fs.exists(committed)) {
+        // attempt-PRIVATE staging: a crashed attempt's leftover dir can
+        // never be confused with (or half-overwritten into) ours
+        val staging = new Path(out,
+          s"_staging_batch=$batchId-${java.util.UUID.randomUUID}")
+        df.write.mode("overwrite").parquet(staging.toString)
+        // publish IFF still absent; if a cross-process attempt won the
+        // window, drop ours — never rename onto an existing committed dir
+        // (that is the non-atomic fallback path described above)
+        if (fs.exists(committed) || !fs.rename(staging, committed))
+          fs.delete(staging, true)
+      }
+      // batch committed (by us, a racing winner, or a previous
+      // incarnation): sweep abandoned staging dirs of THIS batch —
+      // crashed attempts leave them behind
+      if (fs.exists(committed)) {
+        val stale = fs.globStatus(new Path(out, s"_staging_batch=$batchId-*"))
+        if (stale != null) stale.foreach(st => fs.delete(st.getPath, true))
+      }
     }
   }
 }

@@ -114,6 +114,37 @@ class StreamingSpec extends SparkSuite {
     assert(got == (1 to 20).toSeq, "no loss, no duplication across restart")
   }
 
+  test("exactly-once sink: two attempts racing one batch id commit exactly one complete output") {
+    // the speculative/duplicate-task case: a zombie driver or re-executed
+    // task runs the same (df, batchId) concurrently with the live one. The
+    // committed dir must always hold one COMPLETE copy — never a partial
+    // write, never a double write — and a post-race replay (streaming's
+    // retry of a failed losing attempt) must be a no-op.
+    val outDir = Files.createTempDirectory("eo_race").toString
+    val sink = ExactlyOnceSink.parquetSink(outDir)
+    val df = spark.range(5).toDF("value")
+    (0 until 8).foreach { b =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val threads = (1 to 2).map(_ => new Thread(() => {
+        barrier.await()
+        // the per-batch commit lock serializes same-JVM duplicates: the
+        // loser must observe the committed batch and no-op. The catch is
+        // belt-and-braces — a failed attempt is what streaming retries
+        try sink(df, b.toLong) catch { case _: Throwable => () }
+      }))
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      sink(df, b.toLong) // the retry: must no-op on the committed batch
+      val got = spark.read.parquet(s"$outDir/batch=$b")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (0L until 5L).toSeq,
+        s"batch $b must hold one complete copy, got $got")
+    }
+    val stray = new java.io.File(outDir).listFiles
+      .map(_.getName).filter(_.startsWith("_staging"))
+    assert(stray.isEmpty, s"staging leftovers after commits: ${stray.toSeq}")
+  }
+
   test("exactly-once sink: replaying the same batch id is a no-op") {
     val outDir = Files.createTempDirectory("eo_replay").toString
     val sink = ExactlyOnceSink.parquetSink(outDir)
