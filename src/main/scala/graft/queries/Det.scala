@@ -19,6 +19,36 @@ package graft.queries
   *      to DECIMAL, aggregate exactly, cast the final result to DOUBLE.
   *   3. Decimal precisions kept small enough that Spark's 38-digit cap is
   *      never hit (Spark would silently round scale; DuckDB would differ).
+  *
+  * The canonical trap list (each bitten at least once; the fixes live in
+  * the named helpers/queries):
+  *
+  *   - SCALE-0 LIFT [[liftDec2]]: DuckDB casts DECIMAL(p,s)->DOUBLE as
+  *     double(unscaled)/10^s — TWO roundings — so any decimal aggregate
+  *     that can cross 2^53 unscaled must be multiplied into an exact
+  *     scale-0 integer before the cast and divided back in float space
+  *     (q_time_weighted_avg, q_ab_ttest, q_mv_incremental, q_cohort_ltv).
+  *   - 38-DIGIT RE-BOUND: past 38 digits Spark silently SHRINKS decimal
+  *     scale while DuckDB ERRORS; re-cast intermediates to DECIMAL(30,·)
+  *     before multiplying (the armSum lift in Behavior.scala).
+  *   - DIVIDE-BY-ZERO SPLIT: Spark's non-ANSI Divide yields NULL on a zero
+  *     divisor, DuckDB follows IEEE (inf/NaN) — guard every potentially-
+  *     zero divisor with the SAME `CASE WHEN d = 0 THEN NULL` text on both
+  *     sides, and clamp near-zero variances with greatest(0.0, ·) before
+  *     sqrt (q_anomaly_days, q_ab_ttest).
+  *   - greatest/least NULL SPLIT: Spark skips NULL operands, DuckDB does
+  *     not — never let an engine-visible greatest/least see a NULL.
+  *   - INT CAST vs floor: a bare int cast of a division TRUNCATES in Spark
+  *     but ROUNDS in DuckDB — write floor() explicitly (q_churn_matrix).
+  *   - CROSS-ENGINE PRIMITIVES: sha2(col,256) <-> DuckDB sha256();
+  *     unix_micros <-> epoch_us; floor(x·2^k) is rounding-free (exponent
+  *     shift — the quantization trick of q_cluster_assign/q_quantize_int8).
+  *   - EXACT-INTEGER KERNELS: where a float kernel could never hash-match
+  *     (dot products, z-scores, PageRank mass), compute in scaled BIGINT —
+  *     the codegen'd expressions [[graft.functions.VectorExpressions]]
+  *     `Int8Codes` (symmetric int8 quantization codes) and `SrpSignature`
+  *     (64-plane SRP signature in one fused pass) are the reusable
+  *     kernels; q_pagerank runs a whole iterative algorithm this way.
   */
 object Det {
 

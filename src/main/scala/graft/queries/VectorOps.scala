@@ -723,7 +723,56 @@ object VectorOps {
     }
   }
 
+  /** Fixed Lloyd iteration count for [[qKmeans]] — same oracle-checkability
+    * argument as [[PagerankIters]]: both engines run exactly these steps. */
+  private[graft] val KmeansIters = 5
+
+  /** Full k-means (Lloyd) to a fixed iteration count — [[qClusterAssign]]'s
+    * E-step CLOSED with its M-step and iterated, entirely in quantized
+    * integer space: lanes floor(x·128) (exponent shift, no float rounding),
+    * centroids the floor'd mean of member lanes, distances exact BIGINT
+    * Σ(qx−qc)² — order-free, so 5 full E+M rounds stay bit-identical to
+    * the DuckDB recursive-CTE oracle running the same recurrence. The
+    * argmin is the scalar min-key trick min(d2·1024 + c): smallest
+    * distance, ties to the smallest centroid id, one deterministic BIGINT
+    * (valid while K ≤ 1024 and d2 < 2^53/1024 — dims·256² per lane keeps
+    * real corpora orders of magnitude under it). Per iteration: one tiny
+    * (K×dims) centroid aggregate exchange; the lane frame is
+    * pre-partitioned on vec_id and its shuffle is planner-REUSED across
+    * every round's consumers (exchange reuse — verified with
+    * tools.Shuffles: 5 rounds plan 2 corpus exchanges, not 10), so the
+    * E-step broadcast-join, the per-vector argmin, and the next round's
+    * centroid join all ride the same distribution. Five rounds chain
+    * LAZILY into one plan — at this depth Catalyst planning is cheap and
+    * a per-round checkpoint job costs more than it saves (the opposite
+    * trade from [[pagerank]]'s 40 rounds). Emits the converged
+    * (vec_id, c, d2) assignment with its exact final distance. */
+  def qKmeans(s: SparkSession, sf: String): DataFrame = {
+    val dims = Tables.embeddings(s, sf)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("qx", expr("CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT)"))
+      .cache()
+    var assign = Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("label").cast("long").as("c"))
+    for (_ <- 1 to KmeansIters) {
+      val cent = dims.join(assign.select("vec_id", "c"), Seq("vec_id"))
+        .groupBy("c", "pos")
+        .agg(expr("CAST(floor(CAST(sum(qx) AS DOUBLE) / count(1)) AS BIGINT)").as("qc"))
+      assign = dims.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "c")
+        .agg(sum((col("qx") - col("qc")) * (col("qx") - col("qc"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min(col("d2") * 1024 + col("c")).as("key"))
+        .select(col("vec_id"), expr("key % 1024").as("c"),
+          expr("key div 1024").as("d2"))
+    }
+    dims.unpersist()
+    assign.select("vec_id", "c", "d2").orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> qKmeans _,
     "q_pagerank" -> qPagerank _,
     "q_pagerank_step" -> qPagerankStep _,
     "q_cluster_assign" -> qClusterAssign _,
@@ -770,6 +819,37 @@ object VectorOps {
          |                   / (CAST((SELECT n FROM nd) AS DOUBLE) * 1000000000000.0)) AS rank
          |FROM sym JOIN deg USING (src)
          |GROUP BY dst ORDER BY doc_id""".stripMargin,
+    // The recursive term is one exact-integer Lloyd round: centroids from
+    // the previous assignments, quantized distances, scalar min-key argmin
+    // — exactly KmeansIters times, matching the Spark loop bit-for-bit.
+    "q_kmeans" ->
+      s"""WITH RECURSIVE
+         |dims AS (
+         |  SELECT vec_id, i - 1 AS pos,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT) AS qx
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+         |km AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS c, CAST(NULL AS BIGINT) AS d2, 0 AS it
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT n.vec_id, n.c, n.d2, n.it FROM (
+         |    WITH cent AS (
+         |      SELECT p.c, d.pos,
+         |             CAST(floor(CAST(sum(d.qx) AS DOUBLE) / count(*)) AS BIGINT) AS qc,
+         |             min(p.it) AS it
+         |      FROM km p JOIN dims d USING (vec_id)
+         |      GROUP BY p.c, d.pos),
+         |    dist AS (
+         |      SELECT d.vec_id, c.c,
+         |             CAST(sum((d.qx - c.qc) * (d.qx - c.qc)) AS BIGINT) AS d2,
+         |             min(c.it) AS it
+         |      FROM dims d JOIN cent c ON c.pos = d.pos
+         |      GROUP BY d.vec_id, c.c)
+         |    SELECT vec_id, min(d2 * 1024 + c) % 1024 AS c,
+         |           min(d2 * 1024 + c) // 1024 AS d2, min(it) + 1 AS it
+         |    FROM dist GROUP BY vec_id) n
+         |  WHERE n.it <= ${KmeansIters})
+         |SELECT vec_id, c, d2 FROM km WHERE it = ${KmeansIters} ORDER BY vec_id""".stripMargin,
     // The recursive term is one exact-integer power-iteration step: floor
     // contributions (// is floor division; all values positive, matching
     // Spark's div), damped finish in integers, exactly PagerankIters

@@ -234,6 +234,40 @@ class ExtraOpsSpec extends SparkSuite {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id"), 5).count() == 0)
   }
 
+  test("kmeans: distributed Lloyd rounds equal a plain-Scala replay of the integer recurrence") {
+    // same verification shape as the pagerank fixed-point test: collect the
+    // real sf0.001 embeddings, replay KmeansIters exact quantized Lloyd
+    // rounds in memory, and demand bit-equality with the distributed loop
+    val vecs = Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val q = vecs.map { case (id, emb, lab) =>
+      (id, emb.map(x => math.floor(x.toDouble * 128).toLong), lab.toLong) }
+    var assign = q.map { case (id, _, lab) => id -> lab }.toMap
+    val lanes = q.map { case (id, qx, _) => id -> qx }.toMap
+    for (_ <- 1 to VectorOps.KmeansIters) {
+      val members = assign.groupBy(_._2).view.mapValues(_.keys.toSeq)
+      val cent = members.map { case (c, ids) =>
+        val dims = lanes(ids.head).length
+        c -> Array.tabulate(dims) { p =>
+          math.floor(ids.map(lanes(_)(p)).sum.toDouble / ids.size).toLong }
+      }.toMap
+      assign = lanes.map { case (id, qx) =>
+        val key = cent.map { case (c, qc) =>
+          val d2 = qx.indices.map(p => (qx(p) - qc(p)) * (qx(p) - qc(p))).sum
+          d2 * 1024 + c
+        }.min
+        id -> key % 1024
+      }
+    }
+    val got = VectorOps.qKmeans(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == assign.keySet)
+    val diffs = got.keys.filter(id => got(id) != assign(id))
+    assert(diffs.isEmpty,
+      s"${diffs.size} assignments diverge from the exact replay, e.g. ${diffs.take(3)}")
+  }
+
   test("q_dedup_clusters covers every doc; edges agree with cluster assignment") {
     val docs = Tables.documents(spark, sf001)
     val clusters = VectorOps.qDedupClusters(spark, sf001).collect()

@@ -201,6 +201,13 @@ class PlanSpec extends SparkSuite {
       "dot-product sums must partial-aggregate map-side")
   }
 
+  test("q_kmeans broadcasts the centroid table every round (lanes never shuffle K ways)") {
+    val p = plan("q_kmeans")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge E-step would shuffle the lane frame against K×dims rows")
+  }
+
   test("q_anomaly_days broadcasts the per-type stats back onto the daily rollup") {
     val p = plan("q_anomaly_days")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
