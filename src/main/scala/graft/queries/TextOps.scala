@@ -496,7 +496,82 @@ object TextOps {
       .limit(20)
   }
 
+  /** Fixed merge count for [[qBpeTrain]]; driver state is the merge list
+    * itself — N tiny rows — which is the whole point of the exhibit. */
+  private[graft] val BpeMerges = 10
+
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** Full BPE trainer — [[qBpeStep]]'s kernel closed into the real loop:
+    * start from character tokens over the distinct-word frequency table
+    * (the compression: each merge round touches the VOCABULARY, never the
+    * corpus), and for each of [[BpeMerges]] rounds count adjacent token
+    * pairs weighted by word frequency, pick the top pair with a full
+    * deterministic tie-break, and apply it left-to-right non-overlapping
+    * (one array fold per word — the standard BPE greedy scan). Exactly one
+    * driver action per round (the 1-row top-pair collect: the merge RULE
+    * is the scalar the driver must hold — it parameterizes the next
+    * round's rewrite expression). Each round is two partial-agg groupBys +
+    * TakeOrderedAndProject over vocab-sized state; state re-caches per
+    * round and the previous round unpersists — the connectedComponents
+    * loop posture on a vocabulary-bounded frame. NOT oracle-checkable
+    * (an iterated string rewrite has no tractable SQL twin); verified by
+    * bit-exact plain-Scala replay of the same recurrence (ExtraOpsSpec)
+    * plus structural properties. Emits the learned merge table
+    * (rank, left, right, n) — the artifact a tokenizer trainer ships. */
+  def qBpeTrain(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    var state = Tables.documents(s, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("toks",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .select("toks", "f")
+      .cache()
+    var toUnpersist: Option[org.apache.spark.sql.DataFrame] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= BpeMerges && !exhausted) {
+      val top = state
+        .filter(size(col("toks")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("f").as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      // this collect materialized the current state's cache: the
+      // superseded previous round can drop now, not before (unpersisting
+      // earlier would force the next action to replay the whole chain)
+      toUnpersist.foreach(_.unpersist())
+      toUnpersist = Some(state)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rt, n))
+        val (lq, rq) = (sqlLit(l), sqlLit(rt))
+        // greedy left-to-right non-overlap: the fold's accumulator tail is
+        // the already-merged token, so an overlapping occurrence cannot
+        // re-fire (aaa + (a,a) -> [aa, a], as a real BPE trainer does)
+        state = state.withColumn("toks", expr(
+          "aggregate(toks, CAST(array() AS ARRAY<STRING>), (acc, t) -> " +
+            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$lq' AND t = '$rq' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$lq$rq')) " +
+            "ELSE concat(acc, array(t)) END)")).cache()
+        r += 1
+      }
+    }
+    toUnpersist.foreach(_.unpersist())
+    state.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "n").orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> qBpeTrain _,
     "q_bpe_step" -> qBpeStep _,
     "q_text_colloc" -> qTextColloc _,
     "q_token_rarity" -> qTokenRarity _,

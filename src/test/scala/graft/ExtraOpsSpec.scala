@@ -234,6 +234,46 @@ class ExtraOpsSpec extends SparkSuite {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id"), 5).count() == 0)
   }
 
+  test("bpe_train: distributed merge loop equals a plain-Scala replay of greedy BPE") {
+    // replay the exact trainer on the same word-frequency table: pair
+    // counts weighted by word freq, top pair by (n desc, l asc, r asc),
+    // left-to-right non-overlapping application — merge tables must match
+    // bit-for-bit, rank by rank
+    import graft.queries.TextOps
+    val wordFreq = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("f")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var state: Seq[(Vector[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }.toSeq
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    (1 to TextOps.BpeMerges).foreach { rank =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (toks, f) =>
+        toks.indices.dropRight(1).foreach { i =>
+          counts((toks(i), toks(i + 1))) = counts.getOrElse((toks(i), toks(i + 1)), 0L) + f }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        expected += ((rank, l, r, n))
+        state = state.map { case (toks, f) =>
+          val out = toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+            if (acc.nonEmpty && acc.last == l && t == r) acc.init :+ (l + r)
+            else acc :+ t }
+          (out, f)
+        }
+      }
+    }
+    val got = TextOps.qBpeTrain(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected.toSeq,
+      s"merge tables diverge:\n got $got\n exp ${expected.toSeq}")
+    // merges must be genuine compressions: every learned pair concatenates
+    // earlier-known tokens, counts are positive and ranks dense
+    assert(got.map(_._1) == (1 to got.size).toSeq && got.forall(_._4 > 0))
+  }
+
   test("kmeans: distributed Lloyd rounds equal a plain-Scala replay of the integer recurrence") {
     // same verification shape as the pagerank fixed-point test: collect the
     // real sf0.001 embeddings, replay KmeansIters exact quantized Lloyd
