@@ -206,6 +206,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"),
       "a sort-merge E-step would shuffle the lane frame against K×dims rows")
+    // exchange-reuse claim: 5 rounds × (centroid join + E-step + argmin)
+    // over the corpus must NOT shuffle the lane frame per round — with AQE
+    // off the live plan holds ≤2 corpus repartitions (planner-reused) plus
+    // one tiny (c, pos) centroid aggregate exchange per round
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val live = SparkEntry.queries("q_kmeans")(spark, sf001)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(live.size <= 8,
+        s"expected ≤2 reused corpus shuffles + 5 centroid rollups + sort, got ${live.size}:\n$live")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   test("q_anomaly_days broadcasts the per-type stats back onto the daily rollup") {
