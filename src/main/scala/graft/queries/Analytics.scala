@@ -528,7 +528,109 @@ object Analytics {
       .agg(count(lit(1)).as("n"), max("lat_days").as("max_days"))
       .orderBy("o_orderpriority", "bucket")
 
+  /** 2-D Pareto skyline over parts: the parts where no other part is at
+    * least as large AND at least as cheap (with one strict) — maximize
+    * p_size, minimize p_retailprice. The naive formulation is a quadratic
+    * NOT-EXISTS self-join (which the oracle runs, as an independent
+    * dominance check); the distributed form exploits that a 2-D skyline
+    * is a prefix-min over one dimension: (1) per-size min price — a
+    * map-side-combinable rollup to ≤50 rows (p_size's whole domain);
+    * (2) an EXCLUSIVE prefix min over strictly larger sizes on that tiny
+    * rollup; (3) broadcast back and filter: survive iff cheapest within
+    * your size AND strictly cheaper than everything larger. Same
+    * two-phase shape as [[qRunningRecords]]; parallelism is corpus-wide
+    * at every phase, the only window runs over the size-domain rollup.
+    * Raw double compares, no arithmetic — no float drift. Duplicate
+    * (size, price) pairs all survive (neither strictly dominates), which
+    * the dominance oracle reproduces. */
+  def qSkyline(s: SparkSession, sf: String): DataFrame = {
+    val parts = Tables.part(s, sf).select("p_partkey", "p_size", "p_retailprice")
+    val bySize = parts.groupBy("p_size").agg(min("p_retailprice").as("size_min"))
+    val wLarger = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mins = bySize.withColumn("gt_min", min("size_min").over(wLarger))
+    parts.join(broadcast(mins), Seq("p_size"))
+      .filter(col("p_retailprice") === col("size_min") &&
+        (col("gt_min").isNull || col("p_retailprice") < col("gt_min")))
+      .select("p_partkey", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  /** Gini coefficient of customer account balance per nation — the
+    * inequality statistic over a grouped (Lorenz) construction. Balances
+    * are shifted +1000.00 into strictly positive cents (domain is
+    * [-999.99, 9999.99]) so the coefficient is well-defined; the shift is
+    * part of the query's semantics on both engines.
+    *
+    * The rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n needs each row's rank
+    * — but ranks over VALUE-GROUPED data collapse to the group's rank
+    * range, and Σi over a tied block is closed-form. So: (1) pre-agg to
+    * (nation, cents, cnt) — bounded by the value DOMAIN (~1.1M distinct
+    * cents), not the corpus; (2) an exclusive prefix count per nation
+    * over that bounded rollup; (3) the tied-block rank-sum
+    * cents·(cnt·prev + cnt(cnt+1)/2), summed exactly in decimals —
+    * DECIMAL(18,0) factors so the product width stays legal on BOTH
+    * engines (DuckDB errors past 38 digits; the 38-digit re-bound trap).
+    * Scale-0 decimals cast to DOUBLE in ONE rounding on both engines
+    * (the scale-0 lift of [[Det]] — no /10^s second rounding), and the
+    * final G arithmetic is the identical IEEE expression text. */
+  def qGini(s: SparkSession, sf: String): DataFrame = {
+    val grouped = Tables.customer(s, sf)
+      .withColumn("cents",
+        expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000"))
+      .groupBy("c_nationkey", "cents").agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.partitionBy("c_nationkey").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped
+      .withColumn("prev", coalesce(sum("cnt").over(wPrev), lit(0L)))
+      .groupBy("c_nationkey")
+      .agg(
+        sum("cnt").as("n_cust"),
+        sum(expr("CAST(cents * cnt AS DECIMAL(18,0))")).as("t"),
+        sum(expr("CAST(cents AS DECIMAL(18,0)) * CAST(cnt * prev + (cnt * (cnt + 1)) DIV 2 AS DECIMAL(18,0))")).as("ws"))
+      .select(col("c_nationkey"), col("n_cust"),
+        expr("CAST(t AS BIGINT)").as("total_cents"),
+        expr("2.0 * CAST(ws AS DOUBLE) / (CAST(n_cust AS DOUBLE) * CAST(t AS DOUBLE)) - (CAST(n_cust AS DOUBLE) + 1.0) / CAST(n_cust AS DOUBLE)").as("gini"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Market-basket pair mining: the top-20 part pairs co-purchased in the
+    * same order, with support / confidence / lift. Pair expansion is the
+    * within-basket self-join on the order key — fanout bounded by the
+    * basket size (≤17 distinct parts per order in this data, squared =
+    * ≤136 pairs), so the expansion is LINEAR in the corpus, shuffled on
+    * the pair key with map-side combine; the global top-20 is a
+    * TakeOrderedAndProject (per-partition heaps, never a global sort).
+    * Item supports then attach to just the 20 winners via broadcast.
+    * All statistics are exact-integer-ratio doubles — identical operand
+    * values and expression shape on both engines; ties at the top-20
+    * boundary are broken by (p1, p2), making the cut deterministic. */
+  def qMarketBasket(s: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(s, sf).select("l_orderkey", "l_partkey").distinct()
+    val nOrders = items.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val top = pairs.orderBy(col("c_ab").desc, col("p1"), col("p2")).limit(20)
+    val itemCnt = items.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    top
+      .join(itemCnt.select(col("l_partkey").as("p1"), col("c").as("c_a")), Seq("p1"))
+      .join(itemCnt.select(col("l_partkey").as("p2"), col("c").as("c_b")), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE)").as("support"),
+        expr("CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)").as("confidence"),
+        expr("CAST(n AS DOUBLE) * CAST(c_ab AS DOUBLE) / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))").as("lift"))
+      .orderBy(col("c_ab").desc, col("p1"), col("p2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> qSkyline _,
+    "q_gini" -> qGini _,
+    "q_market_basket" -> qMarketBasket _,
     "q_equidepth_hist" -> qEquidepthHist _,
     "q_latency_hist" -> qLatencyHist _,
     "q_running_records" -> qRunningRecords _,
@@ -550,6 +652,53 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Independent dominance formulation (quadratic NOT EXISTS — DuckDB's
+    // IEJoin handles the two-inequality pattern); the Spark side runs the
+    // two-phase prefix-min instead, so agreement checks the algorithm,
+    // not just the transcription.
+    "q_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p_partkey""".stripMargin,
+    "q_gini" ->
+      """WITH g AS (
+        |  SELECT c_nationkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000 AS cents,
+        |         count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |p AS (
+        |  SELECT *, coalesce(sum(cnt) OVER (PARTITION BY c_nationkey ORDER BY cents
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM g),
+        |a AS (
+        |  SELECT c_nationkey, sum(cnt) AS n_cust,
+        |         sum(CAST(cents * cnt AS DECIMAL(18,0))) AS t,
+        |         sum(CAST(cents AS DECIMAL(18,0)) * CAST(cnt * prev + (cnt * (cnt + 1)) // 2 AS DECIMAL(18,0))) AS ws
+        |  FROM p GROUP BY 1)
+        |SELECT c_nationkey, CAST(n_cust AS BIGINT) AS n_cust, CAST(t AS BIGINT) AS total_cents,
+        |       2.0 * CAST(ws AS DOUBLE) / (CAST(n_cust AS DOUBLE) * CAST(t AS DOUBLE))
+        |         - (CAST(n_cust AS DOUBLE) + 1.0) / CAST(n_cust AS DOUBLE) AS gini
+        |FROM a ORDER BY c_nationkey""".stripMargin,
+    "q_market_basket" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nn AS (SELECT count(DISTINCT l_orderkey) AS n FROM b),
+        |pc AS (SELECT a.l_partkey AS p1, b2.l_partkey AS p2, count(*) AS c_ab
+        |       FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+        |                         AND a.l_partkey < b2.l_partkey
+        |       GROUP BY 1, 2),
+        |top AS (SELECT * FROM pc ORDER BY c_ab DESC, p1, p2 LIMIT 20),
+        |ic AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1)
+        |SELECT p1, p2, c_ab, ia.c AS c_a, ib.c AS c_b,
+        |       CAST(c_ab AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE) AS support,
+        |       CAST(c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE) AS confidence,
+        |       CAST((SELECT n FROM nn) AS DOUBLE) * CAST(c_ab AS DOUBLE)
+        |         / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)) AS lift
+        |FROM top JOIN ic ia ON ia.l_partkey = p1 JOIN ic ib ON ib.l_partkey = p2
+        |ORDER BY c_ab DESC, p1, p2""".stripMargin,
     "q_equidepth_hist" ->
       """WITH b AS (
         |  SELECT o_totalprice,

@@ -570,7 +570,38 @@ object TextOps {
     merges.toSeq.toDF("rank", "left", "right", "n").orderBy("rank")
   }
 
+  /** Bigram language model: P(w2 | w1) as exact count ratios, reported as
+    * the top-3 continuations for each of the 20 most frequent head
+    * tokens — the n-gram-LM statistic behind next-token suggestion and
+    * perplexity-style junk detection, kept libm-free (the probability is
+    * one double divide of two exact longs; identical operands both
+    * engines). The per-head top-3 runs over the FULL bigram table —
+    * partition count = head vocabulary (corpus-wide parallelism, never
+    * 20), and the rn ≤ 3 filter compiles to WindowGroupLimit so each
+    * partition keeps a 3-row heap instead of sorting its continuations;
+    * the 20 winning heads then attach by broadcast. Bigram/head tables
+    * are map-side-combinable partial aggs on corpus-bounded vocab keys. */
+  def qNgramLm(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr("split(text, ' ')").as("t"))
+    val bi = toks.filter(size(col("t")) > 1)
+      .select(explode(expr("sequence(1, size(t) - 1)")).as("i"), col("t"))
+      .select(expr("element_at(t, i)").as("w1"), expr("element_at(t, i + 1)").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val heads = bi.groupBy("w1").agg(sum("c12").as("c1"))
+    val topHeads = heads.orderBy(col("c1").desc, col("w1")).limit(20)
+    val wTop = Window.partitionBy("w1").orderBy(col("c12").desc, col("w2"))
+    bi.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .join(broadcast(topHeads), Seq("w1"))
+      .select(col("w1"), col("rn"), col("w2"), col("c12"), col("c1"),
+        expr("CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)").as("p"))
+      .orderBy("w1", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_lm" -> qNgramLm _,
     "q_bpe_train" -> qBpeTrain _,
     "q_bpe_step" -> qBpeStep _,
     "q_text_colloc" -> qTextColloc _,
@@ -601,6 +632,19 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_ngram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |bi AS (SELECT s[i] AS w1, s[i+1] AS w2, count(*) AS c12
+        |       FROM d, UNNEST(range(1, len(s))) AS t(i) GROUP BY 1, 2),
+        |hd AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+        |top AS (SELECT * FROM hd ORDER BY c1 DESC, w1 LIMIT 20),
+        |r AS (SELECT w1, w2, c12,
+        |             row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2) AS rn
+        |      FROM bi)
+        |SELECT r.w1, rn, w2, c12, c1,
+        |       CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+        |FROM r JOIN top USING (w1) WHERE rn <= 3
+        |ORDER BY w1, rn""".stripMargin,
     "q_bpe_step" ->
       """WITH words AS (
         |  SELECT w, count(*) AS f FROM (

@@ -771,7 +771,58 @@ object VectorOps {
     assign.select("vec_id", "c", "d2").orderBy("vec_id")
   }
 
+  /** Per-vertex triangle counting over the near-dup graph — the local
+    * clustering signal (a doc whose neighbors also neighbor each other
+    * sits in a dense dup cluster, not a chain of borderline matches).
+    *
+    * Enumeration is DEGREE-ORIENTED (the classic m^{3/2} bound): each
+    * undirected edge is directed from its (degree, id)-smaller endpoint
+    * to the larger, wedges are built only between a vertex's
+    * out-neighbors (out-degree is O(√m) regardless of how skewed the
+    * raw degrees are — a hub's million edges all point INTO it, so the
+    * hub forms no wedges), and a wedge closes iff the (x, y) pair —
+    * normalized in the same orientation order — is itself a directed
+    * edge. One self-equi-join on the apex + one equi-join for the
+    * closing edge, all on the cached edge frame; no vertex ever
+    * enumerates more than outdeg² wedges. Per-vertex counts are
+    * orientation-invariant (each triangle touches its 3 vertices once),
+    * so the id-oriented 3-way-join oracle returns identical rows.
+    * Vertices with edges but no triangles stay in the output with
+    * n_tri = 0 via the degree left-join; all-integer output. */
+  def qTriangleCount(s: SparkSession, sf: String): DataFrame = {
+    val edges = ngramPairs(Tables.documents(s, sf)).select("a_id", "b_id").cache()
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "v")
+    // orient each a<b edge by (degree, id): ties in degree fall back to
+    // the id order, which a_id < b_id already canonicalizes
+    val dir = edges
+      .join(deg.select(col("v").as("a_id"), col("deg").as("da")), Seq("a_id"))
+      .join(deg.select(col("v").as("b_id"), col("deg").as("db")), Seq("b_id"))
+      .select(
+        when(col("da") <= col("db"), col("a_id")).otherwise(col("b_id")).as("src"),
+        when(col("da") <= col("db"), col("b_id")).otherwise(col("a_id")).as("dst"),
+        when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("dd"))
+      .cache()
+    val wedges = dir.as("e1").join(dir.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("apex"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+    val closed = wedges.join(
+      dir.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    val perVertex = closed
+      .select(explode(array(col("apex"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangle_count" -> qTriangleCount _,
     "q_kmeans" -> qKmeans _,
     "q_pagerank" -> qPagerank _,
     "q_pagerank_step" -> qPagerankStep _,
@@ -810,6 +861,23 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Id-oriented 3-way join (a < b < c by edge canonicalization) — an
+    // INDEPENDENT enumeration order from the Spark side's degree
+    // orientation; per-vertex triangle membership is orientation-
+    // invariant, so agreement checks the algorithm, not a transcription.
+    "q_triangle_count" ->
+      s"""WITH $pairGraphSql,
+         |tri AS (SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+         |        FROM e e1 JOIN e e2 ON e2.a_id = e1.b_id
+         |                  JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+         |tv AS (SELECT v, count(*) AS n_tri FROM (
+         |         SELECT a AS v FROM tri
+         |         UNION ALL SELECT b FROM tri
+         |         UNION ALL SELECT c FROM tri)
+         |       GROUP BY 1)
+         |SELECT d.src AS doc_id, d.deg AS deg, coalesce(tv.n_tri, 0) AS n_tri
+         |FROM deg d LEFT JOIN tv ON tv.v = d.src
+         |ORDER BY doc_id""".stripMargin,
     "q_pagerank_step" ->
       s"""WITH $pairGraphSql
          |SELECT dst AS doc_id, count(*) AS n_in,

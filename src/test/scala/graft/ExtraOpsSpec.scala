@@ -436,4 +436,113 @@ class ExtraOpsSpec extends SparkSuite {
     // the shingle-identical near-dup pair (12, 360) must land close
     assert(rows.exists { case (a, b, _) => a == 12 && b == 360 })
   }
+
+  test("skyline: result is exactly the non-dominated set (naive recompute)") {
+    val all = graft.Tables.part(spark, sf001)
+      .select("p_partkey", "p_size", "p_retailprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def dominated(p: (Long, Int, Double)) = all.exists { q =>
+      q._2 >= p._2 && q._3 <= p._3 && (q._2 > p._2 || q._3 < p._3)
+    }
+    val expect = all.filterNot(dominated).map(_._1).toSet
+    val got = graft.queries.Analytics.qSkyline(spark, sf001).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect, s"skyline mismatch: got $got expect $expect")
+  }
+
+  test("gini: bounded by [0,1) and equal to the exact integer rank formula") {
+    val rows = graft.queries.Analytics.qGini(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val bals = graft.Tables.customer(spark, sf001)
+      .select("c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    rows.foreach { case (nat, n, total, g) =>
+      assert(g >= 0.0 && g < 1.0, s"nation $nat gini $g out of range")
+      // exact replay: shifted cents, sorted, rank formula in BigInt then
+      // the same two double divides
+      val cents = bals.filter(_._1 == nat)
+        .map(b => math.round(b._2 * 100) + 100000L).sorted
+      assert(cents.length == n && cents.sum == total)
+      val ws = cents.zipWithIndex.map { case (c, i) =>
+        BigInt(c) * (i + 1) }.sum
+      val expect = 2.0 * ws.toDouble / (n.toDouble * total.toDouble) -
+        (n.toDouble + 1.0) / n.toDouble
+      assert(math.abs(g - expect) < 1e-12, s"nation $nat: $g vs $expect")
+    }
+  }
+
+  test("market basket: pair counts match a naive basket recompute; stats consistent") {
+    val rows = graft.queries.Analytics.qMarketBasket(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val baskets = graft.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (_, g) => g.map(_._2).sorted }
+    val nOrders = baskets.size
+    val pairCount = baskets.toSeq
+      .flatMap(b => for (i <- b.indices; j <- i + 1 until b.length) yield (b(i), b(j)))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val itemCount = baskets.toSeq.flatten
+      .groupBy(x => x).map { case (k, v) => (k, v.size.toLong) }
+    rows.foreach { case (p1, p2, cab, ca, cb, supp, conf, lift) =>
+      assert(pairCount((p1, p2)) == cab, s"pair ($p1,$p2) count")
+      assert(itemCount(p1) == ca && itemCount(p2) == cb)
+      assert(cab <= math.min(ca, cb))
+      assert(supp == cab.toDouble / nOrders)
+      assert(conf == cab.toDouble / ca)
+      assert(lift == nOrders.toDouble * cab.toDouble / (ca.toDouble * cb.toDouble))
+    }
+    // the cut really is the top of the distribution: every reported count
+    // >= every unreported count
+    val reported = rows.map(r => (r._1, r._2)).toSet
+    val maxUnreported = (pairCount -- reported).values.foldLeft(0L)(math.max)
+    assert(rows.map(_._3).min >= maxUnreported)
+  }
+
+  test("triangle count: degree-oriented enumeration equals a naive recompute") {
+    val edges = VectorOps.ngramPairs(graft.Tables.documents(spark, sf001))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, g) => (v, g.map(_._2).toSet) }
+    val naive = adj.map { case (v, ns) =>
+      (v, ns.toSeq.combinations(2).count {
+        case Seq(a, b) => adj(a).contains(b); case _ => false
+      }.toLong)
+    }
+    val got = VectorOps.qTriangleCount(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (v, deg, nTri) =>
+      assert(deg == adj(v).size.toLong, s"vertex $v degree")
+      assert(nTri == naive(v), s"vertex $v triangles: $nTri vs ${naive(v)}")
+      assert(nTri <= deg * (deg - 1) / 2, "triangles exceed wedge bound")
+    }
+    assert(got.map(_._3).sum % 3 == 0, "each triangle touches exactly 3 vertices")
+  }
+
+  test("ngram LM: per-head top-3 is ordered, probabilities are exact ratios <= 1") {
+    val rows = graft.queries.TextOps.qNgramLm(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (w1, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq,
+        s"head $w1 ranks not dense")
+      assert(sorted.length <= 3)
+      // counts non-increasing down the rank; ties broken by w2 ascending
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"head $w1 order")
+        case _ =>
+      }
+      g.foreach { case (_, _, _, c12, c1, p) =>
+        assert(c12 <= c1 && p == c12.toDouble / c1.toDouble && p <= 1.0)
+      }
+    }
+    assert(rows.map(_._1).distinct.length <= 20)
+  }
 }

@@ -67,7 +67,9 @@ class PlanSpec extends SparkSuite {
     val allowed = Set(
       "q_churn_matrix", "q_dedup_containment", "q_dedup_edit", "q_dedup_ngram",
       "q_domain_mix", "q_equidepth_hist", "q_filter_outliers", "q_pagerank",
-      "q_pagerank_step", "q_sim_ivf", "q_text_colloc", "q_text_tfidf", // scalar broadcasts
+      "q_market_basket", "q_pagerank_step", "q_sim_ivf", "q_text_colloc",
+      "q_text_tfidf", "q_triangle_count", // scalar broadcasts (triangle's
+      // rides in via the cached ngramPairs edge frame's printed child plan)
       "q_dedup_embcos", "q_join_cross", "q_sim_topk") // declared pair joins
     SparkEntry.queries.keys.filterNot(allowed).foreach { n =>
       val p = plan(n)
@@ -324,5 +326,69 @@ class PlanSpec extends SparkSuite {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashExchanges == 1,
       s"expected one hash shuffle (groupBy must reuse the window's user_id partitioning), got $hashExchanges:\n${p.take(3000)}")
+  }
+
+  test("q_skyline: corpus filtered by broadcast of the size rollup, no corpus sort") {
+    val p = SparkEntry.queries("q_skyline")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-size prefix minima must broadcast back onto the corpus")
+    // the only single-partition exchange may carry the <=50-row size
+    // rollup (aggregate rows), never the corpus
+    val singles = "Exchange SinglePartition[\\s\\S]{0,250}?(HashAggregate|$)".r
+      .findAllIn(p).toList
+    assert(singles.forall(_.contains("HashAggregate")),
+      s"a SinglePartition exchange is carrying non-aggregated corpus rows:\n${p.take(3000)}")
+  }
+
+  test("q_gini: rank window runs over the value-grouped rollup, not raw customers") {
+    val p = SparkEntry.queries("q_gini")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the window's input must be the (nation, cents) aggregate: a
+    // HashAggregate below the Window in the same plan path
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p.take(2000))
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      s"the prefix-count window must consume the value-grouped rollup:\n${p.take(3000)}")
+    assert("\\[c_nationkey#\\d+\\], \\[cents".r.findFirstIn(p).isDefined,
+      s"window must be partitioned by nation and ordered by cents:\n${p.take(3000)}")
+  }
+
+  test("q_market_basket: global top-20 is a TakeOrderedAndProject, stats attach to 20 rows") {
+    val p = plan("q_market_basket")
+    assert(p.contains("TakeOrderedAndProject"),
+      "pair top-20 must be per-partition heaps, not a corpus sort")
+  }
+
+  test("q_ngram_lm: per-head top-3 prunes via WindowGroupLimit over the full bigram table") {
+    val p = plan("q_ngram_lm")
+    assert(p.contains("WindowGroupLimit"),
+      "rn<=3 must push down as WindowGroupLimit, not sort every head's continuations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "head top-20 must be per-partition heaps")
+  }
+
+  test("q_triangle_count: wedge and closing joins are equi-joins, never nested loops") {
+    // the cached ngramPairs edge frame carries a (declared) scalar BNLJ in
+    // its PRINTED child plan, so inspect the live tree instead: with AQE
+    // off, InMemoryTableScan is a leaf and only this query's own joins
+    // appear — none of them may be a nested loop over the wedge space
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val live = SparkEntry.queries("q_triangle_count")(spark, sf001)
+        .queryExecution.executedPlan
+      val loops = live.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }
+      assert(loops.isEmpty,
+        s"wedge enumeration must stay an equi-join on the apex/closing pair, got:\n$loops")
+      val equis = live.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+      assert(equis.size >= 3,
+        s"expected the degree/wedge/closing joins as hash or merge equi-joins, got ${equis.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 }
