@@ -47,6 +47,14 @@ object GraftFunctions {
       info("graft_int8_codes", classOf[Int8Codes],
         "graft_int8_codes(v) - comma-joined int8 linear-quantization codes of an array<float> vector (codegen'd, fused min/max + quantize loop)"),
       (es: Seq[Expression]) => Int8Codes(es.head)),
+    (FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", classOf[BloomAgg],
+        "graft_bloom_agg(key) - mergeable Bloom-filter build over a bigint key column (serialized bitmap bytes; 2^20 bits, 5 hashes)"),
+      (es: Seq[Expression]) => BloomAgg(es.head)),
+    (FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", classOf[BloomContains],
+        "graft_bloom_contains(bf, key) - codegen'd Bloom membership probe (false = definitely absent)"),
+      (es: Seq[Expression]) => BloomContains(es(0), es(1))),
   )
 
   /** Register every graft function into an existing session (temp-function

@@ -627,7 +627,58 @@ object Analytics {
       .orderBy(col("c_ab").desc, col("p1"), col("p2"))
   }
 
+  // ---- q_corr_matrix: the measure pairs, their exact power sums, and the
+  // closed-form Pearson finish — ONE source of truth for both engines so
+  // every operand and operation is textually identical.
+  private val corrMeasures = Seq(
+    "qty" -> "l_quantity", "price" -> "l_extendedprice",
+    "disc" -> "l_discount", "tax" -> "l_tax")
+  private val corrPairs = for {
+    i <- corrMeasures.indices; j <- i + 1 until corrMeasures.size
+  } yield (corrMeasures(i), corrMeasures(j))
+  private def corrDec(c: String) = s"CAST($c AS DECIMAL(12,2))"
+  /** (alias, aggregate expression) for every power sum the matrix needs. */
+  private val corrAggs: Seq[(String, String)] =
+    corrMeasures.map { case (k, c) =>
+      s"s_$k" -> liftDec2(s"sum(${corrDec(c)})") } ++
+    corrMeasures.map { case (k, c) =>
+      s"q_$k" -> liftDec4(s"sum(${corrDec(c)} * ${corrDec(c)})") } ++
+    corrPairs.map { case ((a, ca), (b, cb)) =>
+      s"p_${a}_$b" -> liftDec4(s"sum(${corrDec(ca)} * ${corrDec(cb)})") }
+  /** corr(a,b) = (nΣab − ΣaΣb) / √((nΣa²−(Σa)²)(nΣb²−(Σb)²)), from the
+    * lifted exact sums; the zero/negative-variance guard is part of the
+    * shared text (divide-by-zero split + cancellation clamp in one). */
+  private def corrFinish(a: String, b: String): String = {
+    val num = s"(CAST(n AS DOUBLE) * p_${a}_$b - s_$a * s_$b)"
+    val va = s"(CAST(n AS DOUBLE) * q_$a - s_$a * s_$a)"
+    val vb = s"(CAST(n AS DOUBLE) * q_$b - s_$b * s_$b)"
+    s"CASE WHEN $va <= 0.0 OR $vb <= 0.0 THEN NULL ELSE $num / sqrt($va * $vb) END"
+  }
+
+  /** Pearson correlation matrix of the four lineitem measures per return
+    * flag — the feature-correlation screen a training pipeline runs before
+    * modeling. ONE map-side-combinable pass computes every power sum
+    * (n, Σx, Σx², Σxy for all 6 pairs: 15 aggregates over 3 groups), then
+    * the matrix is a closed-form double finish over the 3-row result —
+    * never a per-pair corpus pass (built-in corr() would rescan per pair
+    * AND float-sum in partition order, which can't hash-match). Sums are
+    * exact decimals surfaced through the scale-0 lifts of [[Det]]; the
+    * finish (including sqrt, correctly rounded per IEEE on both engines)
+    * is textually shared with the oracle. */
+  def qCorrMatrix(s: SparkSession, sf: String): DataFrame = {
+    val aggCols = count(lit(1)).as("n") +:
+      corrAggs.map { case (alias, e) => expr(e).as(alias) }
+    val base = Tables.lineitem(s, sf)
+      .groupBy("l_returnflag").agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = corrPairs.map { case ((a, _), (b, _)) =>
+      s"'${a}_$b', ${corrFinish(a, b)}" }.mkString(", ")
+    base.selectExpr("l_returnflag",
+        s"stack(${corrPairs.size}, $stackArgs) AS (pair, corr)")
+      .orderBy("l_returnflag", "pair")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_matrix" -> qCorrMatrix _,
     "q_skyline" -> qSkyline _,
     "q_gini" -> qGini _,
     "q_market_basket" -> qMarketBasket _,
@@ -652,6 +703,23 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Assembled from the SAME corrAggs/corrFinish fragments the Spark side
+    // compiles, so every operand and IEEE operation is textually identical;
+    // only the pair→row pivot differs (stack vs UNION ALL).
+    "q_corr_matrix" -> {
+      val aggSelect = corrAggs.map { case (alias, e) => s"$e AS $alias" }
+        .mkString(",\n        |       ")
+      val branches = corrPairs.map { case ((a, _), (b, _)) =>
+        s"SELECT l_returnflag, '${a}_$b' AS pair, ${corrFinish(a, b)} AS corr FROM a"
+      }.mkString("\n        |  UNION ALL ")
+      s"""WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |       $aggSelect
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, pair, corr FROM (
+        |  $branches)
+        |ORDER BY l_returnflag, pair""".stripMargin
+    },
     // Independent dominance formulation (quadratic NOT EXISTS — DuckDB's
     // IEJoin handles the two-inequality pattern); the Spark side runs the
     // two-phase prefix-min instead, so agreement checks the algorithm,

@@ -88,4 +88,9 @@ object Det {
     * DuckDB would reject the multiply). */
   def liftDec2(c: String): String =
     s"(CAST(CAST(CAST($c AS DECIMAL(30,2)) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)"
+
+  /** [[liftDec2]] for scale-4 aggregates (sums of 2-decimal × 2-decimal
+    * products — squares, cross products, discounted revenue). */
+  def liftDec4(c: String): String =
+    s"(CAST(CAST(CAST($c AS DECIMAL(30,4)) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0)"
 }

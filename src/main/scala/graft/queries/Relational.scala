@@ -181,6 +181,35 @@ object Relational {
       .orderBy("i_key")
   }
 
+  /** Bloom-filter-accelerated shuffle join — the runtime-filter pattern for
+    * 100 TB: when the dimension side is too big to broadcast as ROWS, its
+    * key set still broadcasts as BITS (2^20-bit filter ≈ 128 KB regardless
+    * of fact size), so the fact side is pre-filtered BEFORE its shuffle —
+    * here the urgent-order filter kills ~80% of lineitem rows ahead of the
+    * sort-merge exchange instead of after it. The probe
+    * ([[graft.functions.BloomContains]]) is codegen'd into the scan stage;
+    * false positives are removed by the exact join that follows, so the
+    * rewrite is semantics-preserving — which the plain-join oracle checks.
+    * The merge hint pins the shuffle-join scenario the pattern exists for
+    * (with a broadcastable dim the filter would be pointless). */
+  def qJoinBloom(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.BloomFilter._
+    val urgent = Tables.orders(s, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderstatus")
+    val bloom = urgent.agg(bloomAgg(col("o_orderkey")).as("bf"))
+    val pre = Tables.lineitem(s, sf)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .crossJoin(broadcast(bloom))
+      .filter(bloomContains(col("bf"), col("l_orderkey")))
+      .drop("bf")
+    pre.join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        expr(liftDec4(s"sum($revDec)")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Null semantics over real outer-join nulls: IS DISTINCT FROM, NULLIF,
     * null-safe equality, coalesce chains. */
   def qNullSemantics(s: SparkSession, sf: String): DataFrame = {
@@ -719,6 +748,7 @@ object Relational {
     "q_join_cross" -> qJoinCross _,
     "q_join_theta_range" -> qJoinThetaRange _,
     "q_join_range_binned" -> qJoinRangeBinned _,
+    "q_join_bloom" -> qJoinBloom _,
     "q_agg_q1" -> qAggQ1 _,
     "q_agg_distinct" -> qAggDistinct _,
     "q_agg_approx_distinct" -> qAggApproxDistinct _,
@@ -934,6 +964,14 @@ object Relational {
         |       min(p.o_orderdate) AS first_ts, max(p.o_orderdate) AS last_ts
         |FROM i JOIN orders p ON p.o_orderdate >= i.start_ts AND p.o_orderdate < i.end_ts
         |GROUP BY i_key ORDER BY i_key""".stripMargin,
+    // Plain join — the Bloom pre-filter must be invisible in the result
+    // (every false positive dies in the exact join).
+    "q_join_bloom" ->
+      s"""SELECT o_orderstatus, count(*) AS n_lines,
+         |       ${liftDec4(s"sum($revDec)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sumDec2("l_quantity")} AS sum_qty,

@@ -821,7 +821,57 @@ object VectorOps {
       .orderBy("doc_id")
   }
 
+  private[graft] val BfsRounds = 6
+  private[graft] val BfsSeedMod = 16
+  private[graft] val BfsUnreached = 99
+
+  /** Multi-source BFS over the near-dup graph: hop distance from the seed
+    * set (doc_id ≡ 0 mod [[BfsSeedMod]]) within [[BfsRounds]] hops — the
+    * blast-radius query (everything within k dup-hops of a flagged set:
+    * contamination spread, takedown propagation, dup-cluster provenance).
+    *
+    * Bellman-Ford relaxation with ZERO-WEIGHT SELF-LOOPS: augmenting the
+    * symmetric edge set with (v, v, 0) makes `min over in-edges of
+    * dist(u) + w` the ENTIRE recurrence — no second reference to the
+    * previous round (which a recursive-CTE oracle cannot express) and no
+    * driver-side state. Each round is one equi-join onto the cached
+    * pre-partitioned edge frame plus one map-side-combinable min; the
+    * frontier is never collected. Distances are small exact integers for
+    * a FIXED round count ⇒ bit-identical to the recursive-CTE oracle;
+    * unreached vertices hold the [[BfsUnreached]] sentinel, which the
+    * self-loop carries forward unchanged. */
+  def qBfsDist(s: SparkSession, sf: String): DataFrame = {
+    val edges = ngramPairs(Tables.documents(s, sf)).select("a_id", "b_id")
+    val sym = edges.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val verts = sym.select("src").distinct()
+    // register the loop-invariant edge frame with AQE scoped off so its
+    // src partitioning stays visible to every round's join (the cache-
+    // under-AQE trap of q_churn_matrix)
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val symz = try {
+      sym.withColumn("w", lit(1))
+        .unionByName(verts.select(col("src"), col("src").as("dst"))
+          .withColumn("w", lit(0)))
+        .repartition(col("src")).cache()
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    var dist = verts.select(col("src").as("doc_id")).withColumn("dist",
+      expr(s"CAST(CASE WHEN doc_id % $BfsSeedMod = 0 THEN 0 " +
+        s"ELSE $BfsUnreached END AS INT)"))
+    for (_ <- 1 to BfsRounds) {
+      dist = symz.join(dist.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst"), (col("dist") + col("w")).as("d"))
+        .groupBy("dst").agg(min("d").as("dist"))
+        .select(col("dst").as("doc_id"), col("dist"))
+    }
+    dist.orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs_dist" -> qBfsDist _,
     "q_triangle_count" -> qTriangleCount _,
     "q_kmeans" -> qKmeans _,
     "q_pagerank" -> qPagerank _,
@@ -861,6 +911,25 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The recursive term IS the self-loop-augmented relaxation: min over
+    // in-edges (including the zero-weight self-edge) of dist + w, exactly
+    // BfsRounds times — the same exact-integer recurrence the Spark loop
+    // runs, so the hash must match bit-for-bit.
+    "q_bfs_dist" ->
+      s"""WITH RECURSIVE $pairGraphSql,
+         |symz AS (SELECT src, dst, 1 AS w FROM sym
+         |         UNION ALL SELECT src, src, 0 AS w FROM deg),
+         |bfs AS (
+         |  SELECT src AS doc_id,
+         |         CAST(CASE WHEN src % $BfsSeedMod = 0 THEN 0 ELSE $BfsUnreached END AS INT) AS dist,
+         |         0 AS it
+         |  FROM deg
+         |  UNION ALL
+         |  SELECT z.dst AS doc_id, min(b.dist + z.w) AS dist, b.it + 1 AS it
+         |  FROM bfs b JOIN symz z ON z.src = b.doc_id
+         |  WHERE b.it < $BfsRounds
+         |  GROUP BY z.dst, b.it)
+         |SELECT doc_id, dist FROM bfs WHERE it = $BfsRounds ORDER BY doc_id""".stripMargin,
     // Id-oriented 3-way join (a < b < c by edge canonicalization) — an
     // INDEPENDENT enumeration order from the Spark side's degree
     // orientation; per-vertex triangle membership is orientation-

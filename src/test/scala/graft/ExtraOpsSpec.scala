@@ -523,6 +523,77 @@ class ExtraOpsSpec extends SparkSuite {
     assert(got.map(_._3).sum % 3 == 0, "each triangle touches exactly 3 vertices")
   }
 
+  test("corr matrix: equals a BigDecimal-exact naive recompute; bounded by [-1,1]") {
+    val rows = graft.queries.Analytics.qCorrMatrix(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(rows.nonEmpty)
+    val raw = graft.Tables.lineitem(spark, sf001)
+      .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .collect()
+      .map(r => (r.getString(0), Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+    val names = Array("qty", "price", "disc", "tax")
+    raw.groupBy(_._1).foreach { case (flag, g) =>
+      val xs = g.map(_._2)
+      val n = xs.length.toDouble
+      // exact decimal sums (2-dec values scale losslessly by 100), ONE
+      // rounding to double — the lift semantics
+      val cents = xs.map(_.map(v => math.round(v * 100)))
+      def sum1(i: Int) = cents.map(c => BigInt(c(i))).sum.toDouble / 100.0
+      def sum2(i: Int, j: Int) = cents.map(c => BigInt(c(i)) * BigInt(c(j))).sum.toDouble / 10000.0
+      for (i <- 0 until 4; j <- i + 1 until 4) {
+        val (num, vi, vj) = (
+          n * sum2(i, j) - sum1(i) * sum1(j),
+          n * sum2(i, i) - sum1(i) * sum1(i),
+          n * sum2(j, j) - sum1(j) * sum1(j))
+        val expect = if (vi <= 0 || vj <= 0) Double.NaN else num / math.sqrt(vi * vj)
+        val got = rows((flag, s"${names(i)}_${names(j)}"))
+        assert(got >= -1.0 && got <= 1.0, s"$flag ${names(i)}_${names(j)}: $got out of range")
+        assert(math.abs(got - expect) < 1e-9, s"$flag ${names(i)}_${names(j)}: $got vs $expect")
+      }
+    }
+  }
+
+  test("bfs dist: equals a naive multi-source BFS capped at the round count") {
+    val edges = VectorOps.ngramPairs(graft.Tables.documents(spark, sf001))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, g) => (v, g.map(_._2)) }
+    val rounds = VectorOps.BfsRounds
+    var dist = adj.keys.map(v =>
+      (v, if (v % VectorOps.BfsSeedMod == 0) 0 else VectorOps.BfsUnreached)).toMap
+    for (_ <- 1 to rounds)
+      dist = dist.map { case (v, d) =>
+        (v, math.min(d, adj(v).map(u => dist(u) + 1).min)) }
+    val got = VectorOps.qBfsDist(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got.nonEmpty && got.keySet == dist.keySet)
+    got.foreach { case (v, d) =>
+      assert(d == dist(v), s"vertex $v: got $d expected ${dist(v)}") }
+    // the seed set really is at distance zero, and someone is reached
+    assert(got.filter(_._1 % VectorOps.BfsSeedMod == 0).values.forall(_ == 0))
+    assert(got.values.exists(d => d > 0 && d < VectorOps.BfsUnreached))
+  }
+
+  test("bloom join: result identical to the plain join (false positives all die)") {
+    val got = graft.queries.Relational.qJoinBloom(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val urgent = graft.Tables.orders(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderstatus")
+    val plain = graft.Tables.lineitem(spark, sf001)
+      .join(urgent, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_lines"),
+        org.apache.spark.sql.functions.expr(
+          graft.queries.Det.liftDec4(s"sum(${graft.queries.Det.revDec})")).as("revenue"))
+      .orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.sameElements(plain),
+      "bloom pre-filter changed the join result")
+  }
+
   test("ngram LM: per-head top-3 is ordered, probabilities are exact ratios <= 1") {
     val rows = graft.queries.TextOps.qNgramLm(spark, sf001).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),

@@ -68,8 +68,10 @@ class PlanSpec extends SparkSuite {
       "q_churn_matrix", "q_dedup_containment", "q_dedup_edit", "q_dedup_ngram",
       "q_domain_mix", "q_equidepth_hist", "q_filter_outliers", "q_pagerank",
       "q_market_basket", "q_pagerank_step", "q_sim_ivf", "q_text_colloc",
-      "q_text_tfidf", "q_triangle_count", // scalar broadcasts (triangle's
-      // rides in via the cached ngramPairs edge frame's printed child plan)
+      "q_text_tfidf", "q_triangle_count", "q_bfs_dist", "q_join_bloom",
+      // ^ scalar broadcasts (triangle's and bfs's ride in via the cached
+      // ngramPairs edge frame's printed child plan; bloom's is the 1-row
+      // broadcast bitmap)
       "q_dedup_embcos", "q_join_cross", "q_sim_topk") // declared pair joins
     SparkEntry.queries.keys.filterNot(allowed).foreach { n =>
       val p = plan(n)
@@ -366,6 +368,51 @@ class PlanSpec extends SparkSuite {
       "rn<=3 must push down as WindowGroupLimit, not sort every head's continuations")
     assert(p.contains("TakeOrderedAndProject"),
       "head top-20 must be per-partition heaps")
+  }
+
+  test("q_corr_matrix: all 15 power sums ride ONE corpus aggregation pass") {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val live = SparkEntry.queries("q_corr_matrix")(spark, sf001)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e }
+      assert(live.size == 1,
+        s"expected exactly one hash shuffle (the single groupBy carrying every power sum), got ${live.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("q_bfs_dist: every round reads the cached edge frame; shuffles stay bounded") {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val live = SparkEntry.queries("q_bfs_dist")(spark, sf001)
+        .queryExecution.executedPlan
+      val caches = live.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+      assert(caches.size >= graft.queries.VectorOps.BfsRounds,
+        s"each relaxation round must read the cached symz frame, saw ${caches.size}")
+      val shuffles = live.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(shuffles.size <= graft.queries.VectorOps.BfsRounds + 4,
+        s"per-round cost must be one min-aggregate shuffle, got ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("q_join_bloom: the probe filter prunes the fact side BELOW its shuffle") {
+    val p = plan("q_join_bloom")
+    assert(p.contains("SortMergeJoin"), "merge hint must pin the shuffle-join scenario")
+    // the probe rides the scalar cross join's condition; formatted-mode
+    // details print in operator-number order (children numbered before
+    // parents), so the probe's detail section must precede the fact-side
+    // exchange's — i.e. the filter executes under the shuffle
+    val probe = p.indexOf("Join condition: graft_bloom_contains")
+    val exch = p.indexOf("hashpartitioning(l_orderkey")
+    assert(probe >= 0, "bloom probe missing from the plan")
+    assert(exch > probe,
+      s"the bloom probe (at $probe) must sit under the fact-side exchange (at $exch)")
   }
 
   test("q_triangle_count: wedge and closing joins are equi-joins, never nested loops") {
