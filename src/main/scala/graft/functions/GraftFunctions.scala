@@ -55,6 +55,11 @@ object GraftFunctions {
       info("graft_bloom_contains", classOf[BloomContains],
         "graft_bloom_contains(bf, key) - codegen'd Bloom membership probe (false = definitely absent)"),
       (es: Seq[Expression]) => BloomContains(es(0), es(1))),
+    (FunctionIdentifier("graft_kll_quantile"),
+      info("graft_kll_quantile", classOf[KllQuantile],
+        "graft_kll_quantile(x, rank) - mergeable DataSketches KLL quantile aggregate (rank must be a literal in [0,1])"),
+      (es: Seq[Expression]) => KllQuantile(es(0),
+        es(1).eval().asInstanceOf[Number].doubleValue())),
   )
 
   /** Register every graft function into an existing session (temp-function

@@ -258,6 +258,29 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) build from the event stream:
+    * per user, each CHANGE of event_type opens a validity interval
+    * [valid_from, valid_to), closed by the next change; the latest stays
+    * open (valid_to NULL, is_current) — the warehouse dimension-history
+    * op (and the batch twin of golden-record survivorship: FULL history
+    * instead of one survivor). Change detection, interval close, and
+    * version numbering are three windows over the SAME (user_id) /
+    * (ts, event_id) spec, so the corpus shuffles once and the unique
+    * event_id tie-break makes every row deterministic on both engines. */
+  def qScd2(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** Ratio-to-report: each event type's share of its day's traffic — the
     * mix-shift dashboard query. The daily rollup shuffles once; the
     * day-partitioned total window reuses nothing heavier than the
@@ -422,6 +445,7 @@ object Behavior {
     "q_lateness_audit" -> qLatenessAudit _,
     "q_set_overlap" -> qSetOverlap _,
     "q_golden_record" -> qGoldenRecord _,
+    "q_scd2" -> qScd2 _,
     "q_share_of_total" -> qShareOfTotal _,
     "q_ab_ttest" -> qAbTtest _,
     "q_anomaly_days" -> qAnomalyDays _,
@@ -434,6 +458,18 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT * FROM o WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |       event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM c ORDER BY user_id, version""".stripMargin,
     "q_churn_matrix" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

@@ -270,6 +270,23 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** DataSketches KLL quantiles via our TypedImperativeAggregate — the
+    * mergeable/persistable sketch path for distribution statistics,
+    * completing the sketch family (HLL cardinality / CMS frequency / KLL
+    * quantiles). NOT oracled (KLL compaction is randomized by design);
+    * ScaleSpec bounds the normalized rank error vs the exact percentile. */
+  def qAggKll(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.KllQuantile.kllQuantile
+    Tables.lineitem(s, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        kllQuantile(col("l_extendedprice"), 0.5).as("p50"),
+        kllQuantile(col("l_extendedprice"), 0.9).as("p90"),
+        kllQuantile(col("l_extendedprice"), 0.99).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   def qAggRollup(s: SparkSession, sf: String): DataFrame = {
     val c = Tables.customer(s, sf); val n = Tables.nation(s, sf); val r = Tables.region(s, sf)
     // pure DataFrame route (no temp-view side effects: construction stays
@@ -753,6 +770,7 @@ object Relational {
     "q_agg_distinct" -> qAggDistinct _,
     "q_agg_approx_distinct" -> qAggApproxDistinct _,
     "q_agg_hll" -> qAggHll _,
+    "q_agg_kll" -> qAggKll _,
     "q_agg_rollup" -> qAggRollup _,
     "q_agg_cube" -> qAggCube _,
     "q_agg_groupingsets" -> qAggGroupingSets _,

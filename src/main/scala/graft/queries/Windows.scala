@@ -167,7 +167,33 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Exact 7-row moving median of per-user daily activity — the smoothed
+    * trend line that is robust to single-day spikes (where the moving AVG
+    * of q_win_moving_avg is not). The frame holds ≤7 values, so the exact
+    * median is a closed-form pick from the sorted frame array (odd: the
+    * middle element; even: ONE double average of the two exact middles —
+    * identical arithmetic on both engines), never a streaming quantile
+    * estimate. One corpus shuffle: the user_id repartition satisfies the
+    * (user_id, day) rollup's clustering AND the window's partitioning. */
+  def qWinMedian(s: SparkSession, sf: String): DataFrame = {
+    val daily = graft.Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+      .rowsBetween(-6, Window.currentRow)
+    daily.withColumn("ws", collect_list("cnt").over(w))
+      .withColumn("med7", expr(
+        "CASE WHEN size(ws) % 2 = 1 " +
+          "THEN CAST(element_at(array_sort(ws), CAST((size(ws) + 1) DIV 2 AS INT)) AS DOUBLE) " +
+          "ELSE (CAST(element_at(array_sort(ws), CAST(size(ws) DIV 2 AS INT)) AS DOUBLE) + " +
+          "CAST(element_at(array_sort(ws), CAST(size(ws) DIV 2 + 1 AS INT)) AS DOUBLE)) / 2.0 END"))
+      .select("user_id", "day", "cnt", "med7")
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_median" -> qWinMedian _,
     "q_win_cume_dist" -> qWinCumeDist _,
     "q_win_firstlast" -> qWinFirstLast _,
     "q_sessionize" -> qSessionize _,
@@ -181,6 +207,17 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's windowed median IS quantile_cont(0.5): odd frames take the
+    // element, even frames interpolate halfway between two exact small
+    // integers — bit-identical to the closed-form sorted-array pick.
+    "q_win_median" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, cnt,
+        |       median(cnt) OVER (PARTITION BY user_id ORDER BY day
+        |                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM daily ORDER BY user_id, day""".stripMargin,
     "q_win_cume_dist" ->
       """SELECT event_id, user_id, ts,
         |       cume_dist() OVER w AS cume,

@@ -594,6 +594,56 @@ class ExtraOpsSpec extends SparkSuite {
       "bloom pre-filter changed the join result")
   }
 
+  test("scd2: intervals tile each user's history; versions dense; one open row per user") {
+    val rows = graft.queries.Behavior.qScd2(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, g) =>
+      val hist = g.sortBy(_._2)
+      // versions are 1..n dense
+      assert(hist.map(_._2).toSeq == (1 to hist.length).toSeq, s"user $user versions")
+      // each interval closes exactly where the next opens; only the last is open
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $user v${a._2} close != v${b._2} open")
+          assert(!a._6, s"user $user v${a._2} closed row marked current")
+          // a change really changed the type
+          assert(a._3 != b._3, s"user $user v${a._2}->v${b._2} same type")
+        case _ =>
+      }
+      assert(hist.last._5.isEmpty && hist.last._6, s"user $user last row must be open")
+    }
+    // interval bounds reproduce the raw event stream's change points
+    val nChanges = {
+      val evs = graft.Tables.events(spark, sf001)
+        .select("user_id", "ts", "event_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      evs.groupBy(_._1).map { case (_, g) =>
+        val seq = g.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+        1 + seq.sliding(2).count { case Array(a, b) => a != b; case _ => false }
+      }.sum
+    }
+    assert(rows.length == nChanges, s"${rows.length} intervals vs $nChanges change points")
+  }
+
+  test("moving median: equals a naive sorted-frame recompute") {
+    val rows = graft.queries.Windows.qWinMedian(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, g) =>
+      val series = g.sortBy(_._2.getTime)
+      series.indices.foreach { i =>
+        val frame = series.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+        val expect =
+          if (frame.length % 2 == 1) frame(frame.length / 2).toDouble
+          else (frame(frame.length / 2 - 1) + frame(frame.length / 2)) / 2.0
+        assert(series(i)._4 == expect,
+          s"user $user day ${series(i)._2}: ${series(i)._4} vs $expect")
+      }
+    }
+  }
+
   test("ngram LM: per-head top-3 is ordered, probabilities are exact ratios <= 1") {
     val rows = graft.queries.TextOps.qNgramLm(spark, sf001).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),

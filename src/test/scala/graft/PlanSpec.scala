@@ -274,7 +274,8 @@ class PlanSpec extends SparkSuite {
     // partial-aggregated rows (HashAggregate below the exchange)
     val expected = Map(
       "q_retention" -> 2, "q_event_transitions" -> 2, "q_lateness_audit" -> 2,
-      "q_win_streaks" -> 1, "q_golden_record" -> 1)
+      "q_win_streaks" -> 1, "q_golden_record" -> 1, "q_scd2" -> 1,
+      "q_win_median" -> 1)
     expected.foreach { case (n, want) =>
       val p = SparkEntry.queries(n)(spark, sf001).queryExecution.executedPlan.toString
       val hash = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -143,6 +143,37 @@ class ScaleSpec extends SparkSuite {
     assert(a == b, s"sketch estimate must be partitioning-invariant: $a vs $b")
   }
 
+  test("KLL sketch quantiles land within 5% normalized rank of the target") {
+    val rows = graft.queries.Relational.qAggKll(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.lineitem(spark, sf001)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sorted) }
+    rows.foreach { r =>
+      val (flag, n) = (r.getString(0), r.getLong(4))
+      val sorted = data(flag)
+      assert(sorted.length == n)
+      Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3))
+        .foreach { case (q, v) =>
+          // the sketch returns an element of the data whose NORMALIZED
+          // RANK is within epsilon of the request (k=200 -> ~1.65%)
+          val rank = sorted.count(_ <= v).toDouble / sorted.length
+          assert(math.abs(rank - q) <= 0.05, s"$flag p$q: value $v has rank $rank")
+          assert(sorted.contains(v), s"$flag p$q: $v is not an element of the data")
+        }
+    }
+    // mergeability: a sketch built from partials over any partitioning
+    // still satisfies the same rank bound (exactness is NOT promised —
+    // KLL compaction is randomized)
+    val merged = Tables.lineitem(spark, sf001).repartition(16)
+      .agg(graft.functions.KllQuantile.kllQuantile(col("l_extendedprice"), 0.5).as("m"))
+      .head.getDouble(0)
+    val all = data.values.flatten.toArray.sorted
+    val mrank = all.count(_ <= merged).toDouble / all.length
+    assert(math.abs(mrank - 0.5) <= 0.05, s"merged p50 $merged has rank $mrank")
+  }
+
   test("approx_percentile tracks exact percentiles within 5%") {
     val exact = Tables.lineitem(spark, sf001).groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
