@@ -438,7 +438,44 @@ object Behavior {
       .select("event_type", "day", "n", "prev_n", "delta")
   }
 
+  /** The windowed-Pearson finish shared textually with the oracle: every
+    * operand is an exact windowed integer sum cast to double once, the
+    * guard handles degenerate windows (constant series ⇒ zero variance). */
+  private val rollCorrFinish: String = {
+    val num = "(CAST(n AS DOUBLE) * CAST(pab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+    val va = "(CAST(n AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    val vb = "(CAST(n AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+    s"CASE WHEN $va <= 0.0 OR $vb <= 0.0 THEN NULL ELSE $num / sqrt($va * $vb) END"
+  }
+
+  /** 30-day rolling correlation between view and click daily volumes —
+    * the time-VARYING twin of q_corr_matrix's static screen (is engagement
+    * decoupling from traffic?). The corpus collapses to one row per day
+    * first; the 30-row window then runs over that bounded series (the
+    * documented safe case for an unpartitioned window — thousands of rows
+    * at ANY corpus size), carrying the five moment sums as EXACT windowed
+    * integer sums; the closed-form double finish is textually shared. */
+  def qRollingCorr(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.orderBy(col("day").asc).rowsBetween(-29, Window.currentRow)
+    Tables.events(s, sf)
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cnt_b"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sa", sum("cnt_a").over(w))
+      .withColumn("sb", sum("cnt_b").over(w))
+      .withColumn("qa", sum(expr("cnt_a * cnt_a")).over(w))
+      .withColumn("qb", sum(expr("cnt_b * cnt_b")).over(w))
+      .withColumn("pab", sum(expr("cnt_a * cnt_b")).over(w))
+      .withColumn("corr30", expr(rollCorrFinish))
+      .select("day", "cnt_a", "cnt_b", "corr30")
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_corr" -> qRollingCorr _,
     "q_churn_matrix" -> qChurnMatrix _,
     "q_cohort_ltv" -> qCohortLtv _,
     "q_top_movers" -> qTopMovers _,
@@ -458,6 +495,22 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_corr" ->
+      s"""WITH pair AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1),
+        |m AS (
+        |  SELECT day, cnt_a, cnt_b,
+        |         count(*) OVER w AS n,
+        |         sum(cnt_a) OVER w AS sa, sum(cnt_b) OVER w AS sb,
+        |         sum(cnt_a * cnt_a) OVER w AS qa, sum(cnt_b * cnt_b) OVER w AS qb,
+        |         sum(cnt_a * cnt_b) OVER w AS pab
+        |  FROM pair
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT day, cnt_a, cnt_b, $rollCorrFinish AS corr30
+        |FROM m ORDER BY day""".stripMargin,
     "q_scd2" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -870,7 +870,46 @@ object VectorOps {
     dist.orderBy("doc_id")
   }
 
+  private[graft] val HitsRounds = 4
+
+  /** HITS (hubs & authorities, Jacobi variant) over the ID-ORIENTED
+    * near-dup graph: a<b edges directed a→b, so a doc duplicated by many
+    * LATER docs scores as an authority (the original), a doc overlapping
+    * many EARLIER docs as a hub (the aggregator) — provenance direction
+    * for dup clusters, complementary to q_pagerank's undirected mass.
+    *
+    * Same single-reference loop algebra as [[qBfsDist]]: a MODE-TAGGED
+    * edge frame (forward rows carry hub scores to the authority of their
+    * head, reverse rows carry authority scores back to the hub of their
+    * tail) turns the two mutually recursive updates into ONE equi-join +
+    * ONE conditional aggregate per round — no second reference to the
+    * previous table, so a recursive-CTE oracle can run the identical
+    * recurrence. Jacobi update (both new scores from the PREVIOUS round),
+    * unnormalized exact BIGINTs for a fixed [[HitsRounds]] rounds ⇒
+    * bit-identical across engines; growth is bounded by outdeg^rounds,
+    * far under BIGINT at any realistic dup-graph degree. */
+  def qHits(s: SparkSession, sf: String): DataFrame = {
+    val edges = ngramPairs(Tables.documents(s, sf)).select("a_id", "b_id")
+    val em0 = edges.select(col("a_id").as("src"), col("b_id").as("dst"), lit("f").as("m"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst"), lit("r").as("m")))
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val em = try em0.repartition(col("src")).cache()
+    finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    var scores = em.select(col("src").as("doc_id")).distinct()
+      .withColumn("h", lit(1L)).withColumn("a", lit(1L))
+    for (_ <- 1 to HitsRounds) {
+      scores = em.join(scores.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy("dst")
+        .agg(sum(expr("CASE WHEN m = 'r' THEN a ELSE CAST(0 AS BIGINT) END")).as("h"),
+          sum(expr("CASE WHEN m = 'f' THEN h ELSE CAST(0 AS BIGINT) END")).as("a"))
+        .select(col("dst").as("doc_id"), col("h"), col("a"))
+    }
+    scores.orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits" -> qHits _,
     "q_bfs_dist" -> qBfsDist _,
     "q_triangle_count" -> qTriangleCount _,
     "q_kmeans" -> qKmeans _,
@@ -911,6 +950,26 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same mode-tagged single-reference recurrence as the Spark loop:
+    // reverse rows feed hubs, forward rows feed authorities, Jacobi
+    // update, HitsRounds exact-integer rounds.
+    "q_hits" ->
+      s"""WITH RECURSIVE $pairGraphSql,
+         |em AS (SELECT a_id AS src, b_id AS dst, 'f' AS m FROM e
+         |       UNION ALL SELECT b_id AS src, a_id AS dst, 'r' AS m FROM e),
+         |hits AS (
+         |  SELECT DISTINCT src AS doc_id, CAST(1 AS BIGINT) AS h,
+         |         CAST(1 AS BIGINT) AS a, 0 AS it
+         |  FROM em
+         |  UNION ALL
+         |  SELECT em.dst AS doc_id,
+         |         CAST(sum(CASE WHEN em.m = 'r' THEN p.a ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h,
+         |         CAST(sum(CASE WHEN em.m = 'f' THEN p.h ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS a,
+         |         p.it + 1 AS it
+         |  FROM hits p JOIN em ON em.src = p.doc_id
+         |  WHERE p.it < $HitsRounds
+         |  GROUP BY em.dst, p.it)
+         |SELECT doc_id, h, a FROM hits WHERE it = $HitsRounds ORDER BY doc_id""".stripMargin,
     // The recursive term IS the self-loop-augmented relaxation: min over
     // in-edges (including the zero-weight self-edge) of dist + w, exactly
     // BfsRounds times — the same exact-integer recurrence the Spark loop

@@ -644,6 +644,51 @@ class ExtraOpsSpec extends SparkSuite {
     }
   }
 
+  test("hits: equals a naive Jacobi recompute over the id-oriented graph") {
+    val edges = VectorOps.ngramPairs(graft.Tables.documents(spark, sf001))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var h = verts.map(v => (v, BigInt(1))).toMap
+    var a = verts.map(v => (v, BigInt(1))).toMap
+    for (_ <- 1 to VectorOps.HitsRounds) {
+      val na = verts.map(v =>
+        (v, edges.filter(_._2 == v).map(e => h(e._1)).sum)).toMap
+      val nh = verts.map(v =>
+        (v, edges.filter(_._1 == v).map(e => a(e._2)).sum)).toMap
+      h = nh; a = na
+    }
+    val got = VectorOps.qHits(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length == verts.length)
+    got.foreach { case (v, gh, ga) =>
+      assert(BigInt(gh) == h(v) && BigInt(ga) == a(v),
+        s"vertex $v: ($gh, $ga) vs (${h(v)}, ${a(v)})")
+    }
+    // direction carries meaning: hubs and authorities are not identical
+    assert(got.exists { case (_, gh, ga) => gh != ga })
+  }
+
+  test("rolling corr: equals a naive windowed recompute; bounded by [-1,1]") {
+    val rows = graft.queries.Behavior.qRollingCorr(spark, sf001).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    val series = rows.sortBy(_._1.getTime)
+    series.indices.foreach { i =>
+      val frame = series.slice(math.max(0, i - 29), i + 1)
+      val n = frame.length.toDouble
+      val (sa, sb) = (frame.map(_._2).sum.toDouble, frame.map(_._3).sum.toDouble)
+      val qa = frame.map(x => x._2 * x._2).sum.toDouble
+      val qb = frame.map(x => x._3 * x._3).sum.toDouble
+      val pab = frame.map(x => x._2 * x._3).sum.toDouble
+      val (va, vb) = (n * qa - sa * sa, n * qb - sb * sb)
+      val expect = if (va <= 0 || vb <= 0) None
+        else Some((n * pab - sa * sb) / math.sqrt(va * vb))
+      assert(series(i)._4 == expect, s"day ${series(i)._1}: ${series(i)._4} vs $expect")
+      series(i)._4.foreach(c => assert(c >= -1.0 && c <= 1.0))
+    }
+  }
+
   test("ngram LM: per-head top-3 is ordered, probabilities are exact ratios <= 1") {
     val rows = graft.queries.TextOps.qNgramLm(spark, sf001).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),

@@ -68,7 +68,7 @@ class PlanSpec extends SparkSuite {
       "q_churn_matrix", "q_dedup_containment", "q_dedup_edit", "q_dedup_ngram",
       "q_domain_mix", "q_equidepth_hist", "q_filter_outliers", "q_pagerank",
       "q_market_basket", "q_pagerank_step", "q_sim_ivf", "q_text_colloc",
-      "q_text_tfidf", "q_triangle_count", "q_bfs_dist", "q_join_bloom",
+      "q_text_tfidf", "q_triangle_count", "q_bfs_dist", "q_hits", "q_join_bloom",
       // ^ scalar broadcasts (triangle's and bfs's ride in via the cached
       // ngramPairs edge frame's printed child plan; bloom's is the 1-row
       // broadcast bitmap)
@@ -414,6 +414,30 @@ class PlanSpec extends SparkSuite {
     assert(probe >= 0, "bloom probe missing from the plan")
     assert(exch > probe,
       s"the bloom probe (at $probe) must sit under the fact-side exchange (at $exch)")
+  }
+
+  test("q_hits: every round reads the cached mode-tagged edge frame") {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val live = SparkEntry.queries("q_hits")(spark, sf001)
+        .queryExecution.executedPlan
+      val caches = live.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+      assert(caches.size >= graft.queries.VectorOps.HitsRounds,
+        s"each Jacobi round must read the cached em frame, saw ${caches.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("q_rolling_corr: the unpartitioned window runs over the daily rollup only") {
+    val p = SparkEntry.queries("q_rolling_corr")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the single-partition exchange may only carry the per-day aggregate
+    // (HashAggregate below it), never raw events
+    val singles = "Exchange SinglePartition[\\s\\S]{0,400}?(HashAggregate|$)".r
+      .findAllIn(p).toList
+    assert(singles.nonEmpty && singles.forall(_.contains("HashAggregate")),
+      s"the 30-row window must consume the daily rollup:\n${p.take(3000)}")
   }
 
   test("q_triangle_count: wedge and closing joins are equi-joins, never nested loops") {
