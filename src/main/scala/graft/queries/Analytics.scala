@@ -169,6 +169,55 @@ object Analytics {
         count("p_ts").as("n_purchase_after_click"))
   }
 
+  /** Time-bound conversion funnel — [[qFunnel]] with the real-world
+    * constraint product analytics actually ships: each step must happen
+    * WITHIN 7 DAYS of the previous one (signup → first view ≤7d later →
+    * first purchase ≤7d after that), not merely after it. Same
+    * single-shuffle shape: three chained min-over-user windows on one
+    * partitioning, each conditioned on the previous step's timestamp; the
+    * interval bound is exact integer µs arithmetic on both engines. */
+  def qFunnelWindowed(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, sf)
+      .select("user_id", "ts", "event_type")
+      .withColumn("s_ts", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("v_ts", min(when(col("event_type") === "view" &&
+        col("ts") > col("s_ts") &&
+        col("ts") <= col("s_ts") + expr("INTERVAL 7 DAY"), col("ts"))).over(w))
+      .withColumn("p_ts", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("v_ts") &&
+        col("ts") <= col("v_ts") + expr("INTERVAL 7 DAY"), col("ts"))).over(w))
+      .select("user_id", "s_ts", "v_ts", "p_ts").distinct()
+      .agg(
+        count(lit(1)).as("n_users"),
+        count("s_ts").as("n_signup"),
+        count("v_ts").as("n_view_7d"),
+        count("p_ts").as("n_purchase_7d"))
+  }
+
+  /** Small-file compaction planner — the lakehouse maintenance op, done
+    * declaratively instead of a driver loop over a file listing: per
+    * priority class, the per-day row groups ("files") are packed in day
+    * order into target-size compaction bins by START-OFFSET assignment
+    * (bin = exclusive-prefix-size DIV target) — deterministic, one pass,
+    * no iteration; a file never splits, bins fill to at least the target
+    * once a file crosses the boundary. The prefix window runs over the
+    * per-(priority, day) rollup — bounded by the date domain, never the
+    * corpus — so the plan scales with the partition COUNT at 100 TB. */
+  def qCompactionPlan(s: SparkSession, sf: String): DataFrame = {
+    val target = 4000L
+    val files = Tables.orders(s, sf)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+    files.withColumn("cum", sum("sz").over(w))
+      .withColumn("bin", expr(s"(cum - sz) DIV $target"))
+      .groupBy("o_orderpriority", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("sz").as("total_rows"),
+        min("day").as("first_day"), max("day").as("last_day"))
+      .orderBy("o_orderpriority", "bin")
+  }
+
   // Quantization arithmetic, shared shape on both engines. float->double
   // casts are exact; the scalar ops are basic IEEE (exactly rounded on
   // both); floor(x + 0.5) rounds identically (no banker's rounding); the
@@ -678,6 +727,8 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_windowed" -> qFunnelWindowed _,
+    "q_compaction_plan" -> qCompactionPlan _,
     "q_corr_matrix" -> qCorrMatrix _,
     "q_skyline" -> qSkyline _,
     "q_gini" -> qGini _,
@@ -703,6 +754,37 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel_windowed" ->
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_type,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS s_ts
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND ts > s_ts
+        |                      AND ts <= s_ts + INTERVAL 7 DAY THEN ts END)
+        |            OVER (PARTITION BY user_id) AS v_ts
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > v_ts
+        |                      AND ts <= v_ts + INTERVAL 7 DAY THEN ts END)
+        |            OVER (PARTITION BY user_id) AS p_ts
+        |  FROM w2),
+        |u AS (SELECT DISTINCT user_id, s_ts, v_ts, p_ts FROM w3)
+        |SELECT count(*) AS n_users, count(s_ts) AS n_signup,
+        |       count(v_ts) AS n_view_7d, count(p_ts) AS n_purchase_7d
+        |FROM u""".stripMargin,
+    "q_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, count(*) AS sz
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *, sum(sz) OVER (PARTITION BY o_orderpriority ORDER BY day) AS cum
+        |  FROM files)
+        |SELECT o_orderpriority, CAST(CAST(cum - sz AS BIGINT) // 4000 AS BIGINT) AS bin,
+        |       count(*) AS n_files, CAST(sum(sz) AS BIGINT) AS total_rows,
+        |       min(day) AS first_day, max(day) AS last_day
+        |FROM c GROUP BY 1, 2 ORDER BY o_orderpriority, bin""".stripMargin,
     // Assembled from the SAME corrAggs/corrFinish fragments the Spark side
     // compiles, so every operand and IEEE operation is textually identical;
     // only the pair→row pivot differs (stack vs UNION ALL).

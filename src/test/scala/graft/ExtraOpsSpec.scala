@@ -689,6 +689,64 @@ class ExtraOpsSpec extends SparkSuite {
     }
   }
 
+  test("windowed funnel: equals a naive per-user chain recompute; monotone steps") {
+    val r = graft.queries.Analytics.qFunnelWindowed(spark, sf001).head
+    val (nUsers, nS, nV, nP) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nUsers >= nS && nS >= nV && nV >= nP, "funnel must be monotone")
+    val evs = graft.Tables.events(spark, sf001)
+      .select("user_id", "ts", "event_type").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).getTime, x.getString(2)))
+    val week = 7L * 24 * 3600 * 1000
+    val byUser = evs.groupBy(_._1)
+    val chains = byUser.map { case (_, g) =>
+      val sOpt = g.filter(_._3 == "signup").map(_._2).minOption
+      val vOpt = sOpt.flatMap(st => g.filter(e =>
+        e._3 == "view" && e._2 > st && e._2 <= st + week).map(_._2).minOption)
+      val pOpt = vOpt.flatMap(vt => g.filter(e =>
+        e._3 == "purchase" && e._2 > vt && e._2 <= vt + week).map(_._2).minOption)
+      (sOpt, vOpt, pOpt)
+    }
+    assert(nUsers == byUser.size)
+    assert(nS == chains.count(_._1.isDefined), s"signups: $nS")
+    assert(nV == chains.count(_._2.isDefined), s"view-within-7d: $nV")
+    assert(nP == chains.count(_._3.isDefined), s"purchase-within-7d: $nP")
+  }
+
+  test("compaction plan: bins tile each priority's file list in day order") {
+    val target = 4000L
+    val rows = graft.queries.Analytics.qCompactionPlan(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDate(4), r.getDate(5)))
+    assert(rows.nonEmpty)
+    val files = graft.Tables.orders(spark, sf001)
+      .groupBy(col("o_orderpriority"),
+        org.apache.spark.sql.functions.to_date(col("o_orderdate")).as("day"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("sz")).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    files.groupBy(_._1).foreach { case (prio, g) =>
+      val ordered = g.sortBy(_._2.getTime)
+      var cum = 0L
+      val naive = ordered.map { f =>
+        val bin = cum / target; cum += f._3; (bin, f) }
+      val got = rows.filter(_._1 == prio)
+      assert(got.map(_._4).sum == ordered.map(_._3).sum, s"$prio total rows")
+      assert(got.map(_._3).sum == ordered.length, s"$prio file count")
+      naive.groupBy(_._1).foreach { case (bin, bg) =>
+        val row = got.find(_._2 == bin).get
+        assert(row._3 == bg.length && row._4 == bg.map(_._2._3).sum,
+          s"$prio bin $bin contents")
+        assert(row._5 == bg.map(_._2._2).minBy(_.getTime) &&
+          row._6 == bg.map(_._2._2).maxBy(_.getTime), s"$prio bin $bin day span")
+      }
+      // every bin except the last closed only after crossing the target:
+      // its files' cumulative size reaches target once the bin advances
+      val binSizes = naive.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2._3).sum)
+      binSizes.dropRight(1).foreach(sz =>
+        assert(sz >= 1, s"$prio: empty closed bin"))
+      assert(binSizes.sum == ordered.map(_._3).sum)
+    }
+  }
+
   test("ngram LM: per-head top-3 is ordered, probabilities are exact ratios <= 1") {
     val rows = graft.queries.TextOps.qNgramLm(spark, sf001).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),

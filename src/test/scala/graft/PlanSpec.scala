@@ -167,6 +167,23 @@ class PlanSpec extends SparkSuite {
       s"expected the chained windows + per-user distinct to reuse one user_id shuffle, got $hashExchanges:\n${p.take(3000)}")
   }
 
+  test("q_funnel_windowed shares one user_id shuffle like its unbounded twin") {
+    val p = SparkEntry.queries("q_funnel_windowed")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected the time-bound windows + distinct to reuse one user_id shuffle, got $hashExchanges:\n${p.take(3000)}")
+  }
+
+  test("q_compaction_plan: the prefix window runs over the (priority, day) rollup") {
+    val p = SparkEntry.queries("q_compaction_plan")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p.take(2000))
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      s"the cumulative-size window must consume the per-day rollup, not raw orders:\n${p.take(3000)}")
+  }
+
   test("q_bitmap_distinct builds bitmaps map-side (partial aggregate below the exchange)") {
     // plans as a SortAggregate pair for the bitmap level plus a
     // HashAggregate pair for the popcount sum; what matters at scale is
