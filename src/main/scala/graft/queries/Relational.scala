@@ -191,18 +191,26 @@ object Relational {
     * false positives are removed by the exact join that follows, so the
     * rewrite is semantics-preserving — which the plain-join oracle checks.
     * The merge hint pins the shuffle-join scenario the pattern exists for
-    * (with a broadcastable dim the filter would be pointless). */
+    * (with a broadcastable dim the filter would be pointless).
+    *
+    * The built filter reaches the probe side as a LITERAL, the way Spark's
+    * own injected runtime filters do (a scalar subquery collected at the
+    * driver): one aggregate row — 128 KB by construction, independent of
+    * data size — then `lit(bytes)` becomes a codegen reference object read
+    * once per partition. Shipping it as a broadcast-joined COLUMN instead
+    * is a trap: every codegen probe then goes through UnsafeRow.getBinary,
+    * which copies the whole bitmap per fact row (measured 14.7 s at sf0.1
+    * from ~75 GB of memcpy; 0.5 s as a literal). */
   def qJoinBloom(s: SparkSession, sf: String): DataFrame = {
     import graft.functions.BloomFilter._
     val urgent = Tables.orders(s, sf)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey", "o_orderstatus")
-    val bloom = urgent.agg(bloomAgg(col("o_orderkey")).as("bf"))
+    val bf = urgent.agg(bloomAgg(col("o_orderkey")).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
     val pre = Tables.lineitem(s, sf)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-      .crossJoin(broadcast(bloom))
-      .filter(bloomContains(col("bf"), col("l_orderkey")))
-      .drop("bf")
+      .filter(bloomContains(lit(bf), col("l_orderkey")))
     pre.join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),

@@ -697,7 +697,10 @@ object VectorOps {
       // step at edge-mass parallelism. (localCheckpoint trades executor
       // fault-tolerance for speed — a cluster deployment recovering from
       // executor loss would use reliable checkpointing to the job dir.)
-      val fused = 8
+      // cadence swept at sf0.1 (min-of-2 steady): 1→8.3 s, 2→7.25, 3→7.56,
+      // 4→7.57, 5→8.09, 8→10.1, 13→11.1, 20→16.2 — flat floor ≈7 s below 5
+      // (per-job scheduling dominates), quadratic canonicalization above it
+      val fused = 4
       var i = 0
       while (i < iters - 1) {
         val take = math.min(fused, iters - 1 - i)

@@ -68,10 +68,9 @@ class PlanSpec extends SparkSuite {
       "q_churn_matrix", "q_dedup_containment", "q_dedup_edit", "q_dedup_ngram",
       "q_domain_mix", "q_equidepth_hist", "q_filter_outliers", "q_pagerank",
       "q_market_basket", "q_pagerank_step", "q_sim_ivf", "q_text_colloc",
-      "q_text_tfidf", "q_triangle_count", "q_bfs_dist", "q_hits", "q_join_bloom",
+      "q_text_tfidf", "q_triangle_count", "q_bfs_dist", "q_hits",
       // ^ scalar broadcasts (triangle's and bfs's ride in via the cached
-      // ngramPairs edge frame's printed child plan; bloom's is the 1-row
-      // broadcast bitmap)
+      // ngramPairs edge frame's printed child plan)
       "q_dedup_embcos", "q_join_cross", "q_sim_topk") // declared pair joins
     SparkEntry.queries.keys.filterNot(allowed).foreach { n =>
       val p = plan(n)
@@ -422,11 +421,16 @@ class PlanSpec extends SparkSuite {
   test("q_join_bloom: the probe filter prunes the fact side BELOW its shuffle") {
     val p = plan("q_join_bloom")
     assert(p.contains("SortMergeJoin"), "merge hint must pin the shuffle-join scenario")
-    // the probe rides the scalar cross join's condition; formatted-mode
-    // details print in operator-number order (children numbered before
-    // parents), so the probe's detail section must precede the fact-side
-    // exchange's — i.e. the filter executes under the shuffle
-    val probe = p.indexOf("Join condition: graft_bloom_contains")
+    // the filter must arrive as a LITERAL (driver-collected one-row
+    // aggregate, Spark's own runtime-filter shape) — a broadcast-joined
+    // bitmap COLUMN would re-copy the 128 KB array per probed row
+    // (UnsafeRow.getBinary) and shows up as a BNLJ in the plan
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the bloom bitmap must reach the probe as a literal, not a joined column")
+    // formatted-mode details print in operator-number order (children
+    // numbered before parents), so the probe filter's detail section must
+    // precede the fact-side exchange's — i.e. it executes under the shuffle
+    val probe = p.indexOf("graft_bloom_contains")
     val exch = p.indexOf("hashpartitioning(l_orderkey")
     assert(probe >= 0, "bloom probe missing from the plan")
     assert(exch > probe,
