@@ -685,15 +685,32 @@ object Analytics {
   private val corrPairs = for {
     i <- corrMeasures.indices; j <- i + 1 until corrMeasures.size
   } yield (corrMeasures(i), corrMeasures(j))
-  private def corrDec(c: String) = s"CAST($c AS DECIMAL(12,2))"
-  /** (alias, aggregate expression) for every power sum the matrix needs. */
-  private val corrAggs: Seq[(String, String)] =
+  /** Exact integer cents lane: a 2-decimal double times 100 lands within
+    * one ulp of the true integer k (k itself ≤ 2^53 is representable), so
+    * round() recovers k EXACTLY on both engines — no decimal cast in the
+    * per-row path. Products then run in LONG: price_cents² ≈ 10^14, far
+    * under 2^63. */
+  private def corrCents(c: String) = s"CAST(round($c * 100) AS BIGINT)"
+  /** (alias, per-row exact BIGINT lane) for every power sum the matrix
+    * needs. */
+  private val corrLanes: Seq[(String, String)] =
+    corrMeasures.map { case (k, c) => s"s_$k" -> corrCents(c) } ++
     corrMeasures.map { case (k, c) =>
-      s"s_$k" -> liftDec2(s"sum(${corrDec(c)})") } ++
-    corrMeasures.map { case (k, c) =>
-      s"q_$k" -> liftDec4(s"sum(${corrDec(c)} * ${corrDec(c)})") } ++
+      s"q_$k" -> s"(${corrCents(c)} * ${corrCents(c)})" } ++
     corrPairs.map { case ((a, ca), (b, cb)) =>
-      s"p_${a}_$b" -> liftDec4(s"sum(${corrDec(ca)} * ${corrDec(cb)})") }
+      s"p_${a}_$b" -> s"(${corrCents(ca)} * ${corrCents(cb)})" }
+  /** The power sums: each exact BIGINT lane feeds a DECIMAL(38,0) sum —
+    * compact-long adds until a partial crosses 10^18 — cast to DOUBLE in
+    * one rounding on both engines (scale-0: no second /10^s rounding).
+    * Swept alternatives at sf0.1 (min-of-3): all-decimal per-row products
+    * 3.0 s, this shape 2.2 s, a 28-sum pure-long hi/lo split 5.5 s — the
+    * AGGREGATE COUNT, not the arithmetic type, drives the pass, so the
+    * 14-sum decimal form wins. The scaled (×100/×10^4) sums feed the same
+    * Pearson finish: corr is scale-invariant, and both engines compute
+    * from identical operands either way. */
+  private val corrAggs: Seq[(String, String)] =
+    corrLanes.map { case (alias, e) =>
+      alias -> s"CAST(sum(CAST($e AS DECIMAL(38,0))) AS DOUBLE)" }
   /** corr(a,b) = (nΣab − ΣaΣb) / √((nΣa²−(Σa)²)(nΣb²−(Σb)²)), from the
     * lifted exact sums; the zero/negative-variance guard is part of the
     * shared text (divide-by-zero split + cancellation clamp in one). */
@@ -710,10 +727,12 @@ object Analytics {
     * (n, Σx, Σx², Σxy for all 6 pairs: 15 aggregates over 3 groups), then
     * the matrix is a closed-form double finish over the 3-row result —
     * never a per-pair corpus pass (built-in corr() would rescan per pair
-    * AND float-sum in partition order, which can't hash-match). Sums are
-    * exact decimals surfaced through the scale-0 lifts of [[Det]]; the
-    * finish (including sqrt, correctly rounded per IEEE on both engines)
-    * is textually shared with the oracle. */
+    * AND float-sum in partition order, which can't hash-match). Per-row
+    * arithmetic runs on exact integer CENTS lanes ([[corrCents]] — no
+    * BigDecimal in the hot path), sums are scale-0 decimals cast to
+    * double in one rounding; the finish (including sqrt, correctly
+    * rounded per IEEE on both engines) is textually shared with the
+    * oracle and scale-invariant, so the cents scaling cancels. */
   def qCorrMatrix(s: SparkSession, sf: String): DataFrame = {
     val aggCols = count(lit(1)).as("n") +:
       corrAggs.map { case (alias, e) => expr(e).as(alias) }

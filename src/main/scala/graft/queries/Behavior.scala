@@ -281,6 +281,38 @@ object Behavior {
       .orderBy("user_id", "version")
   }
 
+  /** CDC merge/apply (the MERGE INTO kernel): fold a change feed into a
+    * snapshot with latest-wins upsert + delete semantics — the incremental-
+    * ingest primitive every warehouse/lakehouse table maintenance job runs.
+    * The feed is the orders stream keyed on the customer: per key, only the
+    * LATEST change applies (row_number = 1 over (o_orderdate, o_orderkey)
+    * DESC — compiles to WindowGroupLimit: 1-row heaps below the window's
+    * exchange, never a per-key sort); a final status of 'F' deletes the
+    * row, anything else upserts the balance (exact decimal add, single
+    * double rounding on both engines — the sum is row-scoped, far under
+    * 2^53 unscaled, so no scale-0 lift needed); keys without changes pass
+    * through untouched. One custkey shuffle for the dedup window + one
+    * equi-join against the snapshot — both linear; at 100 TB the join is
+    * the standard copy-on-write merge shuffle, and the same plan runs
+    * incrementally when the snapshot is bucketed on the key. */
+  def qCdcApply(s: SparkSession, sf: String): DataFrame = {
+    val wLatest = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = Tables.orders(s, sf)
+      .select("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderkey")
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderstatus").as("op_status"), col("o_totalprice"))
+    Tables.customer(s, sf)
+      .join(latest, col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("op_status").isNull || col("op_status") =!= "F")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        expr("CAST(CASE WHEN op_status IS NULL THEN CAST(c_acctbal AS DECIMAL(18,2)) " +
+          "ELSE CAST(c_acctbal AS DECIMAL(18,2)) + CAST(o_totalprice AS DECIMAL(18,2)) END " +
+          "AS DOUBLE)").as("balance"))
+      .orderBy("c_custkey")
+  }
+
   /** Ratio-to-report: each event type's share of its day's traffic — the
     * mix-shift dashboard query. The daily rollup shuffles once; the
     * day-partitioned total window reuses nothing heavier than the
@@ -483,6 +515,7 @@ object Behavior {
     "q_set_overlap" -> qSetOverlap _,
     "q_golden_record" -> qGoldenRecord _,
     "q_scd2" -> qScd2 _,
+    "q_cdc_apply" -> qCdcApply _,
     "q_share_of_total" -> qShareOfTotal _,
     "q_ab_ttest" -> qAbTtest _,
     "q_anomaly_days" -> qAnomalyDays _,
@@ -523,6 +556,20 @@ object Behavior {
         |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
         |FROM c ORDER BY user_id, version""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_orderstatus AS op_status, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT c_custkey, c_name, c_mktsegment,
+        |       CAST(CASE WHEN op_status IS NULL THEN CAST(c_acctbal AS DECIMAL(18,2))
+        |            ELSE CAST(c_acctbal AS DECIMAL(18,2)) + CAST(o_totalprice AS DECIMAL(18,2)) END
+        |            AS DOUBLE) AS balance
+        |FROM customer LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l
+        |  ON c_custkey = l.o_custkey
+        |WHERE op_status IS NULL OR op_status <> 'F'
+        |ORDER BY c_custkey""".stripMargin,
     "q_churn_matrix" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

@@ -218,6 +218,40 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Salt factor for [[qJoinSalted]] — small enough that the dim-side
+    * replication is negligible, large enough to split a hot key across
+    * that many reducers. */
+  private[graft] val JoinSaltR = 8
+
+  /** Explicitly salted shuffle join — the MANUAL skew-split pattern for
+    * when AQE's runtime skew-join split can't apply (it only rewrites
+    * sort-merge/shuffle-hash joins whose stats it observes; a skewed key
+    * inside an aggregation-reusing exchange, or a non-AQE deployment,
+    * needs the rewrite spelled in the plan). The fact side tags each row
+    * with a per-row salt in [0, R); the dim side replicates each key R
+    * times (explode of a R-element sequence — R× a DIMENSION table, not
+    * the fact table); the join key becomes (key, salt), so one hot key's
+    * rows spread over R reducers instead of one. Semantics-preserving by
+    * construction — every fact row still meets exactly one copy of its
+    * key — which the plain-join oracle checks. The salt derives from
+    * l_linenumber (any per-row value works; a deterministic one keeps the
+    * query replayable), and the aggregate that follows is keyed on the
+    * dim attribute, NOT the salt, so the salt dies at the join. */
+  def qJoinSalted(s: SparkSession, sf: String): DataFrame = {
+    val fact = Tables.lineitem(s, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(JoinSaltR)))
+    val dim = Tables.orders(s, sf)
+      .select("o_orderkey", "o_orderpriority")
+      .withColumn("salt", explode(sequence(lit(0), lit(JoinSaltR - 1))))
+    fact.join(dim.hint("merge"),
+        fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        expr(liftDec4(s"sum($revDec)")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Null semantics over real outer-join nulls: IS DISTINCT FROM, NULLIF,
     * null-safe equality, coalesce chains. */
   def qNullSemantics(s: SparkSession, sf: String): DataFrame = {
@@ -604,6 +638,27 @@ object Relational {
       .orderBy("p_brand", "rn")
   }
 
+  /** Diversified global top-k: the 20 highest-price lineitems with AT MOST
+    * 2 per supplier — the result-diversification pattern (search results,
+    * recommendations, sampling exemplars) where a plain top-k would let one
+    * hot group monopolize the list. Two bounded stages, neither a global
+    * sort: the per-supplier cap compiles to WindowGroupLimit (2-row heaps
+    * per group, inserted below the window's exchange), and the global cut
+    * over the capped survivors is TakeOrderedAndProject (per-partition
+    * 20-row heaps, driver merges 20×P). Ties break on (l_orderkey,
+    * l_linenumber) in BOTH orderings, so the cut is deterministic. */
+  def qTopnDiversified(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, sf)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(20)
+  }
+
   // ------------------------------------------------------------- B.7 set ops
   def qUnionAll(s: SparkSession, sf: String): DataFrame = {
     val c = Tables.customer(s, sf).filter(col("c_acctbal") > 9000)
@@ -774,6 +829,8 @@ object Relational {
     "q_join_theta_range" -> qJoinThetaRange _,
     "q_join_range_binned" -> qJoinRangeBinned _,
     "q_join_bloom" -> qJoinBloom _,
+    "q_join_salted" -> qJoinSalted _,
+    "q_topn_diversified" -> qTopnDiversified _,
     "q_agg_q1" -> qAggQ1 _,
     "q_agg_distinct" -> qAggDistinct _,
     "q_agg_approx_distinct" -> qAggApproxDistinct _,
@@ -998,6 +1055,23 @@ object Relational {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Plain join — the salt must be invisible in the result (every fact
+    // row meets exactly one replica of its key).
+    "q_join_salted" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+         |       ${liftDec4(s"sum($revDec)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_topn_diversified" ->
+      """WITH capped AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+        |FROM capped WHERE rn <= 2
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
     "q_agg_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sumDec2("l_quantity")} AS sum_qty,

@@ -113,4 +113,80 @@ class InvariantSpec extends SparkSuite {
       .count()
     assert(bad == 0, s"$bad events.props rows deviate from the {\"k\": int} shape")
   }
+
+  test("join_salted: the salt is invisible — result equals the plain unsalted join") {
+    val salted = Relational.qJoinSalted(spark, sf001).collect()
+    val plain = Tables.lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority").collect()
+    assert(salted.length == plain.length)
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getString(0) == p.getString(0) && s.getLong(1) == p.getLong(1),
+        s"salted ${s.mkString(",")} != plain ${p.mkString(",")}")
+    }
+  }
+
+  test("topn_diversified: 20 rows, no supplier over the 2-row cap, prices dominate the excluded") {
+    val rows = Relational.qTopnDiversified(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.length == 20)
+    rows.groupBy(_._1).foreach { case (supp, g) =>
+      assert(g.length <= 2, s"supplier $supp appears ${g.length} times (cap 2)") }
+    // every non-selected lineitem is either cheaper than the cut or blocked
+    // by its supplier's two selected rows being at least as expensive
+    val cut = rows.map(_._4).min
+    val sel = rows.map(r => (r._2, r._3)).toSet
+    val blockedOk = Tables.lineitem(spark, sf001)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice").collect()
+      .filter(r => r.getDouble(3) > cut &&
+        !sel((r.getLong(1), r.getInt(2))))
+      .forall { r =>
+        rows.count(s => s._1 == r.getLong(0) && s._4 >= r.getDouble(3)) == 2 }
+    assert(blockedOk, "an excluded row above the cut wasn't blocked by its supplier cap")
+  }
+
+  test("cdc_apply: deletes drop F-finals, upserts add the last order, untouched pass through") {
+    val out = graft.queries.Behavior.qCdcApply(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val cust = Tables.customer(spark, sf001)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val latest = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_orderdate").cast("string").as("d"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .groupBy(_._1).view.mapValues(_.maxBy(t => (t._2, t._3))).toMap
+    cust.foreach { case (key, bal) =>
+      latest.get(key) match {
+        case Some((_, _, _, "F", _)) =>
+          assert(!out.contains(key), s"customer $key had a final F change and must be deleted")
+        case Some((_, _, _, _, price)) =>
+          assert(math.abs(out(key) - (bal + price)) < 1e-6,
+            s"customer $key balance not upserted by the latest change")
+        case None =>
+          assert(out(key) == bal, s"untouched customer $key must pass through")
+      }
+    }
+  }
+
+  test("rank_norm: per-dim ranks are the flat (v, vec_id) row_number permutation, pct in [0,1]") {
+    val rows = graft.queries.VectorOps.qRankNorm(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (dim, g) =>
+      // ranks are exactly 1..n
+      assert(g.map(_._4).sorted.sameElements(1L to g.length),
+        s"dim $dim ranks are not a permutation of 1..${g.length}")
+      // rank order IS (v, vec_id) order — the two-phase plan must agree
+      // with the flat sort
+      val byRank = g.sortBy(_._4).map(r => (r._3, r._1))
+      assert(byRank.sameElements(byRank.sortBy(identity)),
+        s"dim $dim: two-phase rank disagrees with the flat (v, vec_id) order")
+      g.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0, s"pct ${r._5} outside [0,1]"))
+    }
+  }
 }

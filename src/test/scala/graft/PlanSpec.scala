@@ -407,10 +407,16 @@ class PlanSpec extends SparkSuite {
     try {
       val live = SparkEntry.queries("q_bfs_dist")(spark, sf001)
         .queryExecution.executedPlan
+      // with the memoized edge checkpoint the six symz subtrees are
+      // IDENTICAL, so Spark collapses rounds 2..6 into ReusedExchangeExec
+      // references — count both direct scans and reuses
       val caches = live.collect {
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
-      assert(caches.size >= graft.queries.VectorOps.BfsRounds,
-        s"each relaxation round must read the cached symz frame, saw ${caches.size}")
+      val reused = live.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r }
+      assert(caches.size + reused.size >= graft.queries.VectorOps.BfsRounds,
+        s"each relaxation round must read the cached symz frame (directly or " +
+          s"via exchange reuse), saw ${caches.size}+${reused.size}")
       val shuffles = live.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
       assert(shuffles.size <= graft.queries.VectorOps.BfsRounds + 4,
@@ -483,5 +489,43 @@ class PlanSpec extends SparkSuite {
       assert(equis.size >= 3,
         s"expected the degree/wedge/closing joins as hash or merge equi-joins, got ${equis.size}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("q_topn_diversified: per-group cap via WindowGroupLimit, global cut via TakeOrderedAndProject") {
+    val p = plan("q_topn_diversified")
+    assert(p.contains("WindowGroupLimit"),
+      "the rn<=2 filter must prune to 2-row heaps below the window sort")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the global top-20 must be per-partition heaps, never a full sort")
+  }
+
+  test("q_join_salted: the join keys carry the salt (hot keys split R ways)") {
+    val p = plan("q_join_salted")
+    assert(p.contains("SortMergeJoin"), "merge hint must pin the shuffle-join scenario")
+    assert("hashpartitioning\\(l_orderkey#\\d+L, salt#\\d+".r.findFirstIn(p).isDefined,
+      s"the fact-side exchange must partition on (key, salt):\n${p.take(3000)}")
+    // the R-element salt sequence constant-folds to an array literal, so
+    // match the Generate that emits the dim-side salt column
+    assert("explode\\([\\s\\S]{0,200}?\\[salt#\\d+\\]".r.findFirstIn(p).isDefined,
+      s"the dim side must replicate each key R times via the salt explode:\n${p.take(3000)}")
+  }
+
+  test("q_cdc_apply: latest-change dedup prunes via WindowGroupLimit 1-row heaps") {
+    val p = plan("q_cdc_apply")
+    assert(p.contains("WindowGroupLimit"),
+      "the rn=1 filter must prune to 1-row heaps below the window sort")
+  }
+
+  test("q_rank_norm: the corpus rank window is partitioned by (dim, bucket), never dim alone") {
+    val p = SparkEntry.queries("q_rank_norm")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("\\], \\[dim#\\d+, b#\\d+\\], \\[v#\\d+".r.findFirstIn(p).isDefined,
+      s"the within-bucket window must partition on (dim, b):\n${p.take(3000)}")
+    assert("\\], \\[dim#\\d+\\], \\[v#\\d+".r.findFirstIn(p).isEmpty,
+      "a corpus window keyed only by dim caps parallelism at n_dims")
+    // the per-dim stats and offsets ride in as broadcasts, not shuffles of
+    // the lane frame
+    assert(p.contains("BroadcastHashJoin"),
+      "stats/offsets must broadcast back onto the lane frame")
   }
 }
