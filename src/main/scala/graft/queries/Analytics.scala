@@ -577,6 +577,24 @@ object Analytics {
       .agg(count(lit(1)).as("n"), max("lat_days").as("max_days"))
       .orderBy("o_orderpriority", "bucket")
 
+  /** 2-D histogram (heatmap): order density and exact revenue over
+    * order-month × fixed-width price band — the density grid behind every
+    * calendar-heatmap / distribution-drift dashboard, and the degenerate
+    * (fixed-boundary) case of the data-cube family: ONE map-side-
+    * combinable pass synthesizes both bin keys per row and partial-
+    * aggregates, so the grid costs the same as any single groupBy at any
+    * scale. Bin arithmetic is floor() on positive operands with identical
+    * text on both engines (the int-cast-vs-floor trap of [[Det]]); the
+    * per-cell revenue is an exact decimal sum lifted scale-0. */
+  def qHist2d(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .groupBy(
+        expr("CAST(month(o_orderdate) AS INT)").as("mo"),
+        expr("CAST(floor(o_totalprice / 25000) AS INT)").as("price_bin"))
+      .agg(count(lit(1)).as("n"),
+        expr(liftDec2("sum(CAST(o_totalprice AS DECIMAL(18,2)))")).as("revenue"))
+      .orderBy("mo", "price_bin")
+
   /** 2-D Pareto skyline over parts: the parts where no other part is at
     * least as large AND at least as cheap (with one strict) — maximize
     * p_size, minimize p_retailprice. The naive formulation is a quadratic
@@ -754,6 +772,7 @@ object Analytics {
     "q_market_basket" -> qMarketBasket _,
     "q_equidepth_hist" -> qEquidepthHist _,
     "q_latency_hist" -> qLatencyHist _,
+    "q_hist2d" -> qHist2d _,
     "q_running_records" -> qRunningRecords _,
     "q_dq_checks" -> qDqChecks _,
     "q_mv_incremental" -> qMvIncremental _,
@@ -888,6 +907,12 @@ object Analytics {
         |            ELSE 'm4_gt90' END AS bucket,
         |       count(*) AS n, max(lat_days) AS max_days
         |FROM j GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin,
+    "q_hist2d" ->
+      s"""SELECT CAST(month(o_orderdate) AS INT) AS mo,
+         |       CAST(floor(o_totalprice / 25000) AS INT) AS price_bin,
+         |       count(*) AS n,
+         |       ${liftDec2("sum(CAST(o_totalprice AS DECIMAL(18,2)))")} AS revenue
+         |FROM orders GROUP BY 1, 2 ORDER BY mo, price_bin""".stripMargin,
     "q_running_records" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderdate, o_orderkey, o_totalprice,

@@ -108,6 +108,28 @@ object TextOps {
         when(col("bucket") < "40", "eval").otherwise("train").as("split"))
       .orderBy("doc_id")
 
+  /** Fixed-QUOTA per-group sample: the 20 bottom-hash documents per
+    * source — the per-domain eval-set carve every training pipeline
+    * maintains. Bottom-k-by-hash gives the quota sampler its key
+    * property: membership is STABLE under corpus growth (a doc leaves
+    * the sample only when a smaller hash arrives — never because
+    * unrelated rows shifted a rate boundary), unlike the rate-based
+    * systematic sample (q_sample_stratified) whose membership reshuffles
+    * with every insertion. The per-group cap compiles to WindowGroupLimit
+    * (20-row heaps below the window exchange — plan-locked), so the
+    * corpus is never sorted; (hash, doc_id) ordering is total, making
+    * the cut deterministic on both engines. */
+  def qSampleGroup(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("content_hash").asc, col("doc_id").asc)
+    Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("content_hash"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("source", "rn", "doc_id", "content_hash")
+      .orderBy("source", "rn")
+  }
+
   /** Stratified 1-in-10 systematic sample per language: row_number within
     * the stratum (deterministic order) mod 10 — exact per-stratum rate,
     * engine-independent and fully oracled, unlike RNG sampleBy. One
@@ -616,6 +638,7 @@ object TextOps {
     "q_decontaminate" -> qDecontaminate _,
     "q_text_repetition" -> qTextRepetition _,
     "q_sample_bottomk" -> qSampleBottomk _,
+    "q_sample_group" -> qSampleGroup _,
     "q_text_bigram_df" -> qTextBigramDf _,
     "q_text_langid" -> qTextLangid _,
     "q_text_quality" -> qTextQuality _,
@@ -775,6 +798,14 @@ object TextOps {
     "q_sample_bottomk" ->
       """SELECT doc_id, sha256(text) AS content_hash FROM documents
         |ORDER BY content_hash, doc_id LIMIT 100""".stripMargin,
+    "q_sample_group" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, sha256(text) AS content_hash,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY sha256(text), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, rn, doc_id, content_hash
+        |FROM h WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
     "q_text_bigram_df" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bigram FROM d, UNNEST(range(1, len(s))) AS t(i))

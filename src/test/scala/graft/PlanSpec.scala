@@ -65,12 +65,15 @@ class PlanSpec extends SparkSuite {
     // ANY other query acquiring a BNLJ is an accidental nested loop — the
     // quadratic scale-killer this net exists to catch.
     val allowed = Set(
-      "q_churn_matrix", "q_dedup_containment", "q_dedup_edit", "q_dedup_ngram",
+      "q_churn_matrix", "q_dedup_containment", "q_dedup_edit",
       "q_domain_mix", "q_equidepth_hist", "q_filter_outliers", "q_pagerank",
       "q_market_basket", "q_pagerank_step", "q_sim_ivf", "q_text_colloc",
-      "q_text_tfidf", "q_triangle_count", "q_bfs_dist", "q_hits",
-      // ^ scalar broadcasts (triangle's and bfs's ride in via the cached
-      // ngramPairs edge frame's printed child plan)
+      "q_text_tfidf",
+      // ^ scalar broadcasts (1-row corpus counts/quotas/bounds); the
+      // graph queries over the memoized edge checkpoint (ngram/clusters,
+      // bfs, hits, triangles) no longer print the pair pipeline's scalar
+      // and have LEFT this allowlist — only pagerank's own nDocs attach
+      // remains
       "q_dedup_embcos", "q_join_cross", "q_sim_topk") // declared pair joins
     SparkEntry.queries.keys.filterNot(allowed).foreach { n =>
       val p = plan(n)
@@ -508,6 +511,19 @@ class PlanSpec extends SparkSuite {
     // match the Generate that emits the dim-side salt column
     assert("explode\\([\\s\\S]{0,200}?\\[salt#\\d+\\]".r.findFirstIn(p).isDefined,
       s"the dim side must replicate each key R times via the salt explode:\n${p.take(3000)}")
+  }
+
+  test("q_sample_group: the per-source quota prunes via WindowGroupLimit heaps") {
+    val p = plan("q_sample_group")
+    assert(p.contains("WindowGroupLimit"),
+      "the rn<=20 filter must prune to 20-row heaps below the window sort")
+  }
+
+  test("q_hist2d aggregates the grid in two phases (partial before the exchange)") {
+    val p = plan("q_hist2d")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    assert(firstHashAgg >= 0 && p.lastIndexOf("HashAggregate") != firstHashAgg,
+      "expected partial + final HashAggregate pair over the synthesized bins")
   }
 
   test("q_cdc_apply: latest-change dedup prunes via WindowGroupLimit 1-row heaps") {
