@@ -673,7 +673,12 @@ object Analytics {
     * values and expression shape on both engines; ties at the top-20
     * boundary are broken by (p1, p2), making the cut deterministic. */
   def qMarketBasket(s: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(s, sf).select("l_orderkey", "l_partkey").distinct()
+    // cache the deduped basket items: FOUR consumers (both self-join
+    // sides, the per-item supports, the order count) otherwise re-run the
+    // corpus distinct — the self-join's two sides dedup via exchange
+    // reuse, but the supports/count pipelines do not
+    val items = Tables.lineitem(s, sf).select("l_orderkey", "l_partkey")
+      .distinct().cache()
     val nOrders = items.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
     val pairs = items.as("a")
       .join(items.as("b"),
