@@ -552,6 +552,22 @@ object TextOps {
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
       .select("toks", "f")
       .cache()
+    // the loop's frames are VOCAB-sized (distinct words), not corpus-
+    // sized: scope the shuffle width to the measured vocabulary and AQE
+    // off for the loop (the connectedComponents/pagerank discipline) —
+    // per-round wide shuffles + adaptive re-planning over a few thousand
+    // rows were pure scheduling overhead. The count also materializes the
+    // cache before the narrowed coalesce reads it.
+    val nWords = state.count()
+    val loopParts = math.min(
+      math.max(1L, nWords / 50000),
+      s.sparkContext.defaultParallelism.toLong).toInt
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+    state = state.coalesce(loopParts)
     var toUnpersist: Option[org.apache.spark.sql.DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
@@ -590,6 +606,10 @@ object TextOps {
     toUnpersist.foreach(_.unpersist())
     state.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "n").orderBy("rank")
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      s.conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
   }
 
   /** Bigram language model: P(w2 | w1) as exact count ratios, reported as
