@@ -281,6 +281,33 @@ object Behavior {
       .orderBy("user_id", "version")
   }
 
+  /** Rolling 7-day distinct active users (the WAU curve) — the sliding-
+    * window COUNT DISTINCT every growth dashboard runs, which has NO
+    * efficient windowed form: a per-day distinct re-counts each user up
+    * to 7×, and distinct state inside a sliding frame is exactly what
+    * aggregate windows can't hold. The linear form used here is COVERAGE
+    * INTERVALS: per (user, activity day), the user covers days
+    * [a, min(a+6, next_activity−1)] — capping at the next activity makes
+    * every covered (user, day) pair UNIQUE by construction, so WAU(d) is
+    * a plain count of coverage rows, never a distinct. One user_id
+    * shuffle (the lead window), a ≤7× bounded explode, a broadcast
+    * semi-restriction to the observed day domain, and one two-phase
+    * count — linear at any scale. The oracle is the INDEPENDENT
+    * brute-force formulation (range join + count DISTINCT), so agreement
+    * checks the coverage algebra, not a transcription. */
+  def qRollingActive(s: SparkSession, sf: String): DataFrame = {
+    val ud = Tables.events(s, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val cov = ud.withColumn("nd", lead("d", 1).over(w))
+      .select(col("user_id"), explode(expr(
+        "sequence(d, least(date_add(d, 6), coalesce(date_sub(nd, 1), date_add(d, 6))))")).as("day"))
+    val days = ud.select(col("d").as("day")).distinct()
+    cov.join(broadcast(days), Seq("day"))
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+      .orderBy("day")
+  }
+
   /** CDC merge/apply (the MERGE INTO kernel): fold a change feed into a
     * snapshot with latest-wins upsert + delete semantics — the incremental-
     * ingest primitive every warehouse/lakehouse table maintenance job runs.
@@ -516,6 +543,7 @@ object Behavior {
     "q_golden_record" -> qGoldenRecord _,
     "q_scd2" -> qScd2 _,
     "q_cdc_apply" -> qCdcApply _,
+    "q_rolling_active" -> qRollingActive _,
     "q_share_of_total" -> qShareOfTotal _,
     "q_ab_ttest" -> qAbTtest _,
     "q_anomaly_days" -> qAnomalyDays _,
@@ -556,6 +584,14 @@ object Behavior {
         |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
         |FROM c ORDER BY user_id, version""".stripMargin,
+    // Independent brute-force formulation: range join + count DISTINCT —
+    // agreement proves the coverage-interval algebra.
+    "q_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM ud)
+        |SELECT days.d AS day, count(DISTINCT ud.user_id) AS wau
+        |FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cdc_apply" ->
       """WITH latest AS (
         |  SELECT o_custkey, o_orderstatus AS op_status, o_totalprice,

@@ -805,7 +805,32 @@ object Relational {
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin)
 
+  /** TPC-H Q7 (volume shipping) through the SQL surface: bilateral
+    * revenue between two nations per ship year, the nation table joined
+    * TWICE under different roles (supplier's vs customer's) — the
+    * self-join-under-aliases pattern the DataFrame queries express with
+    * `.as()` aliases. Both tiny nation sides broadcast; the
+    * orders⨝lineitem shuffle is the only big exchange; the trade-bloc
+    * range filters (12 nations a side — wide enough that every SF keeps
+    * bilateral rows) reach both dimension scans. */
+  def qSqlQ7(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS INT) AS l_year,
+         |       ${sumAsDouble(revDec)} AS revenue, count(*) AS n_items
+         |FROM parquet.`$sf/supplier.parquet`
+         |JOIN parquet.`$sf/lineitem.parquet` ON s_suppkey = l_suppkey
+         |JOIN parquet.`$sf/orders.parquet`   ON o_orderkey = l_orderkey
+         |JOIN parquet.`$sf/customer.parquet` ON c_custkey = o_custkey
+         |JOIN parquet.`$sf/nation.parquet` n1 ON s_nationkey = n1.n_nationkey
+         |JOIN parquet.`$sf/nation.parquet` n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_nationkey < 12 AND n2.n_nationkey < 12
+         |  AND n1.n_nationkey <> n2.n_nationkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q7" -> qSqlQ7 _,
     "q_sql_q5" -> qSqlQ5 _,
     "q_sql_q18" -> qSqlQ18 _,
     "q_sql_q3" -> qSqlQ3 _,
@@ -885,6 +910,20 @@ object Relational {
       """SELECT l_returnflag, count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS INT) AS l_year,
+         |       ${sumAsDouble(revDec)} AS revenue, count(*) AS n_items
+         |FROM supplier
+         |JOIN lineitem ON s_suppkey = l_suppkey
+         |JOIN orders   ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_nationkey < 12 AND n2.n_nationkey < 12
+         |  AND n1.n_nationkey <> n2.n_nationkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q_sql_q5" ->
       s"""SELECT n_name, ${sumAsDouble(revDec)} AS revenue, count(*) AS n_items
          |FROM customer

@@ -173,6 +173,22 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("rolling_active: coverage-interval WAU equals the brute-force per-day distinct") {
+    val out = graft.queries.Behavior.qRollingActive(spark, sf001)
+      .select(col("day").cast("string"), col("wau")).collect()
+      .map(r => java.time.LocalDate.parse(r.getString(0)) -> r.getLong(1)).toMap
+    val ud = Tables.events(spark, sf001)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("d")).distinct()
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val days = ud.map(_._2).distinct
+    assert(out.keySet == days.toSet, "output must cover exactly the observed day domain")
+    days.foreach { d =>
+      val brute = ud.filter { case (_, a) =>
+        !a.isAfter(d) && !a.isBefore(d.minusDays(6)) }.map(_._1).distinct.length
+      assert(out(d) == brute, s"day $d: coverage WAU ${out(d)} != brute-force $brute")
+    }
+  }
+
   test("rank_norm: per-dim ranks are the flat (v, vec_id) row_number permutation, pct in [0,1]") {
     val rows = graft.queries.VectorOps.qRankNorm(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))

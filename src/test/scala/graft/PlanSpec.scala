@@ -513,6 +513,28 @@ class PlanSpec extends SparkSuite {
       s"the dim side must replicate each key R times via the salt explode:\n${p.take(3000)}")
   }
 
+  test("q_rolling_active: coverage explode + broadcast day domain, never a per-day distinct") {
+    val p = SparkEntry.queries("q_rolling_active")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode(sequence("),
+      "the sliding distinct must run as bounded coverage-interval explode")
+    assert(p.contains("BroadcastHashJoin"),
+      "the observed-day restriction must broadcast the tiny day domain")
+    assert(!p.toLowerCase.contains("distinct") || !p.contains("count(distinct"),
+      "WAU must be a plain count of unique-by-construction coverage rows")
+    // one user_id shuffle (lead window + the day-domain/coverage rollups
+    // carry partial aggregates only)
+    assert("\\], \\[user_id#\\d+L\\], \\[d#\\d+".r.findFirstIn(p).isDefined,
+      s"the next-activity window must partition on user_id:\n${p.take(3000)}")
+  }
+
+  test("q_sql_q7 broadcasts both nation roles; filters reach the dimension scans") {
+    val p = plan("q_sql_q7")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"both nation alias joins must broadcast, saw $bhj")
+    assert(p.contains("n_name"), p.take(500))
+  }
+
   test("q_sample_group: the per-source quota prunes via WindowGroupLimit heaps") {
     val p = plan("q_sample_group")
     assert(p.contains("WindowGroupLimit"),
