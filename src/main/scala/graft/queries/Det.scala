@@ -43,6 +43,16 @@ package graft.queries
   *   - CROSS-ENGINE PRIMITIVES: sha2(col,256) <-> DuckDB sha256();
   *     unix_micros <-> epoch_us; floor(x·2^k) is rounding-free (exponent
   *     shift — the quantization trick of q_cluster_assign/q_quantize_int8).
+  *   - CENTS RECOVERY: round(x·100) recovers the EXACT integer cents from
+  *     a 2-decimal double on both engines (x·100 lands within one ulp of
+  *     the true k ≤ 2^53; the value is never an exact .5 tie) — no
+  *     decimal cast needed in per-row hot paths (q_corr_matrix lanes).
+  *   - NO `DIV` IN DUCKDB: Spark's integer `a DIV b` has no DuckDB
+  *     spelling (`//` there) — shared text must use floor(a / b) with
+  *     exact-below-2^53 operands, or keep the division engine-local.
+  *   - Spark 4 `collect()` returns java.time.LocalDateTime/LocalDate for
+  *     TIMESTAMP_NTZ/DATE — `Row.getTimestamp`/`getDate` throw; tests
+  *     cast to string (ISO order = chronological order) before collect.
   *   - EXACT-INTEGER KERNELS: where a float kernel could never hash-match
   *     (dot products, z-scores, PageRank mass), compute in scaled BIGINT —
   *     the codegen'd expressions [[graft.functions.VectorExpressions]]

@@ -199,4 +199,15 @@ class ScaleSpec extends SparkSuite {
     val e = d.agg(countDistinct(col("source"))).head.getLong(0)
     assert(h == e, s"20 sources is far below sketch error range: $h vs $e")
   }
+
+  test("ngramEdges memoizes: the second request serves the SAME materialized frame") {
+    val a = graft.queries.VectorOps.ngramEdges(spark, sf001)
+    val b = graft.queries.VectorOps.ngramEdges(spark, sf001)
+    assert(a eq b, "the per-(session, SF) edge memo must return one frame")
+    // the served frame is a checkpoint leaf — consumers never replay the
+    // pair pipeline (no parquet scan of documents in its plan)
+    val p = a.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      s"memoized edges must be materialized, not lineage:\n${p.take(1500)}")
+  }
 }
