@@ -896,6 +896,40 @@ object VectorOps {
       .orderBy("doc_id")
   }
 
+  /** Neighborhood-Jaccard edge scoring over the near-dup graph: for every
+    * edge (a,b), |N(a)∩N(b)| / |N(a)∪N(b)| — the link-prediction /
+    * edge-confidence statistic (an edge whose endpoints share most
+    * neighbors sits INSIDE a dense dup cluster; a low score marks the
+    * borderline bridge edges connected-components would be wrong to
+    * contract). Common-neighbor enumeration is DEGREE-ORIENTED like
+    * [[qTriangleCount]]: wedges fan out from the LOWER-degree endpoint
+    * (O(√m) even on hubs — the m^(3/2) bound), membership of the other
+    * endpoint is one equi-join on (hi, x); the count is orientation-
+    * invariant, and the ORACLE enumerates unoriented — agreement checks
+    * the orientation algebra. Union size da+db−cn ≥ max(da,db) ≥ 1, so
+    * the score divides two exact longs with no zero guard needed. */
+  def qEdgeJaccard(s: SparkSession, sf: String): DataFrame = {
+    val e = ngramEdges(s, sf).select("a_id", "b_id")
+    val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("src").as("a_id"), col("deg").as("da")), Seq("a_id"))
+      .join(deg.select(col("src").as("b_id"), col("deg").as("db")), Seq("b_id"))
+      .withColumn("lo", when(col("da") <= col("db"), col("a_id")).otherwise(col("b_id")))
+      .withColumn("hi", when(col("da") <= col("db"), col("b_id")).otherwise(col("a_id")))
+    val common = ed
+      .join(sym.select(col("src").as("lo"), col("dst").as("x")), Seq("lo"))
+      .join(sym.select(col("src").as("hi"), col("dst").as("x")), Seq("hi", "x"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("cn"))
+    ed.join(common, Seq("a_id", "b_id"), "left")
+      .withColumn("cn", coalesce(col("cn"), lit(0L)))
+      .withColumn("nbr_jaccard",
+        col("cn").cast("double") / (col("da") + col("db") - col("cn")))
+      .select("a_id", "b_id", "cn", "da", "db", "nbr_jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   private[graft] val BfsRounds = 6
   private[graft] val BfsSeedMod = 16
   private[graft] val BfsUnreached = 99
@@ -1001,6 +1035,7 @@ object VectorOps {
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_embedding_outliers" -> qEmbeddingOutliers _,
     "q_rank_norm" -> qRankNorm _,
+    "q_edge_jaccard" -> qEdgeJaccard _,
   )
 
   // Shared oracle CTE prefix: the exact bigram-Jaccard pair graph
@@ -1026,6 +1061,25 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Unoriented common-neighbor enumeration — independent of the Spark
+    // side's degree orientation; per-edge counts are orientation-
+    // invariant, so agreement checks the algebra.
+    "q_edge_jaccard" ->
+      s"""WITH $pairGraphSql,
+         |cn AS (SELECT e.a_id, e.b_id, count(*) AS cn
+         |       FROM e
+         |       JOIN sym s1 ON s1.src = e.a_id
+         |       JOIN sym s2 ON s2.src = e.b_id AND s2.dst = s1.dst
+         |       GROUP BY 1, 2)
+         |SELECT e.a_id, e.b_id, coalesce(cn.cn, 0) AS cn,
+         |       d1.deg AS da, d2.deg AS db,
+         |       CAST(coalesce(cn.cn, 0) AS DOUBLE) /
+         |         (d1.deg + d2.deg - coalesce(cn.cn, 0)) AS nbr_jaccard
+         |FROM e
+         |LEFT JOIN cn ON cn.a_id = e.a_id AND cn.b_id = e.b_id
+         |JOIN deg d1 ON d1.src = e.a_id
+         |JOIN deg d2 ON d2.src = e.b_id
+         |ORDER BY e.a_id, e.b_id""".stripMargin,
     // Flat per-dim row_number — the rank the two-phase Spark plan must
     // reproduce bit-for-bit; pct divides the same exact integers.
     "q_rank_norm" ->

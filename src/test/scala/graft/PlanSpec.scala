@@ -513,6 +513,25 @@ class PlanSpec extends SparkSuite {
       s"the dim side must replicate each key R times via the salt explode:\n${p.take(3000)}")
   }
 
+  test("q_edge_jaccard: wedge and membership joins stay equi-joins over the memoized edges") {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val live = SparkEntry.queries("q_edge_jaccard")(spark, sf001)
+        .queryExecution.executedPlan
+      val loops = live.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }
+      assert(loops.isEmpty, s"common-neighbor enumeration must stay equi-joins, got:\n$loops")
+      val equis = live.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+      assert(equis.size >= 4,
+        s"expected degree/wedge/membership joins as hash or merge equi-joins, got ${equis.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("q_rolling_active: coverage explode + broadcast day domain, never a per-day distinct") {
     val p = SparkEntry.queries("q_rolling_active")(spark, sf001)
       .queryExecution.executedPlan.toString
