@@ -768,7 +768,47 @@ object Analytics {
       .orderBy("l_returnflag", "pair")
   }
 
+  // ---- q_table_diff: the two derived snapshots and the update delta are
+  // defined once, textually shared with the oracle, so both engines diff
+  // identical inputs. Snapshot A drops every 17th key ("yesterday" before
+  // a late-arriving batch), snapshot B drops every 13th and updates every
+  // 11th by an exact-quarter increment (0.25 steps are dyadic — the
+  // double add is rounding-free on a 2-decimal price).
+  private val diffUpdate =
+    "CASE WHEN o_orderkey % 11 = 0 THEN CAST(o_orderkey % 7 AS DOUBLE) * 0.25 + 0.5 ELSE 0.0 END"
+
+  /** Snapshot reconciliation diff (the data-diff / audit op run after any
+    * backfill or CDC load): two snapshots of the orders table are compared
+    * by primary key via ONE co-partitioned full outer join, each row
+    * classified added / removed / changed / unchanged, and the per-class
+    * counts plus the exact changed-price delta (integer cents) reported.
+    * At 100 TB both snapshots shuffle once on the join key (or not at all
+    * if both sides are bucketed by it — the production posture for a
+    * nightly diff); the classification is per-row map work and the rollup
+    * is a 4-group partial agg, so nothing beyond the one join scales with
+    * data. Delta cents are recovered exactly per row (round(x*100) on a
+    * 2-decimal double) and summed as BIGINT — order-free. */
+  def qTableDiff(s: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(s, sf)
+    val a = o.filter(expr("o_orderkey % 17 <> 0"))
+      .select(col("o_orderkey"), col("o_totalprice").as("price_a"))
+    val b = o.filter(expr("o_orderkey % 13 <> 0"))
+      .select(col("o_orderkey"),
+        expr(s"o_totalprice + $diffUpdate").as("price_b"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .withColumn("status",
+        expr("""CASE WHEN price_a IS NULL THEN 'added'
+               |     WHEN price_b IS NULL THEN 'removed'
+               |     WHEN price_a <> price_b THEN 'changed'
+               |     ELSE 'unchanged' END""".stripMargin))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(CASE WHEN status = 'changed' THEN CAST(round((price_b - price_a) * 100) AS BIGINT) ELSE 0 END)").as("delta_cents"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_diff" -> qTableDiff _,
     "q_funnel_windowed" -> qFunnelWindowed _,
     "q_compaction_plan" -> qCompactionPlan _,
     "q_corr_matrix" -> qCorrMatrix _,
@@ -797,6 +837,20 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_table_diff" ->
+      s"""WITH a AS (SELECT o_orderkey, o_totalprice AS price_a
+         |           FROM orders WHERE o_orderkey % 17 <> 0),
+         |b AS (SELECT o_orderkey, o_totalprice + $diffUpdate AS price_b
+         |      FROM orders WHERE o_orderkey % 13 <> 0),
+         |d AS (SELECT CASE WHEN price_a IS NULL THEN 'added'
+         |                  WHEN price_b IS NULL THEN 'removed'
+         |                  WHEN price_a <> price_b THEN 'changed'
+         |                  ELSE 'unchanged' END AS status,
+         |             price_a, price_b
+         |      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         |SELECT status, count(*) AS n,
+         |       CAST(sum(CASE WHEN status = 'changed' THEN CAST(round((price_b - price_a) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS delta_cents
+         |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "q_funnel_windowed" ->
       """WITH w1 AS (
         |  SELECT user_id, ts, event_type,

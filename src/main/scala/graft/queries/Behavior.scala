@@ -533,7 +533,34 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** Day-of-week seasonality profile per event type (the traffic-shape
+    * query behind staffing/capacity dashboards and anomaly baselines):
+    * events roll up to (type, day) once — count + exact decimal value sum
+    * — then the daily rollup folds onto the 7-slot weekday grid. The
+    * weekday is computed from pure epoch-day arithmetic ((days+4) % 7,
+    * Sunday = 0) rather than an engine's dayofweek(), so both engines
+    * bucket identically with no locale/week-start split. At 100 TB the
+    * only corpus-sized stage is the first partial-agg rollup (bounded by
+    * the type×day domain); the seasonal fold runs over the rollup.
+    * events_per_day divides two exact integers in one double op. */
+  def qSeasonalProfile(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(CAST(value AS DECIMAL(18,2)))").as("sv"))
+    daily
+      .groupBy(col("event_type"),
+        expr("(datediff(day, DATE '1970-01-01') + 4) % 7").as("dow"))
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_days"),
+        sum("sv").as("svv"))
+      .select(col("event_type"), col("dow"), col("n_events"), col("n_days"),
+        expr("CAST(n_events AS DOUBLE) / n_days").as("events_per_day"),
+        expr(Det.liftDec2("svv")).as("sum_value"))
+      .orderBy("event_type", "dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_profile" -> qSeasonalProfile _,
     "q_rolling_corr" -> qRollingCorr _,
     "q_churn_matrix" -> qChurnMatrix _,
     "q_cohort_ltv" -> qCohortLtv _,
