@@ -583,6 +583,20 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same epoch-day weekday arithmetic ((days + 4) % 7, Sunday = 0) so
+    // neither engine's dayofweek()/week-start locale is in play.
+    "q_seasonal_profile" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |         count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sv
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type,
+         |       CAST((date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS INTEGER) AS dow,
+         |       CAST(sum(n) AS BIGINT) AS n_events,
+         |       count(*) AS n_days,
+         |       CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*) AS events_per_day,
+         |       ${Det.liftDec2("sum(sv)")} AS sum_value
+         |FROM daily GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rolling_corr" ->
       s"""WITH pair AS (
         |  SELECT CAST(ts AS DATE) AS day,
