@@ -38,17 +38,24 @@ object Tables {
   def documents(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "documents")
   def embeddings(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "embeddings")
 
-  /** `events.ts` is parquet timestamp[ns] (pandas-written), which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). We read it as a raw Long via
-    * the legacy conf and truncate nanos -> micros, which is bit-identical to
-    * how DuckDB reads the same file into its microsecond TIMESTAMP (verified:
-    * min/max agree to the microsecond). Conf is runtime-settable and only
-    * affects ns columns, so setting it here keeps every caller correct.
+  /** `events.ts` has shipped in two parquet flavors across driver data
+    * generations: native timestamp[us] (read directly) and pandas-written
+    * timestamp[ns], which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL)
+    * unless read as a raw Long via the legacy conf and truncated
+    * nanos -> micros — bit-identical to how DuckDB reads the same file into
+    * its microsecond TIMESTAMP (verified: min/max agree to the microsecond).
+    * We branch on the footer schema so either generation works; the conf is
+    * runtime-settable and only affects ns columns, so setting it up front
+    * keeps the Long branch reachable without disturbing the us branch.
     */
   def events(spark: SparkSession, sf: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, sf, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = read(spark, sf, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
