@@ -38,24 +38,29 @@ object Tables {
   def documents(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "documents")
   def embeddings(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "embeddings")
 
-  /** `events.ts` has shipped in two parquet flavors across driver data
-    * generations: native timestamp[us] (read directly) and pandas-written
+  /** `events.ts` has shipped in three parquet flavors across driver data
+    * generations: timestamp[us] with tz (read as TIMESTAMP), timestamp[us]
+    * without tz (Spark 4 infers TIMESTAMP_NTZ), and pandas-written
     * timestamp[ns], which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL)
     * unless read as a raw Long via the legacy conf and truncated
     * nanos -> micros — bit-identical to how DuckDB reads the same file into
     * its microsecond TIMESTAMP (verified: min/max agree to the microsecond).
-    * We branch on the footer schema so either generation works; the conf is
-    * runtime-settable and only affects ns columns, so setting it up front
-    * keeps the Long branch reachable without disturbing the us branch.
+    * The ns branch only fires for true nanosecond columns (the legacy conf
+    * surfaces exactly those as LongType; a genuine int64 `ts` generation has
+    * never shipped and would need its own unit decision). All branches then
+    * normalize to TIMESTAMP (LTZ): under the pinned UTC session timezone the
+    * NTZ->LTZ cast is value-identical, `unix_micros`/window ranges accept
+    * the column, and `Row.getTimestamp` keeps returning java.sql.Timestamp.
     */
   def events(spark: SparkSession, sf: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = read(spark, sf, "events")
-    df.schema("ts").dataType match {
+    val unified = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ => df
     }
+    unified.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",

@@ -9,6 +9,16 @@ import org.apache.spark.sql.functions._
   * engine-parity, these prove the SEMANTICS against independent models. */
 class InvariantSpec extends SparkSuite {
 
+  test("events schema contract: ts is TIMESTAMP (LTZ) for the on-disk generation") {
+    // The driver's parquet generation has flipped twice (ns-as-Long, then
+    // us-NTZ); this pins the normalized reader output so the next flip is a
+    // named 1-test failure instead of a 17-test cascade.
+    assert(Tables.events(spark, sf001).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val r = Tables.events(spark, sf001).select(col("ts")).head()
+    assert(r.getTimestamp(0) != null, "Row.getTimestamp must return java.sql.Timestamp")
+  }
+
   test("sessionize: no intra-session gap exceeds 30min; inter-session gaps do") {
     val sessions = Windows.qSessionize(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
