@@ -19,6 +19,68 @@ class InvariantSpec extends SparkSuite {
     assert(r.getTimestamp(0) != null, "Row.getTimestamp must return java.sql.Timestamp")
   }
 
+  test("table schema contract: every reader matches FIXTURES.md for the on-disk generation") {
+    // Same defense as the events test, widened to the full star schema: the
+    // driver regenerates the parquet between rounds, and a silent type flip
+    // (int32->int64, date->timestamp, tz drop) should fail HERE by name, not
+    // as a scatter of downstream analysis exceptions.
+    import org.apache.spark.sql.types._
+    val expected: Map[String, Seq[(String, DataType)]] = Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+    val readers: Map[String, org.apache.spark.sql.DataFrame] = Map(
+      "region" -> Tables.region(spark, sf001), "nation" -> Tables.nation(spark, sf001),
+      "customer" -> Tables.customer(spark, sf001), "supplier" -> Tables.supplier(spark, sf001),
+      "part" -> Tables.part(spark, sf001), "orders" -> Tables.orders(spark, sf001),
+      "lineitem" -> Tables.lineitem(spark, sf001), "events" -> Tables.events(spark, sf001),
+      "documents" -> Tables.documents(spark, sf001),
+      "embeddings" -> Tables.embeddings(spark, sf001))
+    expected.foreach { case (table, cols) =>
+      val got = readers(table).schema.fields.toSeq.map(f => f.name -> f.dataType)
+      assert(got.map(_._1) == cols.map(_._1),
+        s"$table: column names/order changed: got ${got.map(_._1)}")
+      got.zip(cols).foreach { case ((name, gt), (_, et)) =>
+        // containsNull is a parquet-writer detail, not part of the contract;
+        // the raw date-ish columns (o_orderdate, l_shipdate) have shipped
+        // both with and without tz — every query uses only tz-agnostic
+        // functions on them (date_trunc/year/datediff), so either flavor is
+        // in-contract. events.ts stays strictly LTZ (normalized in Tables).
+        val ok = (gt, et) match {
+          case (a: ArrayType, b: ArrayType) => a.elementType == b.elementType
+          case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType)
+            if name != "ts" => true
+          case _ => gt == et
+        }
+        assert(ok, s"$table.$name: expected $et, got $gt")
+      }
+    }
+  }
+
   test("sessionize: no intra-session gap exceeds 30min; inter-session gaps do") {
     val sessions = Windows.qSessionize(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
