@@ -1,0 +1,26 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Prints the PushedFilters line of every parquet scan in the named
+  * queries — the direct check that a predicate reached the reader (the
+  * thing that matters at 100 TB, invisible in small-SF timings). Run after
+  * any driver data-generation flip: a type change on a filtered column can
+  * silently turn a scan-level filter into a post-scan one. */
+object PushdownCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_sql_q3", "q_sql_q5", "q_sql_q7", "q_sql_q18", "q_filter_range")
+    for (n <- names) {
+      val qe = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").queryExecution
+      val full = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(full).toSeq
+      println(s"== $n (${pushed.size} scans)")
+      pushed.foreach(f => println("   " + f.take(220)))
+    }
+    spark.stop()
+  }
+}
