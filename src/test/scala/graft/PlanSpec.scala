@@ -143,6 +143,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]") ||
       p.contains("EqualTo(c_mktsegment,BUILDING)"),
       "segment filter must reach the parquet scan")
+    // Timestamp-typed predicates are the ones a tz-flavor flip in the
+    // driver's parquet generation can silently un-push (round 10: the date
+    // columns became timestamp_ntz; pushdown held, and must keep holding).
+    assert(p.contains("LessThan(o_orderdate"),
+      "order-date cutoff must push into the orders scan")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      "ship-date cutoff must push into the lineitem scan")
   }
 
   test("q_resample_locf: the planner inserts NO hash shuffle (user_id partitioning reused)") {
@@ -213,6 +220,9 @@ class PlanSpec extends SparkSuite {
       "region→nation (and their consumers) must broadcast, not shuffle")
     assert(p.contains("EqualTo(r_name,ASIA)"),
       "region filter must push into the parquet scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      "order-date year range must push into the orders scan")
   }
 
   test("q_cluster_assign broadcasts the centroid table and partial-aggregates the dots") {
