@@ -1,10 +1,12 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Prints the PushedFilters line of every parquet scan in the named
-  * queries — the direct check that a predicate reached the reader (the
-  * thing that matters at 100 TB, invisible in small-SF timings). Run after
-  * any driver data-generation flip: a type change on a filtered column can
-  * silently turn a scan-level filter into a post-scan one. */
+/** Prints the PushedFilters and ReadSchema lines of every parquet scan in
+  * the named queries — the direct check that a predicate reached the reader
+  * and that the scan reads only the columns the query needs (both matter at
+  * 100 TB and are invisible in small-SF timings; `documents.text` dominates
+  * that table's bytes, so an unpruned text read is a real scale bug). Run
+  * after any driver data-generation flip: a type change on a filtered
+  * column can silently turn a scan-level filter into a post-scan one. */
 object PushdownCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -18,8 +20,10 @@ object PushdownCheck {
       val qe = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").queryExecution
       val full = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(full).toSeq
+      val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(full).toSeq
       println(s"== $n (${pushed.size} scans)")
       pushed.foreach(f => println("   " + f.take(220)))
+      schemas.foreach(s => println("   " + s.take(220)))
     }
     spark.stop()
   }
