@@ -24,6 +24,18 @@ class PlanSpec extends SparkSuite {
       p.take(2000))
   }
 
+  test("metadata-only queries never read the heavy payload columns") {
+    // documents.text and embeddings.embedding dominate their tables' bytes;
+    // a metadata query that drags one through the scan is a full-scale cost
+    // invisible at test SF. Pin the two canonical cases.
+    val strat = plan("q_sample_stratified")
+    assert(strat.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
+      "stratified sampling must scan only the stratum metadata, not text")
+    val cov = plan("q_embedding_coverage")
+    assert(!cov.contains("embedding:array"),
+      "coverage audit joins on vec_id only — the vector payload must prune away")
+  }
+
   test("q_join_broadcast builds a broadcast hash join (no shuffle of the fact side)") {
     val p = plan("q_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
