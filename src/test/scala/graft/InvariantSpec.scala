@@ -17,6 +17,13 @@ class InvariantSpec extends SparkSuite {
       org.apache.spark.sql.types.TimestampType)
     val r = Tables.events(spark, sf001).select(col("ts")).head()
     assert(r.getTimestamp(0) != null, "Row.getTimestamp must return java.sql.Timestamp")
+    // Unit guard: a generation shipping ts as raw int64 in the wrong unit
+    // (micros treated as nanos or vice versa) stays TimestampType but lands
+    // millennia away — pin the documented fixture window (2024-01 +/- slack).
+    val yr = Tables.events(spark, sf001)
+      .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head()
+    assert(yr.getInt(0) >= 2020 && yr.getInt(1) <= 2030,
+      s"events.ts outside the fixture window: years ${yr.getInt(0)}..${yr.getInt(1)} — unit mix-up in the reader branch?")
   }
 
   test("table schema contract: every reader matches FIXTURES.md for the on-disk generation") {
