@@ -28,6 +28,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", aqe)
+      // UTC like Verify and the test suite: the events reader's NTZ->LTZ
+      // normalization is value-identical only under UTC, and timed queries
+      // must compute the same values the correctness gate checks
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

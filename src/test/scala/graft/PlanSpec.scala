@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Physical-plan regression net: the scale properties we rely on (pushdown,
   * pruning, join selection, top-k without global sort) must survive future
   * edits — a correctness-preserving change that loses one of these is a
@@ -22,6 +24,23 @@ class PlanSpec extends SparkSuite {
     val p = plan("q_scan_project")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
       p.take(2000))
+  }
+
+  test("a literal range on events.ts pushes through the reader's LTZ cast") {
+    // Tables.events normalizes ts to TIMESTAMP via a cast over the scan
+    // column; under the UTC session Catalyst unwraps that cast, so literal
+    // time-range predicates still reach the parquet reader as scan-level
+    // NTZ filters. This is what makes time-sliced reads of a full-size
+    // events table cheap — pin it.
+    val p = Tables.events(spark, sf001)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-20").cast("timestamp"))
+      .groupBy("event_type").count()
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
+      "ts range must reach the scan despite the normalization cast:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
   test("metadata-only queries never read the heavy payload columns") {
