@@ -15,18 +15,34 @@ import org.apache.spark.sql.functions._
 object Tables {
   // One reader DataFrame per (session, SF dir, table), memoized: schema
   // inference + file listing otherwise re-read the parquet footer on EVERY
-  // query's plan — at 127 bench queries that is pure fixed cost. The
+  // query's plan — at 190 bench queries that is pure fixed cost. The
   // memoized frame is an immutable logical plan (relations are re-resolved
   // per derived query, so cross-query reuse cannot alias attributes any
   // more than the in-query self-joins already do). Keyed by session so
-  // test suites with their own sessions never share, and cleared with the
-  // session via the weak reference semantics of equality on a stopped
-  // session being unreachable.
+  // test suites with their own sessions never share. A long-lived JVM
+  // cycling through sessions must not pin every dead session's frames
+  // (each DataFrame strongly references its session, so weak keys alone
+  // cannot collect them): entries whose context is stopped are purged on
+  // the next read — in OSS Spark `SparkSession.stop()` stops the context,
+  // so `isStopped` IS the end-of-session signal — and `evict` gives
+  // callers an explicit per-session hook.
   private val readerCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
-  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  private def purgeStopped(): Unit =
+    readerCache.keysIterator.filter(_._1.sparkContext.isStopped).toList
+      .foreach(readerCache.remove)
+  /** Drop every memoized reader of `spark` — for explicit lifecycle
+    * management; stopped sessions are purged automatically on later reads. */
+  def evict(spark: SparkSession): Unit =
+    readerCache.keysIterator.filter(_._1 eq spark).toList
+      .foreach(readerCache.remove)
+  private[graft] def cachedReadersFor(spark: SparkSession): Int =
+    readerCache.keysIterator.count(_._1 eq spark)
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    purgeStopped()
     readerCache.getOrElseUpdate((spark, sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "region")
   def nation(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "nation")
@@ -48,11 +64,19 @@ object Tables {
     * The ns branch only fires for true nanosecond columns (the legacy conf
     * surfaces exactly those as LongType; a genuine int64 `ts` generation has
     * never shipped and would need its own unit decision). All branches then
-    * normalize to TIMESTAMP (LTZ): under the pinned UTC session timezone the
+    * normalize to TIMESTAMP (LTZ): under a UTC session timezone the
     * NTZ->LTZ cast is value-identical, `unix_micros`/window ranges accept
     * the column, and `Row.getTimestamp` keeps returning java.sql.Timestamp.
-    */
+    *
+    * The reader PINS `spark.sql.session.timeZone=UTC` itself (not just the
+    * in-repo entry points, which already do): the cast is evaluated at
+    * action time under the session timezone then in force, so an external
+    * caller (spark-shell in a local zone) would otherwise get silently
+    * shifted ts values. Both confs are sticky by design — they must hold
+    * for every later action on the returned frame, so a scoped
+    * set-and-restore would be wrong here. */
   def events(spark: SparkSession, sf: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = read(spark, sf, "events")
     val unified = df.schema("ts").dataType match {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{SessionConfs, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -424,17 +424,16 @@ object Behavior {
     // PlanSpec). distinct comes AFTER the repartition for the same reason:
     // grouping on (user_id, w) is satisfied by the user_id partitioning,
     // so the cached lineage itself holds a single exchange.
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    val uw = try Tables.events(s, sf)
-      // floor() explicitly: a bare int cast of the division truncates in
-      // Spark but ROUNDS in DuckDB — floor is the one shared semantic
-      .select(col("user_id"),
-        expr("CAST(floor(datediff(to_date(ts), DATE'2024-01-01') / 7.0) AS INT)").as("w"))
-      .repartition(col("user_id"))
-      .distinct()
-      .cache()
-    finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val uw = SessionConfs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+      Tables.events(s, sf)
+        // floor() explicitly: a bare int cast of the division truncates in
+        // Spark but ROUNDS in DuckDB — floor is the one shared semantic
+        .select(col("user_id"),
+          expr("CAST(floor(datediff(to_date(ts), DATE'2024-01-01') / 7.0) AS INT)").as("w"))
+        .repartition(col("user_id"))
+        .distinct()
+        .cache()
+    }
     val fw = uw.groupBy("user_id").agg(min("w").as("first_w"))
     val prev = uw.select(col("user_id"), (col("w") + 1).as("w"), lit(1).as("was_prev"))
     val maxW = uw.agg(max("w").as("max_w"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{SessionConfs, Tables}
 import graft.functions.SimHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -140,15 +140,17 @@ object VectorOps {
       .orderBy("probe_id", "rnk")
   }
 
-  /** IVF nlist: a FIXED centroid budget — every 97th vector id, capped to
-    * the first [[IvfNlist]] such ids, so the broadcast quantizer is O(K)
-    * bytes no matter how large the corpus grows (the previous n/97 rule
-    * made both the broadcast and the per-row quantizer work grow with n).
-    * In production nlist follows the usual IVF sizing rule nlist ≈ √n
-    * (re-chosen per corpus, still independent of any single scan), with
-    * k-means-refined centroids; a deterministic id-sampled set keeps this
-    * exhibit reproducible without an iterative training job. */
-  private val IvfNlist = 16
+  /** IVF nlist by the standard sizing rule nlist ≈ √n, clamped to
+    * [4, 256]: posting lists stay ~√n long AND there are only ~√n of them,
+    * so probe work per query is ~nprobe·√n — the balance point the rule
+    * exists for — while the cap keeps the broadcast quantizer O(256)
+    * bytes-ish at any corpus size (a 10^9-vector deployment would raise
+    * the cap with executor memory and k-means-refine the centroids; the
+    * deterministic id-stride sample keeps this exhibit reproducible
+    * without a training job). Derived per corpus from ONE count — never
+    * per-row work. */
+  private[graft] def ivfNlist(n: Long): Int =
+    math.max(4, math.min(256, math.round(math.sqrt(n.toDouble)).toInt))
   /** IVF (inverted-file) bucketed ANN — the coarse-quantizer alternative
     * to q_sim_lsh's hyperplane banding: a bounded deterministic centroid
     * set (see [[IvfNlist]]) is broadcast; each corpus vector joins its
@@ -192,8 +194,13 @@ object VectorOps {
   def qSimIvf(s: SparkSession, sf: String): DataFrame = {
     import graft.functions.VectorExpressions.cosineSim
     val e = Tables.embeddings(s, sf).repartition(col("vec_id"))
+    // nlist from the corpus count (≈√n, capped — see ivfNlist); centroids
+    // are an id-stride sample so exactly nlist of them exist at any SF
+    val n = Tables.embeddings(s, sf).count()
+    val k = ivfNlist(n)
+    val stride = math.max(1L, n / k)
     val cents = Tables.embeddings(s, sf)
-      .filter(col("vec_id") % 97 === 0 && col("vec_id") < 97L * IvfNlist)
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val posting = ivfAssign(
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
@@ -377,20 +384,33 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** Min-label propagation connected components: every vertex converges to
-    * the minimum doc_id reachable in its component — the deterministic
-    * cluster id. Each propagation step is one shuffle-join + min-aggregate;
-    * steps needed = graph diameter (near-dup components are shallow — dup
-    * clusters are cliques or short chains, so 2-4 steps in practice; two
-    * steps are fused per Spark action so the convergence-confirming step
-    * rides free).
-    * The driver loop only checks a converged-count scalar per round — all
-    * data stays distributed. At 100 TB scale the same loop holds (labels
-    * and edges both shuffle on vertex id); for adversarially deep
-    * components the round count is cut to O(log n) by alternating
-    * large-star/small-star re-wiring (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond"), which this exhibit omits for
-    * determinism-auditable simplicity. */
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): every vertex converges to the minimum doc_id reachable in
+    * its component — the deterministic cluster id.
+    *
+    * Edges are canonicalized once to a big→small orientation (u > v), then
+    * each round rewires the set twice. Large-star symmetrizes, takes
+    * m(u) = min(N(u) ∪ {u}) and points every neighbor LARGER than u at m;
+    * small-star points u and its smaller neighbors at the minimum of the
+    * smaller neighborhood. Both steps preserve connectivity and strictly
+    * contract non-star structure, so the round count is logarithmic in
+    * component size — NOT diameter-bound: a path of diameter d converges
+    * in ~log rounds where plain min-label propagation needs d. That is the
+    * property that matters at 100 TB: chained near-identical crawl
+    * snapshots form deep path components, and a diameter-bound loop aborts
+    * on exactly the inputs where dedup matters most.
+    *
+    * The driver loop only inspects per-round scalars (edge count + a
+    * fixed-point emptiness check); all edge data stays distributed, and
+    * every per-round shuffle runs at an edge-mass-derived fan-out under a
+    * scoped AQE-off conf ([[SessionConfs.withConf]] — concurrency-safe
+    * against other scoped loops on the same session). Convergence is a
+    * SET fixed point (same count + empty `except`), and the converged set
+    * is then structurally validated — a union of stars has no root on a
+    * leaf side and exactly one root per leaf; the big→small orientation
+    * makes each root its component's minimum — so a malformed state throws
+    * instead of silently splitting clusters. */
   private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame,
       edgeHalvesPerPartition: Long = 1L << 20): DataFrame = {
     // iterate ONLY over edge-touched vertices: the pair graph is a tiny
@@ -402,96 +422,102 @@ object VectorOps {
     // parallelism), so the same code runs 1-partition at near-dup-mass
     // test scale and fans out when the pair graph itself is large.
     val spark = vertices.sparkSession
-    // symmetrize in ONE pass over the edge frame: a union of two selects
-    // would evaluate the (expensive, uncached) pair-generation lineage once
-    // per branch — explode emits both directions from a single evaluation
-    val symRaw = edges.select(explode(array(
-        struct(col("a_id").as("src"), col("b_id").as("dst")),
-        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // canonicalize in ONE pass: the expensive pair-generation lineage runs
+    // exactly once, here, under the session's full parallelism — never
+    // under the loop's reduced shuffle config below. The count both
+    // materializes the cache and sizes the loop fan-out.
+    val init = edges
+      .select(greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .cache()
-    // materialize NOW, with the session's full parallelism — the lineage
-    // (the pair-generation pipeline) is the expensive part, and it must
-    // not run under the loop's reduced shuffle config below. The count it
-    // returns is the scalar that sizes the loop.
-    val edgeHalves = symRaw.count()
+    val edgeCount = init.count()
     val loopParts = math.min(
-      math.max(1L, (edgeHalves + edgeHalvesPerPartition - 1) / edgeHalvesPerPartition),
+      math.max(1L, (edgeCount * 2 + edgeHalvesPerPartition - 1) / edgeHalvesPerPartition),
       spark.sparkContext.defaultParallelism.toLong).toInt
-    // compact the edge frame to the loop's fan-out with a NARROW coalesce
-    // over the existing cache — a repartition+cache here would pay a second
-    // materialization job per call for frames that are near-dup-mass sized
-    val sym = symRaw.coalesce(loopParts)
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-    var changed = 1L
-    var rounds = 0
-    var prevCached: Option[DataFrame] = None
-    // AQE re-plans and materializes every exchange of every round as its
-    // own job — pure scheduling overhead on these bounded label frames,
-    // where the static plan (one small shuffle at the edge-derived
-    // fan-out) is already the right one. Turn it off for the loop only;
-    // the corpus-wide assignment join below runs with the session's AQE
-    // and parallelism.
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    // one min-label propagation step: each vertex takes the minimum of its
-    // own label and its neighbors' labels. Plain joins, not broadcast():
-    // under the loop's 1-partition config each join is one tiny shuffle
-    // task, whereas a broadcast side pays a separate collect-and-build job
-    // per invocation — pure fixed latency on near-dup-mass-sized frames.
-    def nbrMin(l: DataFrame): DataFrame = sym
-      .join(l.select(col("src"), col("cluster_id")), Seq("src"))
-      .groupBy("dst").agg(min("cluster_id").as("nbr_min"))
-      .withColumnRenamed("dst", "doc_id")
-    try {
-      while (changed > 0 && rounds < 30) {
-        // TWO propagation steps per action: the loop can only detect
-        // convergence by running a step that changes nothing, so a
-        // single-step loop always pays one extra confirming action. Fusing
-        // a second step into the same plan makes that confirmation free
-        // for the common shallow (clique/short-chain) components — if the
-        // SECOND half-step changed nothing, the first half's fixed point
-        // is proven in the same job.
-        val half = labels.join(
-            nbrMin(labels.withColumnRenamed("doc_id", "src")), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        // one cached frame and ONE action per iteration: `nm` carries both
-        // the next label (least) and the convergence signal (nm < cluster_id)
-        val step = half.join(
-            nbrMin(half.withColumnRenamed("doc_id", "src")), Seq("doc_id"), "left")
-          .select(col("doc_id"), col("cluster_id"),
-            coalesce(col("nbr_min"), col("cluster_id")).as("nm"))
-          .cache()
-        changed = step.filter(col("nm") < col("cluster_id")).count()
-        prevCached.foreach(_.unpersist()) // step is materialized by the count
-        prevCached = Some(step)
-        labels = step.select(col("doc_id"), least(col("cluster_id"), col("nm")).as("cluster_id"))
-        rounds += 2
-      }
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+    // large-star: one symmetrize-explode, one min-aggregate, one join.
+    // Emitted edges keep the big→small orientation (dst > src >= m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      val m = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      sym.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("u"), col("m").as("v"))
+        .distinct()
     }
-    // never return unconverged labels silently: a component with diameter
-    // beyond the round cap would otherwise emit split clusters that only
-    // an oracle run would catch
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge within $rounds rounds ($changed labels still changing)")
-    // converged labels are bounded by edge-touched vertices:
-    // localCheckpoint truncates the round lineage entirely, so every later
-    // evaluation of the returned frame reads the materialized label rows
-    // instead of replaying or cache-scanning the iterative plan. Broadcast
-    // the labels into the corpus-wide assignment join only when the edge
-    // mass says they fit one partition; a large pair graph shuffles on
-    // doc_id instead.
-    val finalLabels = labels.repartition(loopParts).localCheckpoint()
-    prevCached.foreach(_.unpersist())
-    symRaw.unpersist()
-    val labelSide = if (loopParts == 1) broadcast(finalLabels) else finalLabels
+    // small-star: already big→small oriented, so the smaller neighborhood
+    // of u is exactly its edge targets; m = min(v) < u. Re-point every
+    // non-minimal smaller neighbor AND u itself at m (v > m after the
+    // filter, so orientation is preserved). One min-aggregate, one join.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      e.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    var cur = init
+    var curCnt = edgeCount
+    var rounds = 0
+    var done = edgeCount == 0L
+    // AQE re-plans and materializes every exchange of every round as its
+    // own job — pure scheduling overhead on these bounded edge frames,
+    // where the static plan (small shuffles at the edge-derived fan-out)
+    // is already the right one. Scope it off for the loop only; the
+    // corpus-wide assignment join below runs with the session's AQE and
+    // parallelism. All loop actions AND the label checkpoint run inside
+    // the scope, so nothing escaping depends on the scoped values.
+    val labels = SessionConfs.withConf(spark,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> loopParts.toString) {
+      while (!done && rounds < 50) {
+        // localCheckpoint, not cache: both star steps reference their input
+        // frame MULTIPLE times, so a lazily chained loop grows the logical
+        // plan ~4x PER ROUND — exponential analysis/canonicalization cost
+        // (the pagerank lesson, worse). The eager checkpoint truncates the
+        // lineage to a leaf every round, keeping per-round planning O(1).
+        val next = smallStar(largeStar(cur)).localCheckpoint()
+        val nextCnt = next.count()
+        // both sides are distinct sets, so equal-count + empty-except is
+        // full set equality; && short-circuits the except job while the
+        // set is still shrinking
+        done = nextCnt == curCnt && next.except(cur).isEmpty
+        cur = next; curCnt = nextCnt; rounds += 1
+      }
+      // never return unconverged labels silently: a cluster split that
+      // only an oracle run would catch must be a loud failure instead
+      if (!done) throw new IllegalStateException(
+        s"connectedComponents did not converge within $rounds large-star/small-star rounds " +
+          s"($curCnt edges still rewiring)")
+      if (curCnt > 0) {
+        val roots = cur.select("v").distinct()
+        val rootAsLeaf = cur.join(roots.withColumnRenamed("v", "u"), Seq("u"), "left_semi").count()
+        val multiRoot = cur.groupBy("u").agg(countDistinct("v").as("nv"))
+          .filter(col("nv") > 1).count()
+        if (rootAsLeaf > 0 || multiRoot > 0) throw new IllegalStateException(
+          s"connectedComponents fixed point is not a star union " +
+            s"($rootAsLeaf chained roots, $multiRoot multi-root leaves)")
+      }
+      // converged labels are bounded by edge-touched vertices: leaves carry
+      // their root, roots self-label. localCheckpoint truncates the round
+      // lineage entirely, so every later evaluation reads materialized
+      // label rows instead of replaying the iterative plan.
+      cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+        .union(cur.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+        .repartition(loopParts)
+        .localCheckpoint()
+    }
+    init.unpersist()
+    // broadcast the labels into the corpus-wide assignment join only when
+    // the edge mass says they fit one partition; a large pair graph
+    // shuffles on doc_id instead.
+    val labelSide = if (loopParts == 1) broadcast(labels) else labels
     vertices.select("doc_id").join(labelSide, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -741,11 +767,11 @@ object VectorOps {
     val loopParts = math.min(
       math.max(1L, (edgeHalves + (1L << 20) - 1) / (1L << 20)),
       spark.sparkContext.defaultParallelism.toLong).toInt
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
+    // every loop action runs inside the scope and `last` is checkpointed
+    // before escaping, so nothing outside depends on the scoped values
+    SessionConfs.withConf(spark,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> loopParts.toString) {
       // (src, dst, deg) contribution edges, built once: every iteration
       // joins ranks onto THIS cached frame, never back to the pair pipeline
       val sym = symRaw.coalesce(loopParts)
@@ -792,9 +818,6 @@ object VectorOps {
       symDeg.unpersist()
       symRaw.unpersist()
       last.select(col("doc_id"), col("r").as("r_scaled"))
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
   }
 
@@ -958,15 +981,15 @@ object VectorOps {
     val verts = sym.select("src").distinct()
     // register the loop-invariant edge frame with AQE scoped off so its
     // src partitioning stays visible to every round's join (the cache-
-    // under-AQE trap of q_churn_matrix)
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    val symz = try {
+    // under-AQE trap of q_churn_matrix); the cached physical plan compiles
+    // at cache() registration, which is why the scope around the lazy call
+    // suffices
+    val symz = SessionConfs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
       sym.withColumn("w", lit(1))
         .unionByName(verts.select(col("src"), col("src").as("dst"))
           .withColumn("w", lit(0)))
         .repartition(col("src")).cache()
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
     var dist = verts.select(col("src").as("doc_id")).withColumn("dist",
       expr(s"CAST(CASE WHEN doc_id % $BfsSeedMod = 0 THEN 0 " +
         s"ELSE $BfsUnreached END AS INT)"))
@@ -1001,10 +1024,9 @@ object VectorOps {
     val edges = ngramEdges(s, sf).select("a_id", "b_id")
     val em0 = edges.select(col("a_id").as("src"), col("b_id").as("dst"), lit("f").as("m"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst"), lit("r").as("m")))
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    val em = try em0.repartition(col("src")).cache()
-    finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val em = SessionConfs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+      em0.repartition(col("src")).cache()
+    }
     var scores = em.select(col("src").as("doc_id")).distinct()
       .withColumn("h", lit(1L)).withColumn("a", lit(1L))
     for (_ <- 1 to HitsRounds) {

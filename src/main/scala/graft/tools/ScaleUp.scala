@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives an order-of-magnitude-larger bench corpus from a driver SF dir
+  * by unioning `copies` key-shifted replicas of every table — the sweep
+  * that grounds the "plans hold at 100×" claims with a measured 10×
+  * (BENCH at the derived dir vs the source dir, PERF.md).
+  *
+  * Semantics of the derivation (NOT a naive duplicate):
+  *  - every key domain shifts by `copy * (max_id + 1)` CONSISTENTLY across
+  *    tables (custkey in customer+orders, orderkey in orders+lineitem,
+  *    part/supp in part/supplier+lineitem, doc_id shared by documents and
+  *    embeddings.vec_id), so referential structure and join selectivity
+  *    are preserved exactly;
+  *  - dimension tables (region, nation) stay fixed — as at real scale;
+  *  - document TEXT is word-suffixed per copy (`w -> w_3`), so shingle /
+  *    bigram overlap across copies is ZERO and near-dup pair mass grows
+  *    LINEARLY like a real corpus (verbatim replicas would grow it
+  *    quadratically in `copies` and distort every dedup benchmark);
+  *    n_chars is recomputed to match;
+  *  - embeddings rotate their lanes by the copy index (a permutation, so
+  *    norms and within-copy geometry are untouched) — cross-copy cosine
+  *    near-dups vanish instead of exploding;
+  *  - events keep their time range (10× events in the same window =
+  *    denser activity, the realistic direction for user analytics).
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "benchdata/sf1x"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1
+    val custStride = maxOf(tbl("customer"), "c_custkey")
+    val orderStride = maxOf(tbl("orders"), "o_orderkey")
+    val partStride = maxOf(tbl("part"), "p_partkey")
+    val suppStride = maxOf(tbl("supplier"), "s_suppkey")
+    val userStride = maxOf(tbl("events"), "user_id")
+    val eventStride = maxOf(tbl("events"), "event_id")
+    val docStride = maxOf(tbl("documents"), "doc_id")
+
+    // union of `copies` shifted replicas: one explode drives all copies in
+    // a single pass over the source
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+      val withC = df.withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
+      shifts.foldLeft(withC) { case (d, (c, stride)) =>
+        d.withColumn(c, col(c) + col("__c") * stride)
+      }
+    }
+    def write(df: DataFrame, n: String, parts: Int): Unit = {
+      df.drop("__c").repartition(parts).write.mode("overwrite")
+        .parquet(s"$dst/$n.parquet")
+      println(s"wrote $n")
+    }
+
+    write(tbl("region"), "region", 1)
+    write(tbl("nation"), "nation", 1)
+    write(replicate(tbl("customer"), Map("c_custkey" -> custStride)), "customer", 4)
+    write(replicate(tbl("supplier"), Map("s_suppkey" -> suppStride)), "supplier", 1)
+    write(replicate(tbl("part"), Map("p_partkey" -> partStride)), "part", 4)
+    write(replicate(tbl("orders"),
+      Map("o_orderkey" -> orderStride, "o_custkey" -> custStride)), "orders", 8)
+    write(replicate(tbl("lineitem"),
+      Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
+        "l_suppkey" -> suppStride)), "lineitem", 16)
+    write(replicate(tbl("events"),
+      Map("event_id" -> eventStride, "user_id" -> userStride)), "events", 8)
+    val docs = replicate(tbl("documents"), Map("doc_id" -> docStride))
+      .withColumn("text", when(col("__c") === 0, col("text")).otherwise(
+        expr("concat_ws(' ', transform(split(text, ' '), x -> concat(x, '_', CAST(__c AS STRING))))")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(docs, "documents", 8)
+    val emb = replicate(tbl("embeddings"), Map("vec_id" -> docStride))
+      .withColumn("embedding", expr(
+        "CASE WHEN __c = 0 THEN embedding ELSE " +
+          "concat(slice(embedding, CAST(__c AS INT) + 1, size(embedding) - CAST(__c AS INT)), " +
+          "slice(embedding, 1, CAST(__c AS INT))) END"))
+    write(emb, "embeddings", 8)
+    spark.stop()
+    println(s"scaled $src x$copies -> $dst")
+  }
+}

@@ -152,6 +152,67 @@ class ExtraOpsSpec extends SparkSuite {
       "candidates must be a small fraction of brute-force pairs")
   }
 
+  test("IVF nlist derives as clamped √n") {
+    assert(VectorOps.ivfNlist(10) == 4, "floor at 4")
+    assert(VectorOps.ivfNlist(100) == 10)
+    assert(VectorOps.ivfNlist(2000) == 45)
+    assert(VectorOps.ivfNlist(10000) == 100)
+    assert(VectorOps.ivfNlist(100000000L) == 256, "cap at 256")
+  }
+
+  test("IVF recall holds as the corpus doubles under the derived √n nlist") {
+    import graft.functions.VectorExpressions.cosineSim
+    import org.apache.spark.sql.expressions.Window
+    // recall@5 of the full IVF pipeline (derived nlist, stride-sampled
+    // centroids, nprobe=2) against an exact driver-side brute force, on
+    // the clustered corpus ANN exists for — doubling the corpus re-derives
+    // a larger nlist and recall must NOT collapse
+    def recallAt5(nClusters: Int): Double = {
+      val c = clusteredCorpus(nClusters).cache()
+      val n = nClusters * 8L
+      val k = VectorOps.ivfNlist(n)
+      val stride = math.max(1L, n / k)
+      val cents = c.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      assert(cents.count() == k, s"stride sample must yield exactly $k centroids")
+      val posting = VectorOps.ivfAssign(
+        c.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
+        "neighbor_id", "nvec", cents)
+      val probes = c.filter(col("vec_id") % 8 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      val cand = VectorOps.ivfProbe(probes, "probe_id", "pvec", cents, 2)
+        .join(posting, Seq("cid")).select("probe_id", "neighbor_id")
+      val av = c.select(col("vec_id").as("probe_id"), col("embedding").as("av"))
+      val bv = c.select(col("vec_id").as("neighbor_id"), col("embedding").as("bv"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      val ivfTop = cand.join(av, Seq("probe_id")).join(bv, Seq("neighbor_id"))
+        .withColumn("cos", cosineSim(col("av"), col("bv")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select("probe_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val vecs = c.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      c.unpersist()
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val recalls = ivfTop.toSeq.map { case (p, got) =>
+        val truth = vecs.toSeq
+          .map { case (id, v) => (id, cos(vecs(p), v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+        (truth & got).size.toDouble / truth.size
+      }
+      recalls.sum / recalls.size
+    }
+    val r400 = recallAt5(50)
+    val r800 = recallAt5(100)
+    assert(r400 >= 0.8, s"recall@5 at n=400 is $r400")
+    assert(r800 >= 0.8, s"recall@5 at n=800 is $r800")
+    assert(r800 >= r400 - 0.1, s"recall must hold under doubling: $r400 -> $r800")
+  }
+
   test("containment finds an embedded doc that symmetric Jaccard misses") {
     import spark.implicits._
     // doc 1 is verbatim inside doc 2, which is ~4x longer: J ≈ 1/4 (below
@@ -203,6 +264,56 @@ class ExtraOpsSpec extends SparkSuite {
     (0L until n).foreach { i =>
       assert(got(i) == (i / 4) * 4, s"vertex $i labeled ${got(i)}, want ${(i / 4) * 4}")
     }
+  }
+
+  test("connected components: adversarially deep path (diameter 150) converges") {
+    import spark.implicits._
+    // a 151-node path whose vertex ids are scrambled along the chain
+    // (i -> 73*i mod 151, a permutation: 151 prime), so neither the id
+    // order nor the big→small orientation follows the path. The
+    // diameter-bound min-label loop this round replaced aborted at its
+    // 30-round cap on exactly this shape; large-star/small-star must
+    // collapse it to the component minimum in O(log) rounds.
+    val n = 151
+    val ids = (0 until n).map(i => (i.toLong * 73) % n)
+    val vertices = ids.toDF("doc_id")
+    val edges = (0 until n - 1).map(i => (ids(i), ids(i + 1))).toDF("a_id", "b_id")
+    val got = VectorOps.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), s"deep path must collapse to 0, got ${got.take(5)}")
+  }
+
+  test("scoped loop confs: concurrent iterative queries stay correct and restore the session") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // Two deep-path component runs race on the SAME session. Each scopes
+    // AQE/shuffle-partitions via SessionConfs.withConf; without the
+    // per-session serialization, one run could snapshot the other's scoped
+    // value and restore it permanently (or plan under a half-restored
+    // conf). Both results must match the serial contract AND the session
+    // conf must come back untouched.
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    def run(offset: Long): Map[Long, Long] = {
+      val n = 101
+      val ids = (0 until n).map(i => offset + (i.toLong * 37) % n)
+      val vertices = ids.toDF("doc_id")
+      val edges = (0 until n - 1).map(i => (ids(i), ids(i + 1))).toDF("a_id", "b_id")
+      VectorOps.connectedComponents(vertices, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val fa = Future(run(0L))
+    val fb = Future(run(5000L))
+    val (a, b) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    assert(a.size == 101 && a.values.forall(_ == 0L))
+    assert(b.size == 101 && b.values.forall(_ == 5000L))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == shufBefore,
+      "shuffle.partitions must be restored after concurrent scoped loops")
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
+      "adaptive.enabled must be restored after concurrent scoped loops")
   }
 
   test("pagerank: converged ranks are the exact fixed point of the integer recurrence") {

@@ -23,4 +23,16 @@ class QuerySmokeSpec extends SparkSuite {
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("q_decontaminate is non-vacuous: the eval set really overlaps the corpus") {
+    // guard against the round-10 failure mode where the stand-in eval set
+    // shared zero shingles with the corpus at the driver's SF and the
+    // green oracle row certified an empty join — the derived set (first 50
+    // docs) must keep producing real contamination hits
+    val rows = SparkEntry.queries("q_decontaminate")(spark, sf001).collect()
+    assert(rows.nonEmpty, "decontamination scan found no contaminated docs")
+    val hits = rows.map(_.getLong(1)).sum
+    assert(hits > 0, "contaminated docs must carry positive shingle-hit counts")
+    assert(rows.forall(_.getLong(0) >= 50L), "eval-set docs must not appear in the corpus side")
+  }
 }

@@ -200,6 +200,82 @@ class ScaleSpec extends SparkSuite {
     assert(h == e, s"20 sources is far below sketch error range: $h vs $e")
   }
 
+  test("salting spreads a 90%-hot key across reducers and stays exactly equal to the plain plan") {
+    // adversarial power-law shape: 90% of rows carry ONE key. The salted
+    // operators are plan-locked elsewhere; this is the stress test that the
+    // salt actually SPREADS the hot key's volume (measured rows-per-reducer
+    // under the real hash partitioning) and changes no result.
+    val n = 100000L
+    val r = 32
+    val skewed = spark.range(n).select(
+      col("id"),
+      when(col("id") % 10 =!= 0, lit(0L)).otherwise(pmod(col("id"), lit(97))).as("k"),
+      (col("id") % 1000).cast("double").as("v"))
+    def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("p")).count().agg(max("count")).head.getLong(0)
+    // AQE off so the measured distribution is the static hash partitioning
+    // a non-AQE deployment (the case the manual salt exists for) would see
+    val (plainMax, saltedMax) = SessionConfs.withConf(spark,
+        "spark.sql.adaptive.enabled" -> "false") {
+      (maxPartRows(skewed.repartition(r, col("k"))),
+        maxPartRows(skewed.withColumn("salt", pmod(col("id"), lit(r)))
+          .repartition(r, col("k"), col("salt"))))
+    }
+    assert(plainMax >= (n * 9) / 10, s"hot key must concentrate without salt, got $plainMax")
+    // 4x, not the ideal 32x: the 32 (key, salt) sub-groups themselves hash
+    // into 32 partitions, and balls-in-bins clumping puts 3-5 sub-groups in
+    // the fullest partition (measured 6.4x spread) — the property under
+    // test is that NO reducer owns the hot key's whole volume anymore
+    assert(saltedMax * 4 < plainMax,
+      s"salt must spread the hot key at least 4x: salted max $saltedMax vs plain $plainMax")
+    // two-phase salted aggregation == direct aggregation, bit-for-bit
+    val direct = skewed.groupBy(col("k")).agg(count(lit(1)).as("cnt"),
+        expr("CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .orderBy("k").collect().toSeq
+    val salted = Scale.saltedCountSum(skewed, col("k"), "CAST(v AS DECIMAL(18,2))", r)
+      .orderBy("k").collect().toSeq
+    assert(salted == direct, "salted two-phase aggregate must equal the direct plan")
+    // salted join == plain join on the same skewed fact
+    val dim = spark.range(0, 97).select(col("id").as("dk"),
+      concat(lit("g"), pmod(col("id"), lit(5))).as("grp"))
+    val plainJoin = skewed.join(dim, col("k") === col("dk"))
+      .groupBy("grp").agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)").as("sv"))
+      .orderBy("grp").collect().toSeq
+    val factS = skewed.withColumn("salt", pmod(col("id"), lit(r)))
+    val dimS = dim.withColumn("salt", explode(sequence(lit(0), lit(r - 1))))
+    val saltedJoin = factS.join(dimS.hint("merge"),
+        factS("k") === dimS("dk") && factS("salt") === dimS("salt"))
+      .groupBy("grp").agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)").as("sv"))
+      .orderBy("grp").collect().toSeq
+    assert(saltedJoin == plainJoin, "salted join must equal the plain join")
+  }
+
+  test("AQE coalesces small post-shuffle partitions on a skewed aggregate (runtime stats)") {
+    // complement of the skew-SPLIT test above: after map-side partial
+    // aggregation the hot key's shuffle output is tiny, and AQE must merge
+    // the 64 static post-shuffle partitions down instead of scheduling 64
+    // near-empty tasks — the runtime re-plan a static fan-out can't do
+    SessionConfs.withConf(spark,
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB",
+        "spark.sql.shuffle.partitions" -> "64") {
+      val agg = spark.range(0, 100000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(pmod(col("id"), lit(97))).as("k"))
+        .groupBy("k").count()
+      assert(agg.count() == 97, "97 distinct keys expected")
+      val parts = agg.rdd.getNumPartitions
+      assert(parts < 64, s"AQE must coalesce the 64 static partitions, got $parts")
+      agg.queryExecution.toRdd.foreach(_ => ())
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        s"expected a coalesced AQEShuffleRead in the final adaptive plan:\n${plan.take(2000)}")
+    }
+  }
+
   test("ngramEdges memoizes: the second request serves the SAME materialized frame") {
     val a = graft.queries.VectorOps.ngramEdges(spark, sf001)
     val b = graft.queries.VectorOps.ngramEdges(spark, sf001)

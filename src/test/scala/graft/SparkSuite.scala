@@ -6,13 +6,18 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local session per suite; UTC + small shuffle fan-out to keep
   * tests fast on tiny data. */
 trait SparkSuite extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
+  /** The shared builder, also used to RE-create an identical session after
+    * a lifecycle test stops the context (suites run sequentially in the
+    * forked JVM, so a later suite's getOrCreate picks the fresh one up). */
+  protected def newSharedSession(): SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .getOrCreate()
+
+  lazy val spark: SparkSession = newSharedSession()
 
   val sf001 = "/root/testdata/sf0.001"
 }
