@@ -679,9 +679,16 @@ object Relational {
       .intersect(Tables.supplier(s, sf).select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** EXCEPT (distinct set difference). The right side keeps only EVEN
+    * supplier nationkeys so the result — odd nationkeys that have
+    * customers — is non-empty at every SF: an all-nationkeys right side
+    * made the query vacuously 0-row (suppliers cover every customer
+    * nation), and a green oracle row then certified only the empty set,
+    * not the subtraction (round-10 verdict, "What's missing" #2). */
   def qExcept(s: SparkSession, sf: String): DataFrame =
     Tables.customer(s, sf).select(col("c_nationkey").as("nationkey"))
-      .except(Tables.supplier(s, sf).select(col("s_nationkey").as("nationkey")))
+      .except(Tables.supplier(s, sf).select(col("s_nationkey").as("nationkey"))
+        .where(col("nationkey") % 2 === 0))
       .orderBy("nationkey")
 
   // ------------------------------------------------------------------ wiring
@@ -1221,6 +1228,7 @@ object Relational {
         |INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey""".stripMargin,
     "q_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_nationkey % 2 = 0
+        |ORDER BY nationkey""".stripMargin,
   )
 }

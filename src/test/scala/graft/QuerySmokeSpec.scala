@@ -14,13 +14,10 @@ class QuerySmokeSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
-  /** Queries whose correct result can legitimately be empty at tiny SFs. */
-  private val mayBeEmpty = Set("q_except")
-
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val n = fn(spark, sf001).count()
-      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      assert(n > 0, s"$name returned no rows")
     }
   }
 
