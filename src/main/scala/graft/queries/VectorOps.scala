@@ -279,14 +279,31 @@ object VectorOps {
   }
 
   /** Shared inverted-index candidate generator: distinct (a_id, b_id)
-    * pairs sharing at least one RARE bigram (df <= max(20, 1% corpus)) —
-    * the pruning that keeps pair generation linear in posting-list sizes.
-    * Used by the Jaccard (symmetric) and containment (asymmetric) dedups. */
-  private def rareCandidates(bg: DataFrame, docs0: DataFrame): DataFrame = {
-    val nDocs = docs0.agg(count(lit(1)).as("n"))
+    * pairs sharing at least one RARE bigram (df <= [[RareDfCap]]) — the
+    * pruning that keeps pair generation linear in corpus size. Used by the
+    * Jaccard (symmetric) and containment (asymmetric) dedups.
+    *
+    * The cap is a CONSTANT, deliberately not a fraction of the corpus: a
+    * bigram of document frequency df generates ~df²/2 candidate pairs, so
+    * with a df <= n/100 rule the admitted pair mass grows like n·(n/100)²
+    * — cubic in corpus size. The round-11 10× sweep caught exactly that:
+    * at 50k docs the 1%-rule admitted every df <= 500 bigram and edge
+    * building ran 25+ minutes where the constant-cap form takes seconds.
+    * With a constant cap the total join work is bounded by
+    * Σ_rare df² <= cap · Σ df — linear in total bigram occurrences, the
+    * only form that survives 100 TB. Dropping super-frequent shingles from
+    * the index is the standard production dedup trade (they carry no
+    * discriminative signal); the oracle SQL applies the identical cap, so
+    * the definition — not an approximation of it — is what's checked. */
+  /** Max document frequency for a bigram to serve as a candidate-pair
+    * generator. 50 keeps every dup pair the old sf0.1 threshold admitted
+    * while bounding per-bigram join fan-out at 50²/2 pairs regardless of
+    * corpus size. Shared verbatim by the DuckDB oracle SQL below. */
+  private[graft] val RareDfCap = 50
+
+  private def rareCandidates(bg: DataFrame): DataFrame = {
     val rare = bg.groupBy("bg").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= greatest(lit(20), col("n") / 100))
+      .filter(col("df") <= lit(RareDfCap))
       .select("bg")
     bg.select(col("doc_id").as("a_id"), col("bg"))
       .join(rare, Seq("bg"))
@@ -298,7 +315,7 @@ object VectorOps {
   /** Core bigram-Jaccard pipeline over any (doc_id, text) frame (tested
     * directly on hand-built short-doc frames in ExtraOpsSpec). */
   def ngramPairs(docs0: DataFrame): DataFrame =
-    pairsFromBigrams(docBigrams(docs0).cache(), docs0)
+    pairsFromBigrams(docBigrams(docs0).cache())
 
   /** The materialized near-dup edge list, memoized per (session, SF dir)
     * the way [[graft.Tables]] memoizes readers: SEVEN graph consumers
@@ -316,16 +333,16 @@ object VectorOps {
     edgeMemo.getOrElseUpdate((s, sf), {
       val docs = Tables.documents(s, sf)
       val bg = docBigrams(docs).cache()
-      val out = pairsFromBigrams(bg, docs).localCheckpoint()
+      val out = pairsFromBigrams(bg).localCheckpoint()
       bg.unpersist()
       out
     })
 
-  private def pairsFromBigrams(bg: DataFrame, docs0: DataFrame): DataFrame = {
+  private def pairsFromBigrams(bg: DataFrame): DataFrame = {
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val aSide = bg.select(col("doc_id").as("a_id"), col("bg"))
     val bSide = bg.select(col("doc_id").as("b_id"), col("bg"))
-    val cand = rareCandidates(bg, docs0)
+    val cand = rareCandidates(bg)
     // size-ratio sieve before the exact-Jaccard join: J(A,B) <= min/max of
     // the set sizes, so jaccard >= 0.5 implies 2*min(sz) >= max(sz) —
     // result-preserving, and on a common-vocab corpus it discards the bulk
@@ -363,7 +380,7 @@ object VectorOps {
     val docs0 = Tables.documents(s, sf)
     val bg = docBigrams(docs0).cache()
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val sieved = rareCandidates(bg, docs0)
+    val sieved = rareCandidates(bg)
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
       .filter(least(col("sz_a"), col("sz_b")) * 5 >= greatest(col("sz_a"), col("sz_b")))
@@ -553,7 +570,7 @@ object VectorOps {
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val aSide = bg.select(col("doc_id").as("a_id"), col("bg"))
     val bSide = bg.select(col("doc_id").as("b_id"), col("bg"))
-    val inter = rareCandidates(bg, docs0)
+    val inter = rareCandidates(bg)
       .join(aSide, Seq("a_id"))
       .join(bSide, Seq("b_id", "bg"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("ic"))
@@ -1068,7 +1085,7 @@ object VectorOps {
     """d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
       |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
       |nd AS (SELECT count(*) AS n FROM documents),
-      |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
+      |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= 50),
       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
@@ -1255,8 +1272,7 @@ object VectorOps {
       """WITH RECURSIVE
         |d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
-        |nd AS (SELECT count(*) AS n FROM documents),
-        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
+        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= 50),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
@@ -1278,8 +1294,7 @@ object VectorOps {
     "q_dedup_edit" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
-        |nd AS (SELECT count(*) AS n FROM documents),
-        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
+        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= 50),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
@@ -1300,8 +1315,7 @@ object VectorOps {
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
-        |nd AS (SELECT count(*) AS n FROM documents),
-        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
+        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= 50),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
@@ -1315,8 +1329,7 @@ object VectorOps {
     "q_dedup_containment" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
-        |nd AS (SELECT count(*) AS n FROM documents),
-        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= greatest(20, (SELECT n FROM nd) / 100)),
+        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= 50),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
