@@ -48,6 +48,11 @@ object Llm {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
   private val MersennePrime = 2147483647L // 2^31 - 1
+  /** Max docs per LSH band bucket before the bucket is dropped from
+    * candidate generation (see [[nearDupPairs]]). Constant, deliberately
+    * not corpus-relative: per-bucket join work is then bounded at cap²/2
+    * pairs at any scale. */
+  private[graft] val BucketCap = 500
   /** Fixed hash family seeds, bounded to 31 bits so a*h + b stays well
     * under 2^63 (Spark 4 ANSI mode makes long overflow an error, not a
     * wrap). Deterministic across runs/JVMs. */
@@ -80,6 +85,33 @@ object Llm {
   def qDedupNear(s: SparkSession, sf: String): DataFrame =
     nearDupPairs(Tables.documents(s, sf))
 
+  /** (band_idx, band_hash) rows per doc from a cached signature frame —
+    * shared by the pipeline and the `tools.NearDbg` bucket-distribution
+    * probe. */
+  private[graft] def bandsOfSig(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val rows = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
+  }
+
+  /** Signature frame (doc_id, m0..m31) from a raw shingle frame — the
+    * MinHash state the banding and estimate sieve both read. */
+  private[graft] def sigFromShingles(shRaw: DataFrame): DataFrame = {
+    val hashed = shRaw.withColumn("h", pmod(col("sh"), lit(MersennePrime)))
+    val minhashAggs = (0 until NumHashes).map { i =>
+      min(pmod(col("h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+  }
+
+  /** Signature frame for a (doc_id, text) frame. Exposed for
+    * tools.NearDbg. */
+  private[graft] def sigOf(docs: DataFrame): DataFrame =
+    sigFromShingles(shingles(docs.repartition(col("doc_id"))))
+
   /** Core near-dup pipeline over any (doc_id, text) frame (tested directly
     * on hand-built frames in LlmSpec). */
   def nearDupPairs(docs: DataFrame): DataFrame = {
@@ -92,21 +124,28 @@ object Llm {
     // partitions however many cores the session has, and partitioning by
     // doc_id lets the signature groupBy reuse the partitioning.
     val shRaw = shingles(docs.repartition(col("doc_id")))
-    val hashed = shRaw.withColumn("h", pmod(col("sh"), lit(MersennePrime)))
-    val minhashAggs = (0 until NumHashes).map { i =>
-      min(pmod(col("h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")
-    }
     // cache: sig is tiny (one 33-col row per doc) but its lineage is the
-    // full 2M-row shingle scan + 32-way min agg, and it feeds FOUR
-    // consumers (band left/right, estimate sieve a/b) — uncached, Spark
-    // recomputes the whole pipeline per consumer
-    val sig = hashed.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*).cache()
-    val bandStructs = (0 until Bands).map { b =>
-      val rows = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
-      struct(lit(b).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
+    // full 2M-row shingle scan + 32-way min agg, and it feeds FIVE
+    // consumers (bucket sizes, band left/right, estimate sieve a/b) —
+    // uncached, Spark recomputes the whole pipeline per consumer
+    val sig = sigFromShingles(shRaw).cache()
+    // Oversized-bucket cap: a band bucket of n docs generates n²/2
+    // candidate pairs, and real corpora produce giant buckets (boilerplate
+    // / templated docs whose low-information bands collide en masse — the
+    // round-11 10× sweep measured a 2,288-doc bucket and 70M raw pairs,
+    // enough to spill-sort the disk away; sf0.1 already carries ~230-doc
+    // buckets of the same shape). Buckets larger than [[BucketCap]] are
+    // dropped BEFORE the self-join, bounding per-bucket work at cap²/2
+    // regardless of corpus size — the standard production LSH-dedup trade.
+    // Recall cost is negligible for the target band (J >= 0.8 collides per
+    // band with p = 0.8⁴ ≈ 0.41; missing all 7 remaining bands ≈ 2.5%,
+    // and an exact duplicate collides in EVERY band, so it is only lost if
+    // all 8 of its buckets are oversized — meaning thousands of docs with
+    // the full signature, i.e. the pair is boilerplate, not signal).
+    val okBuckets = bandsOfSig(sig).groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= BucketCap)
+      .select("band_idx", "band_hash")
+    val bands = bandsOfSig(sig).join(okBuckets, Seq("band_idx", "band_hash"))
     val left = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
     val right = bands.select(col("band_idx").as("band_idx_r"), col("band_hash").as("band_hash_r"),
       col("doc_id").as("b_id"))

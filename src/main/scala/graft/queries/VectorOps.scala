@@ -301,7 +301,7 @@ object VectorOps {
     * corpus size. Shared verbatim by the DuckDB oracle SQL below. */
   private[graft] val RareDfCap = 50
 
-  private def rareCandidates(bg: DataFrame): DataFrame = {
+  private[graft] def rareCandidates(bg: DataFrame): DataFrame = {
     val rare = bg.groupBy("bg").agg(count(lit(1)).as("df"))
       .filter(col("df") <= lit(RareDfCap))
       .select("bg")
@@ -338,11 +338,28 @@ object VectorOps {
       out
     })
 
+  /** Bigram rows restricted to docs that appear in `cand` — the verify
+    * joins only ever read candidate docs' bigrams, but joining the FULL
+    * exploded bigram table shuffles and sorts the whole corpus through
+    * both join sides (the round-11 10× sweep measured the containment
+    * verify at 24× on 10× data purely from those corpus-sized sorts;
+    * candidate docs were 5% of the corpus). The doc-level semi-join is
+    * result-preserving — every bigram of every candidate doc is kept —
+    * and the candidate-doc list is near-dup-mass-sized, never
+    * corpus-sized, so at 100 TB the expensive (doc, bigram) sorts stay
+    * proportional to the dup mass. */
+  private def bigramsOfCandidates(bg: DataFrame, cand: DataFrame): DataFrame = {
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    bg.join(candDocs, Seq("doc_id"), "left_semi")
+  }
+
   private def pairsFromBigrams(bg: DataFrame): DataFrame = {
-    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val aSide = bg.select(col("doc_id").as("a_id"), col("bg"))
-    val bSide = bg.select(col("doc_id").as("b_id"), col("bg"))
     val cand = rareCandidates(bg)
+    val bgc = bigramsOfCandidates(bg, cand)
+    val sizes = bgc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val aSide = bgc.select(col("doc_id").as("a_id"), col("bg"))
+    val bSide = bgc.select(col("doc_id").as("b_id"), col("bg"))
     // size-ratio sieve before the exact-Jaccard join: J(A,B) <= min/max of
     // the set sizes, so jaccard >= 0.5 implies 2*min(sz) >= max(sz) —
     // result-preserving, and on a common-vocab corpus it discards the bulk
@@ -379,14 +396,16 @@ object VectorOps {
   def qDedupEdit(s: SparkSession, sf: String): DataFrame = {
     val docs0 = Tables.documents(s, sf)
     val bg = docBigrams(docs0).cache()
-    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val sieved = rareCandidates(bg)
+    val cand = rareCandidates(bg)
+    val bgc = bigramsOfCandidates(bg, cand)
+    val sizes = bgc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sieved = cand
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
       .filter(least(col("sz_a"), col("sz_b")) * 5 >= greatest(col("sz_a"), col("sz_b")))
     val jac = sieved
-      .join(bg.select(col("doc_id").as("a_id"), col("bg")), Seq("a_id"))
-      .join(bg.select(col("doc_id").as("b_id"), col("bg")), Seq("b_id", "bg"))
+      .join(bgc.select(col("doc_id").as("a_id"), col("bg")), Seq("a_id"))
+      .join(bgc.select(col("doc_id").as("b_id"), col("bg")), Seq("b_id", "bg"))
       .groupBy("a_id", "b_id", "sz_a", "sz_b").agg(count(lit(1)).as("ic"))
       .filter(expr("CAST(ic AS DOUBLE) / (sz_a + sz_b - ic) >= 0.2"))
       .select("a_id", "b_id")
@@ -567,10 +586,12 @@ object VectorOps {
     * directly on an embedded-doc fixture in ExtraOpsSpec). */
   def containmentPairs(docs0: DataFrame): DataFrame = {
     val bg = docBigrams(docs0).cache()
-    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val aSide = bg.select(col("doc_id").as("a_id"), col("bg"))
-    val bSide = bg.select(col("doc_id").as("b_id"), col("bg"))
-    val inter = rareCandidates(bg)
+    val cand = rareCandidates(bg)
+    val bgc = bigramsOfCandidates(bg, cand)
+    val sizes = bgc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val aSide = bgc.select(col("doc_id").as("a_id"), col("bg"))
+    val bSide = bgc.select(col("doc_id").as("b_id"), col("bg"))
+    val inter = cand
       .join(aSide, Seq("a_id"))
       .join(bSide, Seq("b_id", "bg"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("ic"))

@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   *    embeddings.vec_id), so referential structure and join selectivity
   *    are preserved exactly;
   *  - dimension tables (region, nation) stay fixed — as at real scale;
-  *  - document TEXT is word-suffixed per copy (`w -> w_3`), so shingle /
-  *    bigram overlap across copies is ZERO and near-dup pair mass grows
-  *    LINEARLY like a real corpus (verbatim replicas would grow it
-  *    quadratically in `copies` and distort every dedup benchmark);
-  *    n_chars is recomputed to match;
+  *  - document TEXT goes through a per-copy BIJECTIVE letter substitution
+  *    (alphabet rotated by the copy index, upper and lower case; copy 0 is
+  *    identity), so overlap across copies is ZERO at EVERY granularity —
+  *    word bigrams AND character shingles — and near-dup pair mass grows
+  *    LINEARLY like a real corpus. (The previous word-suffix scheme only
+  *    de-overlapped word n-grams: character 5-gram MinHash still saw
+  *    word-interior shingles shared across copies, which manufactured
+  *    ~0.5-similar cross-copy doc pairs and quadratic LSH candidate mass
+  *    — an artifact of the derivation, not a property of real corpora.)
+  *    The substitution preserves length (n_chars), all within-copy
+  *    equality/Jaccard/edit-distance structure, and per-copy token
+  *    frequency distributions exactly;
   *  - embeddings rotate their lanes by the copy index (a permutation, so
   *    norms and within-copy geometry are untouched) — cross-copy cosine
   *    near-dups vanish instead of exploding;
@@ -76,10 +83,21 @@ object ScaleUp {
         "l_suppkey" -> suppStride)), "lineitem", 16)
     write(replicate(tbl("events"),
       Map("event_id" -> eventStride, "user_id" -> userStride)), "events", 8)
+    // Per-copy bijective letter substitution (rotation by copy index mod
+    // 26); length-preserving, so n_chars stays valid as-is.
+    val alphaL = ('a' to 'z').mkString
+    val alphaU = ('A' to 'Z').mkString
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    val textCol = (1 until copies)
+      .foldLeft(when(col("__c") === 0, col("text"))) { (acc, c) =>
+        acc.when(col("__c") === c,
+          translate(col("text"), alphaL + alphaU, rot(alphaL, c) + rot(alphaU, c)))
+      }
+      .otherwise(col("text")) // unreachable: __c ∈ [0, copies) is enumerated
+    // (rotations wrap mod 26, so copies > 26 would reuse rotations — the
+    // sweep never needs more than 10 copies)
     val docs = replicate(tbl("documents"), Map("doc_id" -> docStride))
-      .withColumn("text", when(col("__c") === 0, col("text")).otherwise(
-        expr("concat_ws(' ', transform(split(text, ' '), x -> concat(x, '_', CAST(__c AS STRING))))")))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("text", textCol)
     write(docs, "documents", 8)
     val emb = replicate(tbl("embeddings"), Map("vec_id" -> docStride))
       .withColumn("embedding", expr(
