@@ -355,8 +355,13 @@ object VectorOps {
   }
 
   private def pairsFromBigrams(bg: DataFrame): DataFrame = {
-    val cand = rareCandidates(bg)
-    val bgc = bigramsOfCandidates(bg, cand)
+    // cand feeds both the verify join and (via bigramsOfCandidates) the
+    // semi-join that prunes bg; bgc feeds sizes + both join sides. Both
+    // are dup-mass-sized, so caching them is cheap and avoids recomputing
+    // the full inverted-index pipeline once per consumer branch (measured
+    // 4x on the sf0.1 bench when left uncached).
+    val cand = rareCandidates(bg).cache()
+    val bgc = bigramsOfCandidates(bg, cand).cache()
     val sizes = bgc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val aSide = bgc.select(col("doc_id").as("a_id"), col("bg"))
     val bSide = bgc.select(col("doc_id").as("b_id"), col("bg"))
@@ -396,8 +401,8 @@ object VectorOps {
   def qDedupEdit(s: SparkSession, sf: String): DataFrame = {
     val docs0 = Tables.documents(s, sf)
     val bg = docBigrams(docs0).cache()
-    val cand = rareCandidates(bg)
-    val bgc = bigramsOfCandidates(bg, cand)
+    val cand = rareCandidates(bg).cache()
+    val bgc = bigramsOfCandidates(bg, cand).cache()
     val sizes = bgc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val sieved = cand
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
@@ -586,8 +591,8 @@ object VectorOps {
     * directly on an embedded-doc fixture in ExtraOpsSpec). */
   def containmentPairs(docs0: DataFrame): DataFrame = {
     val bg = docBigrams(docs0).cache()
-    val cand = rareCandidates(bg)
-    val bgc = bigramsOfCandidates(bg, cand)
+    val cand = rareCandidates(bg).cache()
+    val bgc = bigramsOfCandidates(bg, cand).cache()
     val sizes = bgc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val aSide = bgc.select(col("doc_id").as("a_id"), col("bg"))
     val bSide = bgc.select(col("doc_id").as("b_id"), col("bg"))
