@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    are preserved exactly;
   *  - dimension tables (region, nation) stay fixed — as at real scale;
   *  - document TEXT goes through a per-copy BIJECTIVE letter substitution
-  *    (alphabet rotated by the copy index, upper and lower case; copy 0 is
-  *    identity), so overlap across copies is ZERO at EVERY granularity —
+  *    (an affine permutation of the alphabet per copy, upper and lower
+  *    case; copy 0 is identity; 312 distinct maps support up to a 312-copy
+  *    derivation), so overlap across copies is ZERO at EVERY granularity —
   *    word bigrams AND character shingles — and near-dup pair mass grows
   *    LINEARLY like a real corpus. (The previous word-suffix scheme only
   *    de-overlapped word n-grams: character 5-gram MinHash still saw
@@ -83,27 +84,44 @@ object ScaleUp {
         "l_suppkey" -> suppStride)), "lineitem", 16)
     write(replicate(tbl("events"),
       Map("event_id" -> eventStride, "user_id" -> userStride)), "events", 8)
-    // Per-copy bijective letter substitution (rotation by copy index mod
-    // 26); length-preserving, so n_chars stays valid as-is.
+    // Per-copy bijective letter substitution: the affine permutation
+    // π_c(i) = (a·i + b) mod 26 over alphabet positions, with a coprime
+    // to 26 — 12 units × 26 shifts = 312 distinct bijections, enough for
+    // a 100-copy (100×) derivation. Two DISTINCT affine maps agree on at
+    // most one letter, so any token with ≥2 distinct letters never
+    // collides across copies. Copy 0 is (a=1, b=0) = identity.
+    // Length-preserving, so n_chars stays valid as-is.
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(copies <= units.length * 26, s"only ${units.length * 26} distinct copy bijections")
     val alphaL = ('a' to 'z').mkString
     val alphaU = ('A' to 'Z').mkString
-    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    def perm(s: String, c: Int): String = {
+      val a = units(c / 26); val b = c % 26
+      s.indices.map(i => s((a * i + b) % 26)).mkString
+    }
     val textCol = (1 until copies)
       .foldLeft(when(col("__c") === 0, col("text"))) { (acc, c) =>
         acc.when(col("__c") === c,
-          translate(col("text"), alphaL + alphaU, rot(alphaL, c) + rot(alphaU, c)))
+          translate(col("text"), alphaL + alphaU, perm(alphaL, c) + perm(alphaU, c)))
       }
       .otherwise(col("text")) // unreachable: __c ∈ [0, copies) is enumerated
-    // (rotations wrap mod 26, so copies > 26 would reuse rotations — the
-    // sweep never needs more than 10 copies)
     val docs = replicate(tbl("documents"), Map("doc_id" -> docStride))
       .withColumn("text", textCol)
     write(docs, "documents", 8)
+    // Lane rotation by (copy mod dim), composed with a whole-vector sign
+    // flip once the rotations wrap (copy >= dim) — both orthogonal maps,
+    // so norms and within-copy geometry are untouched, and a wrapped copy
+    // lands at cosine -1 from its un-flipped twin instead of +1 (no
+    // manufactured cross-copy near-dups for any positive-cosine
+    // threshold). Supports up to 2*dim copies (128 at dim 64).
     val emb = replicate(tbl("embeddings"), Map("vec_id" -> docStride))
+      .withColumn("__k", expr("CAST(pmod(__c, size(embedding)) AS INT)"))
+      .withColumn("__s", expr("CASE WHEN (__c div size(embedding)) % 2 = 0 THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END"))
       .withColumn("embedding", expr(
-        "CASE WHEN __c = 0 THEN embedding ELSE " +
-          "concat(slice(embedding, CAST(__c AS INT) + 1, size(embedding) - CAST(__c AS INT)), " +
-          "slice(embedding, 1, CAST(__c AS INT))) END"))
+        "transform(CASE WHEN __k = 0 THEN embedding ELSE " +
+          "concat(slice(embedding, __k + 1, size(embedding) - __k), " +
+          "slice(embedding, 1, __k)) END, x -> x * __s)"))
+      .drop("__k", "__s")
     write(emb, "embeddings", 8)
     spark.stop()
     println(s"scaled $src x$copies -> $dst")

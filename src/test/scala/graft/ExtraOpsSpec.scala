@@ -71,6 +71,23 @@ class ExtraOpsSpec extends SparkSuite {
     assert(VectorOps.ngramPairs(shorts).count() == 0)
   }
 
+  test("rare-df cap: pairs sharing only super-frequent bigrams are not candidates") {
+    import spark.implicits._
+    // 60 docs all made of the same two bigrams ("x y", "y x": df = 60 >
+    // RareDfCap = 50), two of them byte-identical — J = 1.0 but NO rare
+    // bigram, so the inverted-index candidate rule (constant df cap, the
+    // round-11 scale fix: a df-f bigram enqueues ~f²/2 candidate pairs,
+    // so only a corpus-independent cap keeps pair mass linear) must
+    // decline the pair. A clone pair sharing RARE bigrams is reported.
+    val common = (1 to 60).map(i => (i.toLong, "x y x y x"))
+    val rare = Seq((100L, "p q r s t p q"), (101L, "p q r s t p q"))
+    val docs = (common ++ rare).toDF("doc_id", "text")
+    val pairs = VectorOps.ngramPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((100L, 101L)),
+      s"only the rare-bigram clone pair is a candidate, got ${pairs.toSeq}")
+  }
+
   test("IVF ANN: self at rank 1, results subset of brute-force ranking universe") {
     val lists = VectorOps.qSimIvf(spark, sf001).collect()
     val byProbe = lists.groupBy(_.getLong(0))

@@ -35,6 +35,30 @@ class LlmSpec extends SparkSuite {
     assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
   }
 
+  test("near-dup bucket cap: oversized boilerplate buckets are dropped, exact dedup backstops") {
+    // BucketCap+1 byte-identical docs: every band bucket holds all of
+    // them, so ALL buckets are oversized and LSH reports zero pairs —
+    // the documented production trade that keeps per-bucket join work
+    // bounded at cap²/2 at any corpus size (an unbounded bucket of n
+    // boilerplate docs would enqueue n²/2 candidate pairs; the round-11
+    // 10× sweep measured a 2,288-doc bucket spill-sorting the disk to
+    // ENOSPC). A smaller-than-cap clone group plus genuinely distinct
+    // docs must be unaffected, and the EXACT-dedup operator (hash
+    // groupBy, no candidate generation) still groups the boilerplate —
+    // the backstop for the pairs LSH deliberately declines to enumerate.
+    val boiler = "shared boilerplate header with enough words to shingle " * 4
+    val n = Llm.BucketCap + 1
+    val docs = (1 to n).map(i => Doc(i.toLong, boiler)) ++ Seq(
+      Doc(9001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      Doc(9002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val pairs = Llm.nearDupPairs(docs.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 <= n && p._2 <= n),
+      "every band bucket of the boilerplate group exceeds the cap, so LSH must skip it")
+    assert(pairs.toSet == Set((9001L, 9002L)),
+      "the under-cap duplicate pair must still be found")
+  }
+
   test("exact dedup groups identical texts and is idempotent") {
     // real data: docs 12/360 share a shingle SET (jaccard 1.0) but differ
     // byte-wise, so exact dedup must NOT merge them
