@@ -96,7 +96,7 @@ class PlanSpec extends SparkSuite {
     // ANY other query acquiring a BNLJ is an accidental nested loop — the
     // quadratic scale-killer this net exists to catch.
     val allowed = Set(
-      "q_churn_matrix", "q_dedup_containment", "q_dedup_edit",
+      "q_churn_matrix",
       "q_domain_mix", "q_equidepth_hist", "q_filter_outliers", "q_pagerank",
       "q_market_basket", "q_pagerank_step", "q_sim_ivf", "q_text_colloc",
       "q_text_tfidf",
@@ -104,13 +104,36 @@ class PlanSpec extends SparkSuite {
       // graph queries over the memoized edge checkpoint (ngram/clusters,
       // bfs, hits, triangles) no longer print the pair pipeline's scalar
       // and have LEFT this allowlist — only pagerank's own nDocs attach
-      // remains
+      // remains. containment/edit dedup also left it in round 11: the
+      // constant rare-df cap removed their corpus-count scalar attach.
       "q_dedup_embcos", "q_join_cross", "q_sim_topk") // declared pair joins
     SparkEntry.queries.keys.filterNot(allowed).foreach { n =>
       val p = plan(n)
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$n: unexpected BroadcastNestedLoopJoin — bounded-by-construction or bug?")
     }
+  }
+
+  test("dedup verify joins are pruned to candidate docs; LSH caps bucket size") {
+    // Round-11 scale locks. (1) The bigram verify joins (Jaccard /
+    // containment / edit) must read bigrams through the doc-level
+    // LeftSemi prune — without it the full exploded bigram table
+    // shuffles and sorts through both join sides (measured 24x on 10x
+    // data; the pruned form scales with dup mass, not corpus size).
+    // (2) The LSH banding must filter band buckets by the constant
+    // BucketCap BEFORE the candidate self-join — an unbounded bucket of
+    // n boilerplate docs enqueues n^2/2 pairs (a 2,288-doc bucket
+    // spill-sorted the disk to ENOSPC on the 10x sweep).
+    // (q_dedup_ngram shares the same pipeline but may plan over the
+    // memoized ngramEdges localCheckpoint — a Scan ExistingRDD — so only
+    // the two queries that always build fresh are asserted.)
+    Seq("q_dedup_containment", "q_dedup_edit").foreach { n =>
+      assert(plan(n).contains("LeftSemi"),
+        s"$n: bigram verify join lost its candidate-doc semi-join prune")
+    }
+    val near = plan("q_dedup_near")
+    assert(near.contains(s"<= ${graft.queries.Llm.BucketCap}"),
+      "q_dedup_near: band buckets are no longer capped before the self-join")
   }
 
   test("no query plans a CartesianProduct except the declared cross join") {
