@@ -334,7 +334,26 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate-prefix dedup: documents sharing an identical 16-word head
+    * are clustered on the prefix hash (templated pages — mirror notices,
+    * license headers, scraped navigation — share heads while their tails
+    * differ, so exact/normalized dedup misses them and near-dup MinHash
+    * pays signature cost this O(1)-per-doc probe avoids). One
+    * map-side-combinable groupBy on the 32-byte hash; the ≥2 filter rides
+    * the aggregate (no second pass). Canonical keeper = min doc_id. */
+  def qDedupPrefix(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("doc_id"), col("n_chars"),
+        sha2(expr("array_join(slice(split(text, ' '), 1, 16), ' ')"), 256).as("prefix_hash"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        min("doc_id").as("canonical_doc_id"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix_hash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_prefix" -> qDedupPrefix _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_normalized" -> qDedupNormalized _,
@@ -351,6 +370,15 @@ object Llm {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_prefix" ->
+      """WITH p AS (SELECT doc_id, n_chars,
+        |             sha256(array_to_string(string_split(text, ' ')[1:16], ' ')) AS prefix_hash
+        |           FROM documents)
+        |SELECT prefix_hash, CAST(count(*) AS INT) AS n_docs,
+        |       min(doc_id) AS canonical_doc_id,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM p GROUP BY prefix_hash HAVING count(*) >= 2
+        |ORDER BY prefix_hash""".stripMargin,
     "q_dedup_incremental" ->
       """SELECT b.doc_id, CASE WHEN c.h IS NULL THEN 1 ELSE 0 END AS is_new
         |FROM (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 10 = 0) b

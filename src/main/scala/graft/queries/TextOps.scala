@@ -646,7 +646,91 @@ object TextOps {
       .orderBy("w1", "rn")
   }
 
+  /** C4-style line-level dedup: documents segment into non-overlapping
+    * 8-word "lines" and a line whose exact text occurs in more than one
+    * position corpus-wide keeps only its FIRST occurrence (lexicographic
+    * min (doc_id, line_idx)) — the sub-document boilerplate removal every
+    * web-corpus pipeline runs (doc-level dedup cannot catch a shared
+    * footer pasted into otherwise-distinct pages). Winner selection is a
+    * partial-aggregable min(struct) groupBy — skew-safe where a window
+    * row_number over a hot boilerplate line would funnel its whole df
+    * into one reducer — joined back on the line text; per-doc reassembly
+    * sorts kept lines in array space (no second window). Scale: two
+    * map-side-combinable shuffles (line winners, doc reassembly), linear
+    * in corpus tokens. */
+  def qTextLineDedup(s: SparkSession, sf: String): DataFrame = {
+    val L = 8
+    val lines = Tables.documents(s, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $L), " +
+          s"i -> struct(i AS li, array_join(slice(t, i * $L + 1, $L), ' ') AS line))")).as("e"))
+      .select(col("doc_id"), col("e.li").as("li"), col("e.line").as("line"))
+    val winners = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("li"))).as("w"))
+      .select(col("line"), col("w.doc_id").as("w_doc"), col("w.li").as("w_li"))
+    lines.join(winners, Seq("line"))
+      .withColumn("kept", col("doc_id") === col("w_doc") && col("li") === col("w_li"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        expr("array_join(transform(filter(array_sort(collect_list(struct(li, kept, line))), " +
+          "x -> x.kept), x -> x.line), ' ')").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Lexical-diversity quality scoring: per-doc type/token ratio and the
+    * Simpson diversity index 1 - Σc²/N² — the repetitiveness filter of an
+    * LLM data pipeline, expressed WITHOUT libm (Shannon entropy's ln is
+    * libm-dependent and can diverge 1 ulp between engines; Simpson is sums
+    * of exact integer counts and two exactly-rounded IEEE divisions, so it
+    * hash-matches bit-for-bit). Both moments ride one (doc, word) partial
+    * agg and one per-doc rollup. */
+  def qTextDiversity(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("int").as("n_tokens"),
+        count(lit(1)).cast("int").as("n_types"),
+        expr("CAST(sum(c * c) AS DOUBLE)").as("sum_c2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        (lit(1.0) - col("sum_c2") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double"))).as("simpson"))
+      .withColumn("low_diversity", col("ttr") < 0.5)
+      .drop("sum_c2")
+      .orderBy("doc_id")
+
+  /** Temperature-scaled domain resampling (alpha = 0.5): per-source
+    * sampling weight n_s^0.5 / Σ n^0.5 and the per-source slot count out
+    * of a 10k-doc budget — the multilingual/domain rebalancing recipe
+    * (UnimaxE/mT5-style) that upsamples small sources without letting big
+    * ones dominate. sqrt is exactly rounded in IEEE so both engines agree
+    * bit-for-bit; the weights are then FIXED-POINT (round(sqrt·1e6) as
+    * int64) so the cross-source normalizing sum is exact integer addition
+    * (a float Σ over rows would depend on engine fold order), and the
+    * 10k-slot allocation is pure integer division. One partial-agg
+    * shuffle; the normalizing window runs over the source-domain-bounded
+    * 5-row rollup, never the corpus. */
+  def qSampleTemperature(s: SparkSession, sf: String): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    Tables.documents(s, sf)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq_fix", round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      .withColumn("tot_docs", sum("n_docs").over(wAll))
+      .withColumn("tot_fix", sum("sq_fix").over(wAll))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("tot_docs").cast("double")).as("p_raw"),
+        (col("sq_fix").cast("double") / col("tot_fix").cast("double")).as("weight"),
+        expr("CAST((sq_fix * 10000) div tot_fix AS INT)").as("target_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_line_dedup" -> qTextLineDedup _,
+    "q_text_diversity" -> qTextDiversity _,
+    "q_sample_temperature" -> qSampleTemperature _,
     "q_ngram_lm" -> qNgramLm _,
     "q_bpe_train" -> qBpeTrain _,
     "q_bpe_step" -> qBpeStep _,
@@ -679,6 +763,42 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS li,
+        |              array_to_string(t[i*8+1 : least((i+1)*8, len(t))], ' ') AS line
+        |       FROM d, UNNEST(range(0, (len(t)-1)//8 + 1)) AS u(i)),
+        |k AS (SELECT doc_id, li, line,
+        |             row_number() OVER (PARTITION BY line ORDER BY doc_id, li) AS rn
+        |      FROM ln)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY li), '') AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_diversity" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_tokens, CAST(count(*) AS INT) AS n_types,
+        |             CAST(sum(c*c) AS DOUBLE) AS sum_c2 FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |       1.0 - sum_c2 / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS simpson,
+        |       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.5 AS low_diversity
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |f AS (SELECT source, n_docs,
+        |             CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS sq_fix
+        |      FROM c),
+        |t AS (SELECT source, n_docs, sq_fix,
+        |             CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs,
+        |             CAST(sum(sq_fix) OVER () AS BIGINT) AS tot_fix
+        |      FROM f)
+        |SELECT source, n_docs,
+        |       CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE) AS p_raw,
+        |       CAST(sq_fix AS DOUBLE) / CAST(tot_fix AS DOUBLE) AS weight,
+        |       CAST((sq_fix * 10000) // tot_fix AS INT) AS target_docs
+        |FROM t ORDER BY source""".stripMargin,
     "q_ngram_lm" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |bi AS (SELECT s[i] AS w1, s[i+1] AS w2, count(*) AS c12
