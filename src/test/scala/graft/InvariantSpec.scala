@@ -284,4 +284,86 @@ class InvariantSpec extends SparkSuite {
       g.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0, s"pct ${r._5} outside [0,1]"))
     }
   }
+
+  test("line dedup: kept mass equals the distinct-line count, drops are real, text reassembles") {
+    val out = TextOps.qTextLineDedup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // independent model: distinct 8-word lines of the corpus
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val lines = docs.flatMap { case (id, t) =>
+      t.split(" ").grouped(8).zipWithIndex.map { case (g, i) => (id, i, g.mkString(" ")) } }
+    assert(out.map(_._2).sum == lines.length, "n_lines must cover every segmented line")
+    assert(out.map(_._3.toLong).sum == lines.map(_._3).distinct.length,
+      "total kept lines must equal the corpus distinct-line count (first-occurrence-keep)")
+    assert(out.exists(r => r._3 < r._2), "fixture must exercise real cross-doc line drops")
+    // reassembly agrees with a brute-force first-occurrence replay in
+    // GLOBAL (doc_id, li) order (a per-doc hash-order replay would hand
+    // "first occurrence" to whichever doc the map iterates first)
+    val seen = scala.collection.mutable.HashSet[String]()
+    val expect = lines.sortBy(l => (l._1, l._2))
+      .collect { case (id, _, l) if seen.add(l) => (id, l) }
+      .groupBy(_._1).map { case (id, ks) => id -> ks.map(_._2).mkString(" ") }
+      .withDefaultValue("")
+    out.foreach { case (id, _, _, kept) =>
+      assert(kept == expect(id), s"doc $id kept_text diverges from the sequential replay") }
+  }
+
+  test("diversity: moments match a brute-force model; bounds hold") {
+    val out = graft.queries.TextOps.qTextDiversity(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    val model = Tables.documents(spark, sf001).select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val c = r.getString(1).split(" ").groupBy(identity).map(_._2.length.toLong)
+        (r.getLong(0), c.sum, c.size.toLong, c.map(x => x * x).sum)
+      }.map { case (id, n, ty, c2) => id -> (n, ty, c2) }.toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, ty, ttr, simp) =>
+      val (mn, mty, mc2) = model(id)
+      assert(n == mn && ty == mty, s"doc $id: token/type counts diverge from model")
+      assert(ty <= n && ttr > 0 && ttr <= 1.0, s"doc $id: ttr $ttr out of bounds")
+      assert(simp >= 0.0 && simp < 1.0, s"doc $id: simpson $simp out of bounds")
+      assert(math.abs(simp - (1.0 - mc2.toDouble / (mn.toDouble * mn))) < 1e-12,
+        s"doc $id: simpson diverges from the exact-moment model")
+    }
+  }
+
+  test("temperature sampling: weights normalize, slots fit the budget, alpha=0.5 compresses the mix") {
+    val out = graft.queries.TextOps.qSampleTemperature(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(out.length >= 2)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9, "p_raw must sum to 1")
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val slots = out.map(_._5.toLong).sum
+    assert(slots <= 10000 && slots >= 10000 - out.length,
+      s"slot total $slots must fill the 10k budget up to flooring slack")
+    // alpha = 0.5 compresses: above-average sources get downweighted, below-average upweighted
+    out.foreach { case (src, _, p, w, _) =>
+      val avg = 1.0 / out.length
+      if (p > avg) assert(w < p, s"$src: big source must be downweighted (p=$p w=$w)")
+      if (p < avg) assert(w > p, s"$src: small source must be upweighted (p=$p w=$w)")
+    }
+    // monotone: more docs never means a smaller weight
+    out.sortBy(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 + 1e-12, s"weight must be monotone in n_docs: $a vs $b") }
+  }
+
+  test("prefix dedup: clusters match a brute-force 16-word-head grouping") {
+    val out = graft.queries.Llm.qDedupPrefix(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val model = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(" ").take(16).mkString(" ")))
+      .groupBy(_._3).filter(_._2.length >= 2)
+    assert(out.length == model.size, "cluster count diverges from brute force")
+    assert(out.nonEmpty, "fixture must contain shared-prefix clusters")
+    val byCanon = out.map(r => r._3 -> r).toMap
+    model.values.foreach { g =>
+      val canon = g.map(_._1).min
+      val row = byCanon(canon)
+      assert(row._2 == g.length && row._4 == g.map(_._2).min && row._5 == g.map(_._2).max,
+        s"cluster at canonical $canon diverges from brute force")
+    }
+  }
 }
