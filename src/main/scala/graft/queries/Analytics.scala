@@ -807,7 +807,32 @@ object Analytics {
       .orderBy("status")
   }
 
+  /** Shuffle-key skew audit: per-key cardinality profile (distinct keys,
+    * max / p50 / p99 group size, max-to-median skew ratio) for the three
+    * lineitem join/agg keys — the pre-flight a data engineer runs before
+    * choosing salt factors, AQE skew thresholds, or bucket counts for a
+    * 100 TB shuffle. Each key audits as one map-side-combinable count
+    * groupBy plus a percentile rollup over the per-key count table
+    * (key-cardinality-sized, far below the corpus); the three audits
+    * union into a 3-row report. Spark `percentile` and DuckDB
+    * `quantile_cont` share the p·(n-1) interpolation. */
+  def qKeySkewAudit(s: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(s, sf)
+    def audit(key: String): DataFrame =
+      li.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"),
+          expr("percentile(cnt, 0.5)").as("p50_cnt"),
+          expr("percentile(cnt, 0.99)").as("p99_cnt"))
+        .select(lit(key).as("key_name"), col("n_keys"), col("n_rows"),
+          col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+          expr("CAST(max_cnt AS DOUBLE) / p50_cnt").as("skew_ratio"))
+    audit("l_orderkey").unionAll(audit("l_partkey")).unionAll(audit("l_suppkey"))
+      .orderBy("key_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_key_skew_audit" -> qKeySkewAudit _,
     "q_table_diff" -> qTableDiff _,
     "q_funnel_windowed" -> qFunnelWindowed _,
     "q_compaction_plan" -> qCompactionPlan _,
@@ -837,6 +862,20 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_key_skew_audit" -> {
+      def audit(key: String) =
+        s"""SELECT '$key' AS key_name, count(*) AS n_keys,
+           |       CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
+           |       quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.99) AS p99_cnt,
+           |       CAST(max(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5) AS skew_ratio
+           |FROM (SELECT $key, count(*) AS cnt FROM lineitem GROUP BY 1)""".stripMargin
+      s"""${audit("l_orderkey")}
+         |UNION ALL
+         |${audit("l_partkey")}
+         |UNION ALL
+         |${audit("l_suppkey")}
+         |ORDER BY key_name""".stripMargin
+    },
     "q_table_diff" ->
       s"""WITH a AS (SELECT o_orderkey, o_totalprice AS price_a
          |           FROM orders WHERE o_orderkey % 17 <> 0),

@@ -558,7 +558,62 @@ object Behavior {
       .orderBy("event_type", "dow")
   }
 
+  /** Wilson 95% score interval per (event_type, arm) — the conversion-rate
+    * CI an A/B readout pairs with [[qAbTtest]]'s mean test (Wilson stays
+    * calibrated at small n and p near 0/1 where the normal interval
+    * collapses). The whole formula is +,*,/,sqrt on identical operand
+    * text both engines — each op exactly rounded in IEEE, so the CI
+    * hash-matches bit-for-bit (the z constant stays as the literal
+    * `1.96 * 1.96` product, never a pre-multiplied decimal that would
+    * parse to a different double). One partial-agg shuffle on the
+    * (type, arm) domain; the CI math is map work on the tiny rollup. */
+  private def wilsonExpr(sign: String): String =
+    s"(p_hat + (1.96 * 1.96) / (2.0 * nd) $sign 1.96 * " +
+      s"sqrt(p_hat * (1.0 - p_hat) / nd + (1.96 * 1.96) / (4.0 * nd * nd))) / " +
+      s"(1.0 + (1.96 * 1.96) / nd)"
+
+  def qAbWilson(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"),
+        expr("count(CASE WHEN value > 50.0 THEN 1 END)").as("conv"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("p_hat", expr("CAST(conv AS DOUBLE) / nd"))
+      .withColumn("ci_lo", expr(wilsonExpr("-")))
+      .withColumn("ci_hi", expr(wilsonExpr("+")))
+      .select("event_type", "arm", "n", "conv", "p_hat", "ci_lo", "ci_hi")
+      .orderBy("event_type", "arm")
+
+  /** Fixed-band RFM segmentation: per-customer recency (days before the
+    * fixture horizon 2001-12-31) / frequency / monetary-cents roll up into
+    * 3×3×3 business-rule bands — the marketing-segmentation rollup. Bands
+    * are FIXED thresholds, not corpus quantiles, deliberately: quantile
+    * cuts need a second global pass (or an unpartitioned ntile window over
+    * the corpus-sized customer rollup — the scale smell this repo bans);
+    * fixed bands keep the whole query two map-side-combinable shuffles
+    * (customer rollup, 27-segment rollup) at any corpus size. Monetary is
+    * exact integer cents (round(x·100) per row, summed as BIGINT). */
+  def qRfmSegment(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("f"),
+        expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("m_cents"),
+        expr("datediff(DATE '2001-12-31', CAST(max(o_orderdate) AS DATE))").as("r_days"))
+      .select(
+        expr("CASE WHEN r_days <= 365 THEN 3 WHEN r_days <= 1095 THEN 2 ELSE 1 END").as("r_score"),
+        expr("CASE WHEN f >= 12 THEN 3 WHEN f >= 9 THEN 2 ELSE 1 END").as("f_score"),
+        expr("CASE WHEN m_cents >= 300000000 THEN 3 WHEN m_cents >= 200000000 THEN 2 ELSE 1 END").as("m_score"),
+        col("m_cents"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum("m_cents").as("sum_cents"))
+      .withColumn("segment", expr("concat('r', r_score, 'f', f_score, 'm', m_score)"))
+      .select("segment", "r_score", "f_score", "m_score", "n_customers", "sum_cents")
+      .orderBy("segment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_wilson" -> qAbWilson _,
+    "q_rfm_segment" -> qRfmSegment _,
     "q_seasonal_profile" -> qSeasonalProfile _,
     "q_rolling_corr" -> qRollingCorr _,
     "q_churn_matrix" -> qChurnMatrix _,
@@ -582,6 +637,33 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ab_wilson" ->
+      s"""WITH a AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+         |                  count(*) AS n, count(CASE WHEN value > 50.0 THEN 1 END) AS conv
+         |           FROM events GROUP BY 1, 2),
+         |p AS (SELECT event_type, arm, n, conv, CAST(n AS DOUBLE) AS nd,
+         |             CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat FROM a)
+         |SELECT event_type, arm, n, conv, p_hat,
+         |       ${wilsonExpr("-")} AS ci_lo,
+         |       ${wilsonExpr("+")} AS ci_hi
+         |FROM p ORDER BY event_type, arm""".stripMargin,
+    "q_rfm_segment" ->
+      """WITH c AS (
+        |  SELECT o_custkey, count(*) AS f,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents,
+        |         date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-12-31') AS r_days
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CASE WHEN r_days <= 365 THEN 3 WHEN r_days <= 1095 THEN 2 ELSE 1 END AS r_score,
+        |         CASE WHEN f >= 12 THEN 3 WHEN f >= 9 THEN 2 ELSE 1 END AS f_score,
+        |         CASE WHEN m_cents >= 300000000 THEN 3 WHEN m_cents >= 200000000 THEN 2 ELSE 1 END AS m_score,
+        |         m_cents
+        |  FROM c)
+        |SELECT concat('r', r_score, 'f', f_score, 'm', m_score) AS segment,
+        |       r_score, f_score, m_score,
+        |       count(*) AS n_customers, CAST(sum(m_cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY r_score, f_score, m_score
+        |ORDER BY segment""".stripMargin,
     // Same epoch-day weekday arithmetic ((days + 4) % 7, Sunday = 0) so
     // neither engine's dayofweek()/week-start locale is in play.
     "q_seasonal_profile" ->

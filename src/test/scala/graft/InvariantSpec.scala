@@ -349,6 +349,63 @@ class InvariantSpec extends SparkSuite {
       assert(a._4 <= b._4 + 1e-12, s"weight must be monotone in n_docs: $a vs $b") }
   }
 
+  test("wilson CI: brackets p_hat, stays in [0,1], tightens with n") {
+    val out = graft.queries.Behavior.qAbWilson(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.nonEmpty)
+    out.foreach { case (et, arm, n, conv, p, lo, hi) =>
+      assert(conv <= n, s"$et/$arm: conversions exceed trials")
+      assert(lo >= 0.0 && hi <= 1.0, s"$et/$arm: CI [$lo,$hi] escapes [0,1]")
+      assert(lo <= p && p <= hi, s"$et/$arm: CI [$lo,$hi] must bracket p_hat=$p")
+      // independent model: the closed-form Wilson bounds recomputed in Scala
+      val z = 1.96; val nd = n.toDouble
+      val center = (p + z * z / (2 * nd)) / (1 + z * z / nd)
+      val half = z * math.sqrt(p * (1 - p) / nd + z * z / (4 * nd * nd)) / (1 + z * z / nd)
+      assert(math.abs(lo - (center - half)) < 1e-12 && math.abs(hi - (center + half)) < 1e-12,
+        s"$et/$arm: CI diverges from the Scala Wilson model")
+    }
+  }
+
+  test("rfm segmentation: segment counts partition the customer base, bands match a replay") {
+    val out = graft.queries.Behavior.qRfmSegment(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+    val custs = Tables.orders(spark, sf001)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("f"),
+        expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("m"),
+        expr("datediff(DATE '2001-12-31', CAST(max(o_orderdate) AS DATE))").as("r"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.map(_._5).sum == custs.length, "segment counts must partition the customers")
+    assert(out.map(_._6).sum == custs.map(_._2).sum, "monetary cents must be conserved")
+    val model = custs.groupBy { case (f, m, r) =>
+      (if (r <= 365) 3 else if (r <= 1095) 2 else 1,
+        if (f >= 12) 3 else if (f >= 9) 2 else 1,
+        if (m >= 300000000L) 3 else if (m >= 200000000L) 2 else 1)
+    }.map { case (k, g) => k -> (g.length.toLong, g.map(_._2).sum) }
+    assert(out.length == model.size)
+    out.foreach { case (seg, rs, fs, ms, n, cents) =>
+      assert(seg == s"r${rs}f${fs}m$ms", "segment label must encode the band triple")
+      assert(model((rs, fs, ms)) == ((n, cents)), s"$seg diverges from the band replay")
+    }
+  }
+
+  test("key skew audit: orderkey stats match a brute-force count profile") {
+    val out = graft.queries.Analytics.qKeySkewAudit(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(6)))
+      .toMap
+    assert(out.keySet == Set("l_orderkey", "l_partkey", "l_suppkey"))
+    val cnts = Tables.lineitem(spark, sf001).groupBy("l_orderkey").count()
+      .collect().map(_.getLong(1)).sorted
+    val (nKeys, nRows, maxCnt, p50, skew) = out("l_orderkey")
+    assert(nKeys == cnts.length && nRows == cnts.sum && maxCnt == cnts.max)
+    // p·(n-1) interpolated median on the sorted counts
+    val idx = 0.5 * (cnts.length - 1)
+    val med = cnts(idx.toInt) + (idx - idx.toInt) * (cnts(math.min(idx.toInt + 1, cnts.length - 1)) - cnts(idx.toInt))
+    assert(math.abs(p50 - med) < 1e-9, s"p50 $p50 != model median $med")
+    assert(math.abs(skew - maxCnt.toDouble / p50) < 1e-12)
+  }
+
   test("prefix dedup: clusters match a brute-force 16-word-head grouping") {
     val out = graft.queries.Llm.qDedupPrefix(spark, sf001).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
