@@ -352,7 +352,31 @@ object Llm {
       .filter(col("n_docs") >= 2)
       .orderBy("prefix_hash")
 
+  /** Dedup health report: the duplicate-cluster size distribution (how
+    * many content-hash clusters exist at each multiplicity, the doc mass
+    * they hold, and the removable extra copies) — the corpus-quality
+    * summary a pipeline publishes after every dedup pass, where a fat
+    * tail at high multiplicities flags template/boilerplate ingestion.
+    * Two map-side-combinable groupBys (hash → size, size → histogram);
+    * output is bounded by the largest multiplicity, not the corpus. The
+    * audited corpus is documents plus a deterministic re-ingestion slice
+    * (doc_id % 97 = 0 re-crawled) so the multiplicity tail is non-empty
+    * at every SF — the driver fixture carries exact duplicates only at
+    * sf0.1, and an all-singletons histogram would certify nothing (the
+    * same vacuity q_decontaminate's derived eval set fixed in round 10). */
+  def qDedupClusterStats(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+    d.unionAll(d.filter(col("doc_id") % 97 === 0))
+      .groupBy(sha2(col("text"), 256).as("h")).agg(count(lit(1)).as("n_copies"))
+      .groupBy("n_copies").agg(count(lit(1)).as("n_clusters"))
+      .select(col("n_copies"), col("n_clusters"),
+        (col("n_copies") * col("n_clusters")).as("n_docs"),
+        ((col("n_copies") - 1) * col("n_clusters")).as("extra_copies"))
+      .orderBy("n_copies")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_cluster_stats" -> qDedupClusterStats _,
     "q_dedup_prefix" -> qDedupPrefix _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_exact" -> qDedupExact _,
@@ -370,6 +394,14 @@ object Llm {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_cluster_stats" ->
+      """WITH u AS (SELECT text FROM documents
+        |           UNION ALL SELECT text FROM documents WHERE doc_id % 97 = 0),
+        |c AS (SELECT sha256(text) AS h, count(*) AS n_copies FROM u GROUP BY 1)
+        |SELECT n_copies, count(*) AS n_clusters,
+        |       CAST(n_copies * count(*) AS BIGINT) AS n_docs,
+        |       CAST((n_copies - 1) * count(*) AS BIGINT) AS extra_copies
+        |FROM c GROUP BY n_copies ORDER BY n_copies""".stripMargin,
     "q_dedup_prefix" ->
       """WITH p AS (SELECT doc_id, n_chars,
         |             sha256(array_to_string(string_split(text, ' ')[1:16], ' ')) AS prefix_hash

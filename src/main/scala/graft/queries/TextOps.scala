@@ -727,7 +727,55 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Dataset-curation novelty curve: per document, the fraction of its
+    * DISTINCT word bigrams whose first corpus appearance (min doc_id over
+    * the ingestion order) is the document itself — the
+    * diminishing-returns signal a curation pipeline watches while
+    * deciding how much more of a source to ingest (novelty decaying to ~0
+    * means the source is exhausted). Same skew-safe shape as the line
+    * dedup: first-appearance via a partial-aggregable min groupBy (a hot
+    * bigram never funnels a window), joined back, per-doc rollup; the
+    * rate divides two exact longs. */
+  def qTextNovelty(s: SparkSession, sf: String): DataFrame = {
+    val bi = Tables.documents(s, sf)
+      .select(col("doc_id"), expr("split(text, ' ')").as("t"))
+      .filter(size(col("t")) > 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
+      .distinct()
+    val first = bi.groupBy("bigram").agg(min("doc_id").as("first_doc"))
+    bi.join(first, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer-budget coverage: cumulative corpus token mass captured by
+    * the top-5/10/20 frequency-ranked vocabulary — the truncation curve
+    * read before fixing a vocab size. The ranked cumsum runs over the
+    * TakeOrdered top-20 (20 rows cross the wire, never the vocabulary);
+    * the corpus total attaches as a broadcast 1-row scalar. */
+  def qVocabPrune(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total_tokens"))
+    val wTop = Window.orderBy(col("cnt").desc, col("tok").asc)
+    counts.orderBy(col("cnt").desc, col("tok").asc).limit(20)
+      .withColumn("vocab_size", row_number().over(wTop))
+      .withColumn("covered_tokens", sum("cnt").over(wTop))
+      .filter(col("vocab_size").isin(5, 10, 20))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("covered_tokens"), col("total_tokens"),
+        (col("covered_tokens").cast("double") / col("total_tokens").cast("double")).as("coverage"))
+      .orderBy("vocab_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_novelty" -> qTextNovelty _,
+    "q_vocab_prune" -> qVocabPrune _,
     "q_text_line_dedup" -> qTextLineDedup _,
     "q_text_diversity" -> qTextDiversity _,
     "q_sample_temperature" -> qSampleTemperature _,
@@ -763,6 +811,29 @@ object TextOps {
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents WHERE len(string_split(text, ' ')) > 1),
+        |bi AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bigram
+        |       FROM d, UNNEST(range(1, len(s))) AS t(i)),
+        |f AS (SELECT bigram, min(doc_id) AS first_doc FROM bi GROUP BY 1)
+        |SELECT bi.doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(CASE WHEN bi.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN bi.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS novelty
+        |FROM bi JOIN f USING (bigram) GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+    "q_vocab_prune" ->
+      """WITH c AS (SELECT tok, count(*) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |           GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c),
+        |r AS (SELECT cnt,
+        |             CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS vocab_size,
+        |             CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS covered_tokens
+        |      FROM c)
+        |SELECT vocab_size, covered_tokens, total_tokens,
+        |       CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage
+        |FROM r, t WHERE vocab_size IN (5, 10, 20) ORDER BY vocab_size""".stripMargin,
     "q_text_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS li,

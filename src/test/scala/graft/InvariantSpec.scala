@@ -349,6 +349,53 @@ class InvariantSpec extends SparkSuite {
       assert(a._4 <= b._4 + 1e-12, s"weight must be monotone in n_docs: $a vs $b") }
   }
 
+  test("novelty: first doc is fully novel, totals cover distinct bigram mass") {
+    val out = TextOps.qTextNovelty(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val first = out.minBy(_._1)
+    assert(first._2 == first._3 && first._4 == 1.0,
+      "the ingestion-order-first doc must be 100% novel")
+    out.foreach { case (id, nb, nn, rate) =>
+      assert(nn <= nb && rate >= 0.0 && rate <= 1.0, s"doc $id bounds violated") }
+    // Σ novel across docs = corpus distinct-bigram count (each bigram is
+    // novel exactly once, in its min-doc)
+    val distinctBigrams = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .distinct.length
+    assert(out.map(_._3).sum == distinctBigrams,
+      "novel mass must equal the corpus distinct-bigram count")
+  }
+
+  test("vocab prune: coverage is monotone and matches a brute-force token ranking") {
+    val out = TextOps.qVocabPrune(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(5, 10, 20))
+    val toks = Tables.documents(spark, sf001).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" "))
+    val ranked = toks.groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    out.foreach { case (k, cov, tot, rate) =>
+      assert(tot == toks.length.toLong)
+      assert(cov == ranked.take(k).map(_._2).sum, s"top-$k mass diverges from brute force")
+      assert(math.abs(rate - cov.toDouble / tot) < 1e-15)
+    }
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 <= b._2 }, "coverage must be monotone")
+  }
+
+  test("dedup cluster stats: histogram is non-vacuous and conserves the audited corpus") {
+    val out = graft.queries.Llm.qDedupClusterStats(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.exists(r => r._1 >= 2 && r._2 > 0),
+      "the re-ingestion slice must produce a non-empty multiplicity tail at every SF")
+    val n = Tables.documents(spark, sf001).count()
+    val slice = Tables.documents(spark, sf001).filter(col("doc_id") % 97 === 0).count()
+    assert(out.map(_._3).sum == n + slice, "histogram doc mass must cover the audited corpus")
+    out.foreach { case (copies, clusters, docs, extra) =>
+      assert(docs == copies * clusters && extra == (copies - 1) * clusters) }
+  }
+
   test("wilson CI: brackets p_hat, stays in [0,1], tightens with n") {
     val out = graft.queries.Behavior.qAbWilson(spark, sf001).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),

@@ -100,6 +100,9 @@ class PlanSpec extends SparkSuite {
       "q_domain_mix", "q_equidepth_hist", "q_filter_outliers", "q_pagerank",
       "q_market_basket", "q_pagerank_step", "q_sim_ivf", "q_text_colloc",
       "q_text_tfidf",
+      // round-11 addition: the corpus-total 1-row scalar attach on the
+      // 3-row truncation report (same bounded shape as tfidf's N attach)
+      "q_vocab_prune",
       // ^ scalar broadcasts (1-row corpus counts/quotas/bounds); the
       // graph queries over the memoized edge checkpoint (ngram/clusters,
       // bfs, hits, triangles) no longer print the pair pipeline's scalar
