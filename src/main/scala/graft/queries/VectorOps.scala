@@ -1082,7 +1082,39 @@ object VectorOps {
     scores.orderBy("doc_id")
   }
 
+  /** Embedding drift monitor: per-label centroid distance from the global
+    * centroid — the class-separation / distribution-drift diagnostic an
+    * embedding pipeline tracks across model or corpus versions (a label
+    * whose centroid wanders flags upstream drift). Float sums are
+    * order-dependent, so every per-dim mean comes from EXACT decimal sums
+    * (float → double → DECIMAL(20,7), the Det cents pattern at embedding
+    * scale) and the final 64-term distance accumulates by a dim-ORDERED
+    * array fold — both engines add in the identical sequence, so the
+    * drift hash-matches bit-for-bit. Plan: one posexplode + (label, dim)
+    * partial agg; the global centroid derives from the per-label sums
+    * (dim-bounded, broadcast back); the fold runs over dim-bounded
+    * per-label arrays. */
+  def qEmbeddingDrift(s: SparkSession, sf: String): DataFrame = {
+    val ex = Tables.embeddings(s, sf)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        expr("CAST(CAST(col AS DOUBLE) AS DECIMAL(20,7))").as("xd"))
+    val per = ex.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("xd").as("sx"))
+    val glob = per.groupBy("dim").agg(sum("n").as("gn"), sum("sx").as("gsx"))
+    per.join(broadcast(glob), Seq("dim"))
+      .withColumn("d", expr(
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE)"))
+      .withColumn("d2", col("d") * col("d"))
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+        expr("sqrt(aggregate(transform(array_sort(collect_list(struct(dim, d2))), " +
+          "x -> x.d2), CAST(0 AS DOUBLE), (acc, v) -> acc + v))").as("drift"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_drift" -> qEmbeddingDrift _,
     "q_hits" -> qHits _,
     "q_bfs_dist" -> qBfsDist _,
     "q_triangle_count" -> qTriangleCount _,
@@ -1126,6 +1158,23 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS dim,
+        |         CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(20,7)) AS xd
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |per AS (SELECT label, dim, count(*) AS n, sum(xd) AS sx FROM ex GROUP BY 1, 2),
+        |gc AS (SELECT dim, sum(n) AS gn, sum(sx) AS gsx FROM per GROUP BY 1),
+        |j AS (SELECT per.label, per.dim, per.n,
+        |             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) -
+        |             CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) AS d
+        |      FROM per JOIN gc USING (dim)),
+        |a AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |             list(d * d ORDER BY dim) AS l
+        |      FROM j GROUP BY 1)
+        |SELECT label, n_vecs,
+        |       sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), l), (acc, v) -> acc + v)) AS drift
+        |FROM a ORDER BY label""".stripMargin,
     // Unoriented common-neighbor enumeration — independent of the Spark
     // side's degree orientation; per-edge counts are orientation-
     // invariant, so agreement checks the algebra.

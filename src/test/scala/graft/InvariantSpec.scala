@@ -349,6 +349,32 @@ class InvariantSpec extends SparkSuite {
       assert(a._4 <= b._4 + 1e-12, s"weight must be monotone in n_docs: $a vs $b") }
   }
 
+  test("embedding drift: matches an exact-decimal Scala centroid model") {
+    val out = graft.queries.VectorOps.qEmbeddingDrift(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf001).select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val dims = vecs.head._2.length
+    def sums(g: Array[Array[Float]]): Array[BigDecimal] =
+      (0 until dims).map(d => g.map(v =>
+        BigDecimal(v(d).toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum).toArray
+    val byLabel = vecs.groupBy(_._1).map { case (l, g) => l -> g.map(_._2) }
+    val gSum = sums(vecs.map(_._2)); val gN = vecs.length
+    out.foreach { case (label, nVecs, drift) =>
+      val g = byLabel(label)
+      assert(nVecs == g.length, s"label $label vec count diverges")
+      val lSum = sums(g)
+      var acc = 0.0
+      (0 until dims).foreach { d =>
+        val diff = lSum(d).toDouble / g.length - gSum(d).toDouble / gN
+        acc += diff * diff
+      }
+      assert(math.abs(drift - math.sqrt(acc)) < 1e-12,
+        s"label $label drift $drift diverges from the decimal centroid model")
+    }
+  }
+
   test("novelty: first doc is fully novel, totals cover distinct bigram mass") {
     val out = TextOps.qTextNovelty(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
