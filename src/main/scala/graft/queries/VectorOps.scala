@@ -1099,8 +1099,12 @@ object VectorOps {
       .select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos").as("dim"),
         expr("CAST(CAST(col AS DOUBLE) AS DECIMAL(20,7))").as("xd"))
+    // per feeds both the join's probe side and the global-centroid rollup;
+    // uncached, each consumer re-scans + re-explodes the embeddings table
+    // (2x IO on the biggest table at 100 TB). label×dim-bounded — cheap.
     val per = ex.groupBy("label", "dim")
       .agg(count(lit(1)).as("n"), sum("xd").as("sx"))
+      .cache()
     val glob = per.groupBy("dim").agg(sum("n").as("gn"), sum("sx").as("gsx"))
     per.join(broadcast(glob), Seq("dim"))
       .withColumn("d", expr(
