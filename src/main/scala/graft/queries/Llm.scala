@@ -216,6 +216,32 @@ object Llm {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Hard-negative mining: for each probe vector, the top-3 most similar
+    * corpus vectors carrying a DIFFERENT label — the contrastive-learning
+    * pair miner (the negatives that look most like the anchor are the ones
+    * worth training against). Same bounded-probe workload, codegen'd
+    * cosine, and broadcast-probe shape as [[qSimTopk]] (work n·|probes|,
+    * linear in the corpus; at full scale the label-aware candidate
+    * generation rides the LSH/IVF bucketed paths exactly as top-k search
+    * does); the label predicate lands BEFORE the per-probe heap so
+    * same-label vectors never occupy top-k slots. */
+  def qHardNegatives(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.VectorExpressions.cosineSim
+    val emb = Tables.embeddings(s, sf)
+    val probes = emb.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("pvec"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neg_label"), col("embedding").as("nvec"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    corpus.crossJoin(broadcast(probes))
+      .filter(col("neg_label") =!= col("probe_label"))
+      .withColumn("cos", round(cosineSim(col("pvec"), col("nvec")), 6))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select("probe_id", "probe_label", "rnk", "neighbor_id", "neg_label", "cos")
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Keep-latest-record dedup: one row per user, the most recent event
     * (the "newest version wins" pipeline primitive; deterministic via the
     * (ts desc, event_id desc) tiebreak). */
@@ -384,6 +410,7 @@ object Llm {
     "q_dedup_latest" -> qDedupLatest _,
     "q_dedup_near" -> qDedupNear _,
     "q_sim_topk" -> qSimTopk _,
+    "q_hard_negatives" -> qHardNegatives _,
     "q_text_tokens" -> qTextTokens _,
     "q_text_stats" -> qTextStats _,
     "q_multimodal" -> qMultimodal _,
@@ -428,6 +455,23 @@ object Llm {
       """SELECT user_id, event_id, ts, event_type, value FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH probes AS (
+        |  SELECT vec_id AS probe_id, label AS probe_label, embedding::DOUBLE[] AS pvec
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $ProbeCap
+        |), corpus AS (
+        |  SELECT vec_id AS neighbor_id, label AS neg_label, embedding::DOUBLE[] AS nvec
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT probe_id, probe_label, neighbor_id, neg_label,
+        |         round(list_sum(list_transform(range(1, 65), i -> pvec[i] * nvec[i])) /
+        |               (sqrt(list_sum(list_transform(pvec, x -> x * x))) *
+        |                sqrt(list_sum(list_transform(nvec, x -> x * x)))), 6) AS cos
+        |  FROM corpus, probes WHERE neg_label <> probe_label)
+        |SELECT probe_id, probe_label,
+        |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk,
+        |       neighbor_id, neg_label, cos
+        |FROM scored QUALIFY rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
     "q_sim_topk" ->
       s"""WITH probes AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $ProbeCap

@@ -349,6 +349,29 @@ class InvariantSpec extends SparkSuite {
       assert(a._4 <= b._4 + 1e-12, s"weight must be monotone in n_docs: $a vs $b") }
   }
 
+  test("hard negatives: labels always differ, ranks dense, dominated by unrestricted top-k") {
+    val hn = graft.queries.Llm.qHardNegatives(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getDouble(5)))
+    assert(hn.nonEmpty)
+    hn.foreach { case (pid, plabel, rnk, nid, nlabel, cos) =>
+      assert(nlabel != plabel, s"probe $pid: same-label vector $nid in the negatives")
+      assert(rnk >= 1 && rnk <= 3 && cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    hn.groupBy(_._1).foreach { case (pid, g) =>
+      assert(g.map(_._3).sorted.sameElements(1 to g.length), s"probe $pid ranks not dense")
+      // within a probe, cos is non-increasing in rank
+      val byRnk = g.sortBy(_._3).map(_._6)
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b })
+    }
+    // the best hard negative can never beat the unrestricted best neighbor
+    val topk = graft.queries.Llm.qSimTopk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._2 == 1).map(r => r._1 -> r._4).toMap
+    hn.filter(_._3 == 1).foreach { case (pid, _, _, _, _, cos) =>
+      assert(cos <= topk(pid) + 1e-9, s"probe $pid: hard negative outranks the global top-1")
+    }
+  }
+
   test("embedding drift: matches an exact-decimal Scala centroid model") {
     val out = graft.queries.VectorOps.qEmbeddingDrift(spark, sf001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

@@ -109,7 +109,9 @@ class PlanSpec extends SparkSuite {
       // and have LEFT this allowlist — only pagerank's own nDocs attach
       // remains. containment/edit dedup also left it in round 11: the
       // constant rare-df cap removed their corpus-count scalar attach.
-      "q_dedup_embcos", "q_join_cross", "q_sim_topk") // declared pair joins
+      "q_dedup_embcos", "q_join_cross", "q_sim_topk",
+      "q_hard_negatives") // declared pair joins (hard negatives = the
+                          // label-filtered sim_topk probe broadcast)
     SparkEntry.queries.keys.filterNot(allowed).foreach { n =>
       val p = plan(n)
       assert(!p.contains("BroadcastNestedLoopJoin"),
