@@ -119,6 +119,36 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("round-11 additions keep their scale-shape design points") {
+    // line dedup + novelty: winner selection is a partial-aggregable
+    // groupBy, NEVER a window over the line/bigram partition — a hot
+    // boilerplate key would funnel its whole df into one window reducer
+    Seq("q_text_line_dedup", "q_text_novelty").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n: winner selection regressed to a window")
+    }
+    // novelty joins doc-cardinality frames — the corpus-sized bigram
+    // string must not be a join key (the 13.5 s -> 3.6 s fix at 100×)
+    assert(!"""SortMergeJoin \[bigram""".r.findFirstIn(plan("q_text_novelty")).isDefined &&
+      !"""ShuffledHashJoin \[bigram""".r.findFirstIn(plan("q_text_novelty")).isDefined,
+      "q_text_novelty: the bigram string became a join key again")
+    // RFM: fixed bands = two aggregates, no quantile window pass
+    assert(!plan("q_rfm_segment").contains("Window"),
+      "q_rfm_segment: fixed-band design regressed to a quantile window")
+    // skew audit: each per-key count scan reads ONLY its key column
+    val sk = plan("q_key_skew_audit")
+    Seq("l_orderkey", "l_partkey", "l_suppkey").foreach { k =>
+      assert(sk.contains(s"ReadSchema: struct<$k:bigint>"),
+        s"q_key_skew_audit: the $k audit scan reads more than its key") }
+    // drift: the per-(label, dim) rollup is CACHED (InMemoryRelation in
+    // the plan), so at runtime both consumers share one embeddings scan
+    // instead of re-exploding the biggest table per branch (the formatted
+    // pre-materialization explain prints the cached lineage under every
+    // consumer, so counting scan nodes here would overstate runtime IO)
+    assert(plan("q_embedding_drift").contains("InMemoryTableScan"),
+      "q_embedding_drift: the per rollup is no longer cached — embeddings re-scanned per consumer")
+  }
+
   test("dedup verify joins are pruned to candidate docs; LSH caps bucket size") {
     // Round-11 scale locks. (1) The bigram verify joins (Jaccard /
     // containment / edit) must read bigrams through the doc-level
