@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Determinism probe knob (local only; the driver never sets it):
+      // SPARK_GRAFT_AQE=false re-runs the whole oracle board without
+      // adaptive execution, proving no result depends on AQE re-planning.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
