@@ -1117,7 +1117,34 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Dimension-collapse audit: per-dimension mean and variance of the
+    * embedding matrix — the diagnostic that catches collapsed or dead
+    * dimensions (a dim whose variance falls far below the ~1/d of a
+    * healthy spread carries no information and flags an upstream encoder
+    * fault). Moments come from EXACT decimal sums: each float is rounded
+    * once to DECIMAL(10,7) (embedding magnitudes ≤ ~1, so products stay
+    * at precision 21 — far from the 38-digit cap where engines start
+    * rounding decimal multiplication differently) and Σx, Σx² accumulate
+    * exactly; the double finish shares its text with the oracle. One
+    * posexplode + dim-keyed partial agg; output is dim-bounded. */
+  def qEmbeddingCovDiag(s: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(s, sf)
+      .select(posexplode(col("embedding")))
+      .select(col("pos").as("dim"),
+        expr("CAST(CAST(col AS DOUBLE) AS DECIMAL(10,7))").as("xd"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("xd").as("sx"),
+        sum(expr("xd * xd")).as("sxx"))
+      .select(col("dim"), col("n"),
+        expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("mean"),
+        expr("CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - " +
+          "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+          "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))").as("variance"))
+      .withColumn("low_variance", col("variance") < 0.005)
+      .orderBy("dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_cov_diag" -> qEmbeddingCovDiag _,
     "q_embedding_drift" -> qEmbeddingDrift _,
     "q_hits" -> qHits _,
     "q_bfs_dist" -> qBfsDist _,
@@ -1162,6 +1189,22 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_embedding_cov_diag" ->
+      """WITH ex AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim,
+        |         CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(10,7)) AS xd
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |m AS (SELECT dim, count(*) AS n, sum(xd) AS sx, sum(xd * xd) AS sxx
+        |      FROM ex GROUP BY 1)
+        |SELECT dim, n,
+        |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |       CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) -
+        |       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS variance,
+        |       CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) -
+        |       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) < 0.005 AS low_variance
+        |FROM m ORDER BY dim""".stripMargin,
     "q_embedding_drift" ->
       """WITH ex AS (
         |  SELECT label, CAST(i - 1 AS INT) AS dim,

@@ -349,6 +349,24 @@ class InvariantSpec extends SparkSuite {
       assert(a._4 <= b._4 + 1e-12, s"weight must be monotone in n_docs: $a vs $b") }
   }
 
+  test("cov diag: per-dim moments match an exact-decimal Scala model, all dims present") {
+    val out = graft.queries.VectorOps.qEmbeddingCovDiag(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val vecs = Tables.embeddings(spark, sf001).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    assert(out.map(_._1).toSeq == (0 until dims), "every dimension must appear exactly once")
+    out.foreach { case (d, n, mean, variance) =>
+      assert(n == vecs.length)
+      val xs = vecs.map(v => BigDecimal(v(d).toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP))
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val m = sx.toDouble / n
+      assert(math.abs(mean - m) < 1e-15, s"dim $d mean diverges")
+      assert(math.abs(variance - (sxx.toDouble / n - m * m)) < 1e-15, s"dim $d variance diverges")
+      assert(variance > 0.0, s"dim $d: non-positive variance on a spread fixture")
+    }
+  }
+
   test("hard negatives: labels always differ, ranks dense, dominated by unrestricted top-k") {
     val hn = graft.queries.Llm.qHardNegatives(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getDouble(5)))
