@@ -789,6 +789,43 @@ object Relational {
          |ORDER BY o_totalprice DESC, o_orderkey
          |LIMIT 100""".stripMargin)
 
+  /** TPC-H Q10 shape (returned-item reporting) through the text SQL
+    * surface: the four-way customer⨝orders⨝lineitem⨝nation join where
+    * the quarter predicate prunes orders at the scan, the returnflag
+    * predicate prunes lineitem at the scan, nation broadcasts, and the
+    * top-20 is TakeOrderedAndProject. Revenue is the shared exact
+    * decimal fragment surfaced as DOUBLE. */
+  def qSqlQ10(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT c_custkey, c_name, ${Det.sumAsDouble(Det.revDec)} AS revenue,
+         |       c_acctbal, n_name
+         |FROM parquet.`$sf/customer.parquet` c
+         |JOIN parquet.`$sf/orders.parquet` o ON c_custkey = o_custkey
+         |JOIN parquet.`$sf/lineitem.parquet` l ON l_orderkey = o_orderkey
+         |JOIN parquet.`$sf/nation.parquet` n ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= timestamp'1997-01-01'
+         |  AND o_orderdate < timestamp'1997-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin)
+
+  /** TPC-H Q14 shape (promotion effect) through the text SQL surface:
+    * lineitem⨝part over a ship-quarter window with a conditional
+    * revenue aggregate — promo share = 100·Σ(promo rev)/Σ(rev), both
+    * sums exact decimals, the one division in double with operand text
+    * shared verbatim with the oracle. */
+  def qSqlQ14(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT CAST(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+         |         THEN ${Det.revDec} ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) /
+         |       ${Det.sumAsDouble(Det.revDec)} AS DOUBLE) AS promo_share,
+         |       count(*) AS n_lines
+         |FROM parquet.`$sf/lineitem.parquet` l
+         |JOIN parquet.`$sf/part.parquet` p ON l_partkey = p_partkey
+         |WHERE l_shipdate >= timestamp'1998-01-01'
+         |  AND l_shipdate < timestamp'1998-04-01'""".stripMargin)
+
   /** TPC-H Q5 shape (local-supplier volume) through the text SQL surface —
     * the join-ORDER exhibit: six tables, where Catalyst must broadcast
     * the region→nation chain, route customer/supplier through it, and
@@ -840,6 +877,8 @@ object Relational {
     "q_sql_q7" -> qSqlQ7 _,
     "q_sql_q5" -> qSqlQ5 _,
     "q_sql_q18" -> qSqlQ18 _,
+    "q_sql_q10" -> qSqlQ10 _,
+    "q_sql_q14" -> qSqlQ14 _,
     "q_sql_q3" -> qSqlQ3 _,
     "q_join_lateral" -> qJoinLateral _,
     "q_recursive_cte" -> qRecursiveCte _,
@@ -944,6 +983,28 @@ object Relational {
          |  AND o_orderdate < timestamp'1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_sql_q10" ->
+      s"""SELECT c_custkey, c_name, ${Det.sumAsDouble(Det.revDec)} AS revenue,
+         |       c_acctbal, n_name
+         |FROM customer c
+         |JOIN orders o ON c_custkey = o_custkey
+         |JOIN lineitem l ON l_orderkey = o_orderkey
+         |JOIN nation n ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= timestamp'1997-01-01'
+         |  AND o_orderdate < timestamp'1997-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    "q_sql_q14" ->
+      s"""SELECT CAST(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+         |         THEN ${Det.revDec} ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) /
+         |       ${Det.sumAsDouble(Det.revDec)} AS DOUBLE) AS promo_share,
+         |       count(*) AS n_lines
+         |FROM lineitem l
+         |JOIN part p ON l_partkey = p_partkey
+         |WHERE l_shipdate >= timestamp'1998-01-01'
+         |  AND l_shipdate < timestamp'1998-04-01'""".stripMargin,
     "q_sql_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty

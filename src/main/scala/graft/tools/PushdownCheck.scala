@@ -18,7 +18,8 @@ import org.apache.spark.sql.SparkSession
 object PushdownCheck {
   /** Queries that MUST show at least one non-empty PushedFilters scan. */
   private val defaultMustPush =
-    Seq("q_sql_q3", "q_sql_q5", "q_sql_q7", "q_sql_q18", "q_filter_range")
+    Seq("q_sql_q3", "q_sql_q5", "q_sql_q7", "q_sql_q10", "q_sql_q14",
+      "q_sql_q18", "q_filter_range")
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
