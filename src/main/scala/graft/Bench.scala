@@ -51,6 +51,7 @@ object Bench {
     SparkEntry.queries.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
+      Caches.drain(spark)
     }
 
     // one timed pass; a throwing query keeps its time-to-exception but is
@@ -61,7 +62,14 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
-        name -> (((System.nanoTime() - t0) / 1e9, ok))
+        val t = (System.nanoTime() - t0) / 1e9
+        // per-query cache release: a 205-query session must never hold the
+        // board's accumulated cache blocks (the 100x-sweep 8 GiB killer).
+        // Outside the timer — unpersist(blocking=false) is driver-side
+        // bookkeeping, but the recompute cost it induces IS timed, because
+        // the next pass rebuilds its own caches like a fresh driver would.
+        Caches.drain(spark)
+        name -> ((t, ok))
       }
 
     val cold = timedPass() // first touch of the bench-SF data: cold page cache
@@ -89,6 +97,15 @@ object Bench {
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () } // stdout is the surface of record
     println(fullJson)
+    // compact per-query map SECOND-TO-LAST (~4 KB: warm centiseconds, -1
+    // for a failure): round 11's driver tail kept only 57 of 205 timings
+    // because the full line above is ~20 KB — this line plus the total
+    // always fit a tail capture, so the per-query map survives even when
+    // the detailed record is truncated
+    val centis = warm.toSeq.sortBy(_._1).map { case (k, (v, ok)) =>
+      s"\"" + k + "\":" + (if (ok) math.round(v * 100) else -1L)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"queries_cs","unit":"centisec","queries":$centis}""")
     // compact total LAST: short enough to survive any output-tail capture
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_value":$coldTotal,"steady_value":$steadyTotal,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failedNames.size},"sf":"$sfDir"}""")
     spark.stop()

@@ -32,6 +32,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release this query's registered caches before the next one — the
+      // full 205-query sweep must hold one query's blocks at a time, not
+      // the board's accumulation
+      Caches.drain(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{Caches, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -677,8 +677,8 @@ object Analytics {
     // sides, the per-item supports, the order count) otherwise re-run the
     // corpus distinct — the self-join's two sides dedup via exchange
     // reuse, but the supports/count pipelines do not
-    val items = Tables.lineitem(s, sf).select("l_orderkey", "l_partkey")
-      .distinct().cache()
+    val items = Caches.registered(
+      Tables.lineitem(s, sf).select("l_orderkey", "l_partkey").distinct())
     val nOrders = items.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
     val pairs = items.as("a")
       .join(items.as("b"),

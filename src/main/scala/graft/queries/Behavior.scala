@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{SessionConfs, Tables}
+import graft.{Caches, SessionConfs, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -425,14 +425,13 @@ object Behavior {
     // grouping on (user_id, w) is satisfied by the user_id partitioning,
     // so the cached lineage itself holds a single exchange.
     val uw = SessionConfs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
-      Tables.events(s, sf)
+      Caches.registered(Tables.events(s, sf)
         // floor() explicitly: a bare int cast of the division truncates in
         // Spark but ROUNDS in DuckDB — floor is the one shared semantic
         .select(col("user_id"),
           expr("CAST(floor(datediff(to_date(ts), DATE'2024-01-01') / 7.0) AS INT)").as("w"))
         .repartition(col("user_id"))
-        .distinct()
-        .cache()
+        .distinct())
     }
     val fw = uw.groupBy("user_id").agg(min("w").as("first_w"))
     val prev = uw.select(col("user_id"), (col("w") + 1).as("w"), lit(1).as("was_prev"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{Caches, Tables}
 import graft.functions.{ScoredKey, SimHash, TopKAggregator}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -128,7 +128,7 @@ object Llm {
     // full 2M-row shingle scan + 32-way min agg, and it feeds FIVE
     // consumers (bucket sizes, band left/right, estimate sieve a/b) —
     // uncached, Spark recomputes the whole pipeline per consumer
-    val sig = sigFromShingles(shRaw).cache()
+    val sig = Caches.registered(sigFromShingles(shRaw))
     // Oversized-bucket cap: a band bucket of n docs generates n²/2
     // candidate pairs, and real corpora produce giant buckets (boilerplate
     // / templated docs whose low-information bands collide en masse — the
@@ -166,13 +166,15 @@ object Llm {
     val estMatches = (0 until NumHashes)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val strong = candidates.join(sigA, Seq("a_id")).join(sigB, Seq("b_id"))
-      .filter(estMatches >= (NumHashes * 0.55).toInt)
-      .select("a_id", "b_id").cache()
+    val strong = Caches.registered(
+      candidates.join(sigA, Seq("a_id")).join(sigB, Seq("b_id"))
+        .filter(estMatches >= (NumHashes * 0.55).toInt)
+        .select("a_id", "b_id"))
     // exact verification on the sieved candidates only
     val candDocs = strong.select(col("a_id").as("doc_id"))
       .union(strong.select(col("b_id").as("doc_id"))).distinct()
-    val sh = shRaw.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct().cache()
+    val sh = Caches.registered(
+      shRaw.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct())
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val sa = sh.select(col("doc_id").as("a_id"), col("sh"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh"))

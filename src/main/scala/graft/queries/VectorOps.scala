@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{SessionConfs, Tables}
+import graft.{Caches, SessionConfs, Tables}
 import graft.functions.SimHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -315,7 +315,7 @@ object VectorOps {
   /** Core bigram-Jaccard pipeline over any (doc_id, text) frame (tested
     * directly on hand-built short-doc frames in ExtraOpsSpec). */
   def ngramPairs(docs0: DataFrame): DataFrame =
-    pairsFromBigrams(docBigrams(docs0).cache())
+    pairsFromBigrams(Caches.registered(docBigrams(docs0)))
 
   /** The materialized near-dup edge list, memoized per (session, SF dir)
     * the way [[graft.Tables]] memoizes readers: SEVEN graph consumers
@@ -359,9 +359,11 @@ object VectorOps {
     // semi-join that prunes bg; bgc feeds sizes + both join sides. Both
     // are dup-mass-sized, so caching them is cheap and avoids recomputing
     // the full inverted-index pipeline once per consumer branch (measured
-    // 4x on the sf0.1 bench when left uncached).
-    val cand = rareCandidates(bg).cache()
-    val bgc = bigramsOfCandidates(bg, cand).cache()
+    // 4x on the sf0.1 bench when left uncached). Registered, not bare
+    // .cache(): they feed the returned LAZY plan, so release belongs to
+    // the harness's post-action Caches.drain.
+    val cand = Caches.registered(rareCandidates(bg))
+    val bgc = Caches.registered(bigramsOfCandidates(bg, cand))
     val sizes = bgc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val aSide = bgc.select(col("doc_id").as("a_id"), col("bg"))
     val bSide = bgc.select(col("doc_id").as("b_id"), col("bg"))
@@ -400,9 +402,9 @@ object VectorOps {
     * hash-comparable. */
   def qDedupEdit(s: SparkSession, sf: String): DataFrame = {
     val docs0 = Tables.documents(s, sf)
-    val bg = docBigrams(docs0).cache()
-    val cand = rareCandidates(bg).cache()
-    val bgc = bigramsOfCandidates(bg, cand).cache()
+    val bg = Caches.registered(docBigrams(docs0))
+    val cand = Caches.registered(rareCandidates(bg))
+    val bgc = Caches.registered(bigramsOfCandidates(bg, cand))
     val sizes = bgc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val sieved = cand
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
@@ -590,9 +592,9 @@ object VectorOps {
   /** Core containment pipeline over any (doc_id, text) frame (driven
     * directly on an embedded-doc fixture in ExtraOpsSpec). */
   def containmentPairs(docs0: DataFrame): DataFrame = {
-    val bg = docBigrams(docs0).cache()
-    val cand = rareCandidates(bg).cache()
-    val bgc = bigramsOfCandidates(bg, cand).cache()
+    val bg = Caches.registered(docBigrams(docs0))
+    val cand = Caches.registered(rareCandidates(bg))
+    val bgc = Caches.registered(bigramsOfCandidates(bg, cand))
     val sizes = bgc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val aSide = bgc.select(col("doc_id").as("a_id"), col("bg"))
     val bSide = bgc.select(col("doc_id").as("b_id"), col("bg"))
@@ -938,14 +940,13 @@ object VectorOps {
       .withColumnRenamed("src", "v")
     // orient each a<b edge by (degree, id): ties in degree fall back to
     // the id order, which a_id < b_id already canonicalizes
-    val dir = edges
+    val dir = Caches.registered(edges
       .join(deg.select(col("v").as("a_id"), col("deg").as("da")), Seq("a_id"))
       .join(deg.select(col("v").as("b_id"), col("deg").as("db")), Seq("b_id"))
       .select(
         when(col("da") <= col("db"), col("a_id")).otherwise(col("b_id")).as("src"),
         when(col("da") <= col("db"), col("b_id")).otherwise(col("a_id")).as("dst"),
-        when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("dd"))
-      .cache()
+        when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("dd")))
     val wedges = dir.as("e1").join(dir.as("e2"),
         col("e1.src") === col("e2.src") &&
           (col("e1.dd") < col("e2.dd") ||
@@ -1028,10 +1029,10 @@ object VectorOps {
     // at cache() registration, which is why the scope around the lazy call
     // suffices
     val symz = SessionConfs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
-      sym.withColumn("w", lit(1))
+      Caches.registered(sym.withColumn("w", lit(1))
         .unionByName(verts.select(col("src"), col("src").as("dst"))
           .withColumn("w", lit(0)))
-        .repartition(col("src")).cache()
+        .repartition(col("src")))
     }
     var dist = verts.select(col("src").as("doc_id")).withColumn("dist",
       expr(s"CAST(CASE WHEN doc_id % $BfsSeedMod = 0 THEN 0 " +
@@ -1068,7 +1069,7 @@ object VectorOps {
     val em0 = edges.select(col("a_id").as("src"), col("b_id").as("dst"), lit("f").as("m"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst"), lit("r").as("m")))
     val em = SessionConfs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
-      em0.repartition(col("src")).cache()
+      Caches.registered(em0.repartition(col("src")))
     }
     var scores = em.select(col("src").as("doc_id")).distinct()
       .withColumn("h", lit(1L)).withColumn("a", lit(1L))
@@ -1102,9 +1103,8 @@ object VectorOps {
     // per feeds both the join's probe side and the global-centroid rollup;
     // uncached, each consumer re-scans + re-explodes the embeddings table
     // (2x IO on the biggest table at 100 TB). label×dim-bounded — cheap.
-    val per = ex.groupBy("label", "dim")
-      .agg(count(lit(1)).as("n"), sum("xd").as("sx"))
-      .cache()
+    val per = Caches.registered(ex.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("xd").as("sx")))
     val glob = per.groupBy("dim").agg(sum("n").as("gn"), sum("sx").as("gsx"))
     per.join(broadcast(glob), Seq("dim"))
       .withColumn("d", expr(

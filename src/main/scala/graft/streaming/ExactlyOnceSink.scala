@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.DataFrame
 
 /** Exactly-once file sink for Structured Streaming (SURVEY.md §4.3).
@@ -11,38 +13,127 @@ import org.apache.spark.sql.DataFrame
   * barriers. Spark's equivalent guarantee composes differently:
   *
   *   - the streaming checkpoint's offsets WAL pins the exact input range of
-  *     every micro-batch, so a replayed batch N carries IDENTICAL data;
+  *     every micro-batch, so a replayed batch N carries IDENTICAL data —
+  *     any COMPLETED attempt output for batch N is THE batch;
   *   - therefore an idempotent commit keyed by batchId suffices:
-  *       1. txn begin   = write batch output under out/_staging_batch=N
-  *       2. pre-commit  = finish the parquet write
-  *       3. commit      = atomic rename to out/batch=N IFF absent
-  *   - a crash between write and commit replays batch N; the staging dir is
-  *     rewritten and the rename/skip makes delivery exactly-once — no loss
-  *     (offsets WAL), no duplication (already-committed check).
+  *       1. txn begin   = write batch output under an attempt-PRIVATE
+  *                        out/_staging_batch=N-uuid
+  *       2. commit      = exclusive-create of the out/_COMMITTED_batch=N
+  *                        marker — the SINGLE commit point; exactly one
+  *                        attempt ever wins it
+  *       3. publish     = the marker winner renames its staging to
+  *                        out/batch=N (no other live attempt ever touches
+  *                        that name, so the rename target is free)
   *
-  * Works on any filesystem with atomic dir rename (local, HDFS). For object
-  * stores or a real Kafka sink, swap the commit step for a transactional
-  * producer with transactional.id = (checkpointDir, batchId) — same
-  * protocol, not locally testable (no Kafka connector jar, SURVEY.md §0).
+  * Why a marker and not the rename itself: Hadoop `FileSystem.rename` is
+  * NOT a reliable exclusive primitive under contention — the local
+  * implementation falls back to copy-INTO-directory semantics when the
+  * destination exists, which can pollute an already-committed batch with a
+  * losing attempt's files (observed before this protocol existed). The
+  * marker create is the strongest exclusive primitive each filesystem
+  * offers: O_EXCL via NIO on the local filesystem (the Hadoop local
+  * `create(overwrite=false)` is exists-check-then-truncate, NOT atomic),
+  * and the namenode-atomic `create(overwrite=false)` on HDFS.
+  *
+  * Crash matrix (replay of batch N sees):
+  *   - no marker            → normal attempt: write staging, race the
+  *                            marker, winner publishes;
+  *   - marker + batch=N     → committed: skip, sweep stale stagings;
+  *   - marker, no batch=N   → a previous incarnation died between commit
+  *                            and publish: the replay RECOVERS by writing
+  *                            its (identical, offsets-WAL-pinned) staging
+  *                            and publishing it without re-racing the
+  *                            marker.
+  *
+  * The one residual hole needs two simultaneously LIVE drivers on one
+  * checkpoint (forbidden by the streaming checkpoint lock in a real
+  * deployment) where the marker winner dies inside the millisecond
+  * commit→publish window WHILE the zombie is also inside its recovery
+  * check — fencing tokens, not filesystems, are the fix at that point.
+  * In-JVM duplicate attempts (speculative tasks, a second query on the
+  * same checkpoint) never even reach the race: they serialize on a
+  * per-(outDir, batch) lock. For object stores or a real Kafka sink, swap
+  * the commit step for a transactional producer with transactional.id =
+  * (checkpointDir, batchId) — same protocol, not locally testable (no
+  * Kafka connector jar, SURVEY.md §0).
   */
 object ExactlyOnceSink {
 
-  // One lock per (outDir, batch): concurrent DUPLICATE attempts in the same
-  // JVM (speculative/re-executed tasks, a second query instance on the same
-  // checkpoint) serialize here, so at most one attempt is ever in the
-  // write-then-publish window. This matters because Hadoop FileSystem
-  // rename is NOT a reliable exclusive commit under contention: the local
-  // implementation falls back to move-into-directory or copy-with-overwrite
-  // semantics when the destination exists, either of which can clobber or
-  // pollute an already-committed batch (observed: a losing attempt's
-  // partial output REPLACING the winner's). Cross-PROCESS zombies are
-  // narrowed by the re-check just before the rename — and in a real
-  // deployment the streaming checkpoint already admits one driver, while
-  // object stores swap this commit step for a transactional producer (see
-  // above). Entries are one tiny Object per batch ever committed by this
-  // JVM — bounded by the stream's lifetime, cleared with the process.
+  // One lock per (outDir, batch): same-JVM duplicate attempts serialize so
+  // at most one is in the write→commit→publish window. Entries are one
+  // tiny Object per batch ever committed by this JVM — bounded by the
+  // stream's lifetime, cleared with the process.
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Atomically create `p` with `content`, failing if it already exists.
+    * Local filesystems get true O_EXCL through NIO (Hadoop's local
+    * `create(overwrite=false)` is a non-atomic exists-check); everything
+    * else gets Hadoop's create, which HDFS makes namenode-atomic.
+    * @return true iff this call created the file. */
+  private[graft] def tryExclusiveCreate(
+      fs: FileSystem, p: Path, content: String): Boolean = fs match {
+    case _: LocalFileSystem | _: RawLocalFileSystem =>
+      try {
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createFile(nio) // O_EXCL: atomic on POSIX
+        java.nio.file.Files.write(nio, content.getBytes("UTF-8"))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    case _ =>
+      try {
+        val os = fs.create(p, false) // atomic-exclusive on HDFS
+        try os.write(content.getBytes("UTF-8")) finally os.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException        => false
+      }
+  }
+
+  /** One commit attempt for batch `batchId`: runs `writeStaging` against an
+    * attempt-private path, then drives the marker protocol above. Exposed
+    * (package-private) so the cross-process race test can call it WITHOUT
+    * the in-JVM lock — two concurrent calls here ARE the two-driver race.
+    * @return true iff THIS attempt won the commit (placed the data or
+    *         recovered a dead winner's commit). */
+  private[graft] def commitAttempt(
+      fs: FileSystem, out: Path, batchId: Long)(
+      writeStaging: Path => Unit): Boolean = {
+    val committed = new Path(out, s"batch=$batchId")
+    val marker = new Path(out, s"_COMMITTED_batch=$batchId")
+    def sweepStagings(): Unit = {
+      val stale = fs.globStatus(new Path(out, s"_staging_batch=$batchId-*"))
+      if (stale != null) stale.foreach(st => fs.delete(st.getPath, true))
+    }
+
+    val markerAtEntry = fs.exists(marker)
+    if (markerAtEntry && fs.exists(committed)) {
+      // committed by us, a racing winner, or a previous incarnation:
+      // just sweep crashed attempts' leftovers
+      sweepStagings()
+      return false
+    }
+    // Either no marker yet (normal race) or marker without data (a dead
+    // winner to recover). Both need a complete staging first; the offsets
+    // WAL pins the batch input, so our staging is bit-equal to any other
+    // attempt's.
+    fs.mkdirs(out)
+    val staging = new Path(out, s"_staging_batch=$batchId-${UUID.randomUUID}")
+    writeStaging(staging)
+
+    val won =
+      if (markerAtEntry) true // recovery mode: the commit already happened, finish the publish
+      else if (fs.exists(marker)) false // lost while writing; the live winner publishes
+      else tryExclusiveCreate(fs, marker, staging.getName)
+    // only the marker winner (or the recoverer of a dead one) ever renames
+    // to the committed name, so the destination is free and the local-FS
+    // copy-INTO fallback can never fire
+    val placed = won && !fs.exists(committed) && fs.rename(staging, committed)
+    if (!placed) fs.delete(staging, true)
+    if (fs.exists(committed)) sweepStagings()
+    placed
+  }
 
   /** foreachBatch handler writing each micro-batch to outDir/batch=N. */
   def parquetSink(outDir: String): (DataFrame, Long) => Unit = (df, batchId) => {
@@ -50,25 +141,15 @@ object ExactlyOnceSink {
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new Path(outDir)
     val fs = out.getFileSystem(conf)
-    val committed = new Path(out, s"batch=$batchId")
     val lock = commitLocks.computeIfAbsent(s"$outDir#$batchId", _ => new Object)
     lock.synchronized {
-      if (!fs.exists(committed)) {
-        // attempt-PRIVATE staging: a crashed attempt's leftover dir can
-        // never be confused with (or half-overwritten into) ours
-        val staging = new Path(out,
-          s"_staging_batch=$batchId-${java.util.UUID.randomUUID}")
-        df.write.mode("overwrite").parquet(staging.toString)
-        // publish IFF still absent; if a cross-process attempt won the
-        // window, drop ours — never rename onto an existing committed dir
-        // (that is the non-atomic fallback path described above)
-        if (fs.exists(committed) || !fs.rename(staging, committed))
-          fs.delete(staging, true)
-      }
-      // batch committed (by us, a racing winner, or a previous
-      // incarnation): sweep abandoned staging dirs of THIS batch —
-      // crashed attempts leave them behind
-      if (fs.exists(committed)) {
+      val alreadyDone =
+        fs.exists(new Path(out, s"_COMMITTED_batch=$batchId")) &&
+          fs.exists(new Path(out, s"batch=$batchId"))
+      if (!alreadyDone)
+        commitAttempt(fs, out, batchId)(staging =>
+          df.write.mode("overwrite").parquet(staging.toString))
+      else {
         val stale = fs.globStatus(new Path(out, s"_staging_batch=$batchId-*"))
         if (stale != null) stale.foreach(st => fs.delete(st.getPath, true))
       }

