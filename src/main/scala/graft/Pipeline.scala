@@ -136,6 +136,26 @@ object Pipeline {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  /** Timer-driven session timeout on transformWithState — the state-TIMER
+    * side of the StatefulProcessor API (running totals above exercise only
+    * ValueState). Each user's open session lives in one ValueState cell; an
+    * EVENT-TIME timer at last_event + gap fires when the WATERMARK passes
+    * it, closing the session — the canonical "emit the session when the
+    * user goes quiet" shape that `session_window` aggregation cannot
+    * express once the output needs custom per-session payloads. Events are
+    * watermark-bounded, so state size is (open sessions) × O(1) and late
+    * events beyond the watermark are dropped by the framework, exactly the
+    * 100 TB posture of the other streaming operators. */
+  def sessionTimeoutTws(events: org.apache.spark.sql.Dataset[SessEvent], gapMs: Long)
+    : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
 
 /** Input/output rows for the custom-state operator. */
@@ -165,5 +185,80 @@ class RunningTotalProcessor
     val now = UserRunningTotal(key, cnt, sum)
     totals.update(now)
     Iterator.single(now)
+  }
+}
+
+/** Input/output rows for the timer-based session-timeout operator. */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class ClosedSession(user_id: Long, n_events: Long, sum_value: Double,
+    start_ms: Long, end_ms: Long)
+/** Open-session state: epoch-ms bounds, running count/sum, and the
+  * event-time timer currently registered for this key (so a session
+  * extension can delete-and-re-register instead of leaking stale timers). */
+case class OpenSession(start_ms: Long, last_ms: Long, n: Long, sum: Double,
+    timer_ms: Long)
+
+/** StatefulProcessor for [[Pipeline.sessionTimeoutTws]]: ValueState + an
+  * event-time timer per key. A new event either extends the open session
+  * (moving its timer forward) or — when it lands more than `gapMs` after
+  * the last one — closes the old session INLINE and opens a new one; the
+  * timer handles the "user went quiet" case the input alone never
+  * surfaces. */
+class SessionTimeoutProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, ClosedSession] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var open: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession](
+      "open", org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+  private def closed(key: Long, s: OpenSession): ClosedSession =
+    ClosedSession(key, s.n, s.sum, s.start_ms, s.last_ms)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[SessEvent],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    // process in event-time order: a micro-batch's rows arrive unordered
+    val evs = rows.toArray.sortBy(e => (e.ts.getTime, e.value))
+    val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+    var cur = if (open.exists()) Option(open.get()) else None
+    evs.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t <= s.last_ms + gapMs =>
+          cur = Some(s.copy(last_ms = math.max(s.last_ms, t), n = s.n + 1,
+            sum = s.sum + e.value))
+        case Some(s) => // gap exceeded inside the stream: close inline
+          out += closed(key, s)
+          cur = Some(OpenSession(t, t, 1L, e.value, s.timer_ms))
+        case None =>
+          cur = Some(OpenSession(t, t, 1L, e.value, -1L))
+      }
+    }
+    cur.foreach { s =>
+      val expiry = s.last_ms + gapMs
+      if (s.timer_ms != expiry) {
+        if (s.timer_ms >= 0) getHandle.deleteTimer(s.timer_ms)
+        getHandle.registerTimer(expiry)
+      }
+      open.update(s.copy(timer_ms = expiry))
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    // guard against a stale timer surviving a delete/re-register race: only
+    // the timer the state currently owns may close the session
+    if (open.exists() && open.get().timer_ms == expiredTimerInfo.getExpiryTimeInMs) {
+      val s = open.get()
+      open.clear()
+      Iterator.single(closed(key, s))
+    } else Iterator.empty
   }
 }

@@ -73,6 +73,46 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("static partition pruning: a day filter prunes the file listing to that day's directory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the 100 TB table layout: events partitioned by day; a day-filtered
+    // query must list and read ONLY that day's files — PartitionFilters in
+    // the plan string is necessary but not sufficient, so this asserts the
+    // actual selected-partition COUNT on the FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("pp_days").toString
+    Tables.events(spark, sf001).withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val part = spark.read.parquet(dir)
+    val nDays = part.select("day").distinct().count()
+    assert(nDays > 1, s"fixture must span multiple days, got $nDays")
+    val day = Tables.events(spark, sf001)
+      .agg(min(to_date(col("ts")))).head.getDate(0).toString
+    // AQE scoped off so the executed plan is directly introspectable
+    // (AdaptiveSparkPlanExec is a leaf that hides the scan from collect)
+    SessionConfs.withConf(spark, "spark.sql.adaptive.enabled" -> "false") {
+      val q = part.filter(col("day") === lit(day).cast("date"))
+        .groupBy("event_type").count()
+      val scans = q.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec")
+      assert(scans.head.selectedPartitions.partitionCount == 1,
+        s"the day filter must prune the listing to 1 of $nDays partitions, " +
+          s"got ${scans.head.selectedPartitions.partitionCount}")
+      val full = part.groupBy("event_type").count()
+      val fullScan = full.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head
+      assert(fullScan.selectedPartitions.partitionCount == nDays,
+        "the unfiltered scan must list every day partition")
+      // pruning must not change the answer
+      val expect = Tables.events(spark, sf001)
+        .filter(to_date(col("ts")) === lit(day).cast("date"))
+        .groupBy("event_type").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expect)
+    }
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
     import spark.implicits._
     // the 100 TB shape: a fact table partitioned on a key, joined to a

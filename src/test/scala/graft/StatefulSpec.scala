@@ -52,6 +52,85 @@ class StatefulSpec extends SparkSuite {
     assert(rows.contains((2L, 1L, 1.0)))
   }
 
+  test("transformWithState event-time TIMER closes a quiet session (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[SessEvent]
+    val cp = Files.createTempDirectory("timer_cp").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Pipeline.sessionTimeoutTws(mem.toDS(), gapMs = 5 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .format("memory").queryName("timer_out").start()
+    try {
+      // user 1's session: two events, 10:00 and 10:02 -> timer at 10:07.
+      // processAllAvailable also runs the no-data batch that advances the
+      // watermark to 10:02 - 1 min = 10:01 < 10:07: nothing may fire yet
+      mem.addData(
+        SessEvent(1L, t("2024-01-01 10:00:00"), 1.0),
+        SessEvent(1L, t("2024-01-01 10:02:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("timer_out").isEmpty,
+        "no session may close before the watermark passes its timer")
+      // user 2 opens at 10:30: the trailing no-data batch lifts the
+      // watermark to 10:29 >= 10:07 -> user 1's timer fires; user 2's
+      // (10:35) must NOT
+      mem.addData(SessEvent(2L, t("2024-01-01 10:30:00"), 9.0))
+      q.processAllAvailable()
+      val afterFire = spark.table("timer_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(afterFire == Set((1L, 2L, 3.0)),
+        s"exactly user 1's 2-event session must close, got $afterFire")
+      // a RE-OPENED session for user 1 (timer 11:05); the watermark rises
+      // to 10:59, which also fires user 2's quiet session (10:35)
+      mem.addData(SessEvent(1L, t("2024-01-01 11:00:00"), 7.0))
+      q.processAllAvailable()
+      val afterReopen = spark.table("timer_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(afterReopen == Set((1L, 2L, 3.0), (2L, 1L, 9.0)),
+        s"user 2's quiet session must close, user 1's re-opened one must not: $afterReopen")
+      // advance the watermark past 11:05: the re-opened session closes
+      // ONCE — the first timer cleared with the first session's state
+      mem.addData(SessEvent(4L, t("2024-01-01 11:30:00"), 0.0))
+      q.processAllAvailable()
+      val end = spark.table("timer_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(end == Set((1L, 2L, 3.0), (2L, 1L, 9.0), (1L, 1L, 7.0)),
+        s"the re-opened session must close exactly once: $end")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("session-timeout processor splits an over-gap run inside one batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[SessEvent]
+    // transformWithState needs the multi-column-family store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Pipeline.sessionTimeoutTws(mem.toDS(), gapMs = 5 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("timer_split_out").start()
+    try {
+      // both events in ONE batch, 20 min apart: the first session must
+      // close INLINE (no timer can fire between rows of a batch)
+      mem.addData(
+        SessEvent(9L, t("2024-01-01 10:00:00"), 1.0),
+        SessEvent(9L, t("2024-01-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      val got = spark.table("timer_split_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((9L, 1L, 1.0)),
+        s"the over-gap run must split inline, got $got")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("salted two-phase aggregation is bit-equal to direct aggregation") {
     val ev = Tables.events(spark, sf001)
     val direct = ev.groupBy(col("user_id").as("k"))
