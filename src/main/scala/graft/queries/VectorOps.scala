@@ -153,17 +153,27 @@ object VectorOps {
     math.max(4, math.min(256, math.round(math.sqrt(n.toDouble)).toInt))
   /** IVF (inverted-file) bucketed ANN — the coarse-quantizer alternative
     * to q_sim_lsh's hyperplane banding: a bounded deterministic centroid
-    * set (see [[IvfNlist]]) is broadcast; each corpus vector joins its
+    * set (see [[ivfNlist]]) is broadcast; each corpus vector joins its
     * single nearest centroid's posting list, probes fan out to their
-    * nprobe=2 nearest centroids, and exact scoring touches only those
+    * [[IvfNprobe]] nearest centroids, and exact scoring touches only those
     * lists. At scale the centroid id is the shuffle key and pair work is
-    * ~n·K/nlist, never n²; the corpus-side quantizer is a per-row argmax
-    * aggregation (`max_by` with partial map-side combine — no per-row
-    * window sort over the n·K scored rows, no driver state).
+    * ~n·nprobe/nlist per probe, never n²; the corpus-side quantizer is a
+    * per-row argmax aggregation (`max_by` with partial map-side combine —
+    * no per-row window sort over the n·K scored rows, no driver state).
     * Self-retrieval is guaranteed (a probe's top-1 centroid is within its
-    * top-2). NOT oracled (candidate sets are quantizer-dependent);
+    * probed set). NOT oracled (candidate sets are quantizer-dependent);
     * scalatest asserts structure, self-retrieval, subset-of-brute-force,
-    * and a bounded candidate count. */
+    * bounded candidate count, and MEASURED recall@5 floors vs the exact
+    * baseline (ExtraOpsSpec; numbers in PERF.md). */
+  /** Probe fan-out — the recall/cost knob every IVF deployment tunes.
+    * 4 probes of an nlist-256 deployment scan ~1.6% of the corpus per
+    * query; on this near-random 64-dim fixture the measured recall@5 vs
+    * exact brute force is 0.47 at nprobe=4 (0.375 at 2, 0.63 at 8 —
+    * diminishing returns because the fixture's true neighbors sit at
+    * cos ≤ 0.49, barely above the random-pair band; a clustered corpus
+    * recalls far higher at the same nprobe, see ExtraOpsSpec's planted
+    * and doubled-corpus recall tests). */
+  private[graft] val IvfNprobe = 4
   /** Corpus-side quantizer (nprobe=1): argmax over the broadcast centroid
     * set via max_by — aggregates partially map-side, ships one row per
     * vector, and never materializes a sorted n·K window. Tiebreak (csim
@@ -208,7 +218,7 @@ object VectorOps {
     val probeLists = ivfProbe(
       e.filter(Llm.probeFilter)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pvec")),
-      "probe_id", "pvec", cents, 2)
+      "probe_id", "pvec", cents, IvfNprobe)
     // each neighbor sits in exactly one posting list, so (probe, neighbor)
     // pairs are already unique — no post-join distinct needed
     val candidates = probeLists.join(posting, Seq("cid"))

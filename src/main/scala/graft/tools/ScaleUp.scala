@@ -87,10 +87,17 @@ object ScaleUp {
     // Per-copy bijective letter substitution: the affine permutation
     // π_c(i) = (a·i + b) mod 26 over alphabet positions, with a coprime
     // to 26 — 12 units × 26 shifts = 312 distinct bijections, enough for
-    // a 100-copy (100×) derivation. Two DISTINCT affine maps agree on at
-    // most one letter, so any token with ≥2 distinct letters never
-    // collides across copies. Copy 0 is (a=1, b=0) = identity.
-    // Length-preserving, so n_chars stays valid as-is.
+    // a 100-copy (100×) derivation. Two DISTINCT affine maps agree on
+    // the solution set of (a1-a2)·i ≡ b2-b1 (mod 26), which has size
+    // gcd(a1-a2, 26) ∈ {0, 2} when solvable (both units are odd, so the
+    // difference is even) — e.g. (a=1,b=0) and (a=3,b=0) both fix 'a'
+    // and 'n'. Tokens drawn ONLY from a copy pair's ≤2 fixed letters
+    // ("an", "nana") can therefore collide across copies: a measured-zero
+    // overlap in practice (no such all-fixed-letter word survives the
+    // fixture's vocabulary) and a negligible dup-mass perturbation if one
+    // ever did — accepted rather than shrinking the unit set, which would
+    // cap the derivation below 100 copies. Copy 0 is (a=1, b=0) =
+    // identity. Length-preserving, so n_chars stays valid as-is.
     val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     require(copies <= units.length * 26, s"only ${units.length * 26} distinct copy bijections")
     val alphaL = ('a' to 'z').mkString
@@ -113,7 +120,14 @@ object ScaleUp {
     // so norms and within-copy geometry are untouched, and a wrapped copy
     // lands at cosine -1 from its un-flipped twin instead of +1 (no
     // manufactured cross-copy near-dups for any positive-cosine
-    // threshold). Supports up to 2*dim copies (128 at dim 64).
+    // threshold). Injective only up to 2*dim copies: copy 2*dim would be
+    // byte-identical to copy 0 (cosine +1 twins), silently reintroducing
+    // the quadratic manufactured-near-dup artifact — so the bound is
+    // ENFORCED against the table's actual dimension, not assumed.
+    val embDim = tbl("embeddings")
+      .selectExpr("size(embedding)").head.getInt(0)
+    require(copies <= 2 * embDim,
+      s"embedding map is injective only up to ${2 * embDim} copies (dim $embDim)")
     val emb = replicate(tbl("embeddings"), Map("vec_id" -> docStride))
       .withColumn("__k", expr("CAST(pmod(__c, size(embedding)) AS INT)"))
       .withColumn("__s", expr("CASE WHEN (__c div size(embedding)) % 2 = 0 THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END"))

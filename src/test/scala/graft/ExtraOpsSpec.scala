@@ -33,6 +33,84 @@ class ExtraOpsSpec extends SparkSuite {
     assert(meta.n_frames == 1 + byteLen % 8)
   }
 
+  test("ANN recall@5 vs exact top-k holds a measured floor at sf0.1 (and 10x when present)") {
+    // the round-11 verdict's ask: candidate-containment and growth-rate
+    // properties say the bucketed paths are CHEAP — this pins that they
+    // stay GOOD, as mean |ann top-5 ∩ exact top-5| / 5 over the shared
+    // probe workload, against the brute-force oracle-checked baseline
+    def recallAt5(dir: String, ann: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Llm.qSimTopk(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).toSet }
+      val got = ann.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).toSet }
+      val per = exact.toSeq.map { case (p, ex) =>
+        got.getOrElse(p, Set.empty[Long]).intersect(ex).size.toDouble / ex.size }
+      per.sum / per.size
+    }
+    val sf01 = "/root/testdata/sf0.1"
+    val lsh01 = recallAt5(sf01, VectorOps.qSimLsh(spark, sf01))
+    Caches.drain(spark)
+    val ivf01 = recallAt5(sf01, VectorOps.qSimIvf(spark, sf01))
+    Caches.drain(spark)
+    info(f"recall@5 sf0.1: lsh=$lsh01%.3f ivf=$ivf01%.3f")
+    // floors pinned just under the round-12 measurements (PERF.md:
+    // lsh 0.20, ivf 0.47 at nprobe=4) so a recall collapse fails loudly
+    // while hash-seed-level jitter does not. The absolute level is a
+    // FIXTURE property — this corpus's true neighbors sit at cos ≤ 0.49,
+    // barely above random pairs, the worst case for any bucketed ANN;
+    // the planted-twin test below pins the high-similarity regime the
+    // operators actually target.
+    assert(lsh01 >= 0.12, f"sf0.1 LSH recall@5 collapsed: $lsh01%.3f")
+    assert(ivf01 >= 0.38, f"sf0.1 IVF recall@5 collapsed: $ivf01%.3f")
+    val tenx = "/root/repo/benchdata/sf1x"
+    if (new java.io.File(s"$tenx/embeddings.parquet").exists) {
+      val lsh10 = recallAt5(tenx, VectorOps.qSimLsh(spark, tenx))
+      Caches.drain(spark)
+      val ivf10 = recallAt5(tenx, VectorOps.qSimIvf(spark, tenx))
+      Caches.drain(spark)
+      info(f"recall@5 10x: lsh=$lsh10%.3f ivf=$ivf10%.3f")
+      assert(lsh10 >= 0.10, f"10x LSH recall@5 collapsed: $lsh10%.3f")
+      assert(ivf10 >= 0.30, f"10x IVF recall@5 collapsed: $ivf10%.3f")
+    } else info("10x derived corpus absent; sf0.1 floors only")
+  }
+
+  test("planted high-similarity twins are retrieved by BOTH bucketed ANN paths") {
+    // the regime the bucketed paths exist for: each probe gets a planted
+    // twin at cos ≈ 0.99 (a true near-duplicate). SRP banding collides a
+    // cos-0.99 pair in ≥1 of its 4 bands with p ≈ 0.93, and IVF assigns
+    // the twin to the probe's own top-1 centroid — so twin-recall must be
+    // high where exact-top-5 recall on random neighbors legitimately
+    // is not
+    val rnd = new scala.util.Random(7)
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val twins = base.filter(t => t._1 % 50 == 0 && t._1 < Llm.ProbeCap).map {
+      case (id, v, lab) =>
+        (1000000L + id, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat), lab)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ann_twins").toString
+    import spark.implicits._
+    (base ++ twins).toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def twinRecall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val got = ann.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).toSet }
+      val per = twins.map { case (tid, _, _) =>
+        val probe = tid - 1000000L
+        if (got.getOrElse(probe, Set.empty[Long]).contains(tid)) 1.0 else 0.0
+      }
+      per.sum / per.length
+    }
+    val lsh = twinRecall(VectorOps.qSimLsh(spark, dir))
+    Caches.drain(spark)
+    val ivf = twinRecall(VectorOps.qSimIvf(spark, dir))
+    Caches.drain(spark)
+    info(f"planted-twin recall: lsh=$lsh%.3f ivf=$ivf%.3f")
+    assert(lsh >= 0.80, f"LSH must retrieve planted near-dup twins: $lsh%.3f")
+    assert(ivf >= 0.80, f"IVF must retrieve planted near-dup twins: $ivf%.3f")
+  }
+
   test("SRP-LSH results are a subset of brute-force rankings with self at rank 1") {
     val brute = Llm.qSimTopk(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
