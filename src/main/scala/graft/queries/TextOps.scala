@@ -542,13 +542,30 @@ object TextOps {
     * round's rewrite expression). Each round is two partial-agg groupBys +
     * TakeOrderedAndProject over vocab-sized state; state re-caches per
     * round and the previous round unpersists — the connectedComponents
-    * loop posture on a vocabulary-bounded frame. NOT oracle-checkable
-    * (an iterated string rewrite has no tractable SQL twin); verified by
-    * bit-exact plain-Scala replay of the same recurrence (ExtraOpsSpec)
-    * plus structural properties. Emits the learned merge table
-    * (rank, left, right, n) — the artifact a tokenizer trainer ships. */
+    * loop posture on a vocabulary-bounded frame. The merge-table FRAME is
+    * not directly oracled (its rows are driver-loop artifacts), but the
+    * recurrence is verified three ways: bit-exact plain-Scala replay
+    * (ExtraOpsSpec), structural properties, and TRANSITIVELY by
+    * [[qBpeEncode]]'s DuckDB oracle, whose 10-stage SQL replay recomputes
+    * these exact merges from the raw corpus and must produce the same
+    * encode. Emits the learned merge table (rank, left, right, n) — the
+    * artifact a tokenizer trainer ships. */
   def qBpeTrain(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
+    bpeMerges(s, sf).toDF("rank", "left", "right", "n").orderBy("rank")
+  }
+
+  /** The learned merge table, memoized per (session, SF dir) the way
+    * [[graft.queries.VectorOps.ngramEdges]] memoizes the dup graph: a
+    * tokenizer's merge list is a TRAINED ARTIFACT — the trainer runs once
+    * and every encode job consumes the same table, so `q_bpe_train` and
+    * `q_bpe_encode` share one driver loop instead of re-training per
+    * query. Driver state is the merge list itself (≤ [[BpeMerges]] tiny
+    * rows). */
+  private val mergeMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), Seq[(Int, String, String, Long)]]
+  private[graft] def bpeMerges(s: SparkSession, sf: String): Seq[(Int, String, String, Long)] =
+    mergeMemo.getOrElseUpdate((s, sf), {
     var state = Tables.documents(s, sf)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -612,8 +629,69 @@ object TextOps {
     }
     toUnpersist.foreach(_.unpersist())
     state.unpersist()
-    merges.toSeq.toDF("rank", "left", "right", "n").orderBy("rank")
+    merges.toSeq
     }
+  })
+
+  /** BPE ENCODE — the trainer's consumer: apply the learned merge table
+    * greedily to every document and emit (doc_id, n_tokens, token_ids),
+    * the artifact a training-data pipeline feeds to sequence packing
+    * ([[qPackSequences]]' token counts) and batch sizing.
+    *
+    * The greedy left-to-right non-overlapping merge scan is applied as a
+    * string `replace` over a DOUBLE-SPACE-delimited token string
+    * (`" h  e  l  l  o "`): leftmost non-overlapping replacement of
+    * `" l  r "` by `" lr "` consumes one boundary space from each side —
+    * so adjacent occurrences still match — and resumes AFTER the
+    * replacement, which is exactly the fold-accumulator semantics of the
+    * trainer's rewrite (a produced token never re-fires within the same
+    * merge application on either side). That identity is what makes the
+    * DuckDB oracle possible: the oracle REPLAYS all [[BpeMerges]] merge
+    * selections and rewrites from the raw corpus in pure SQL (10 chained
+    * CTE stages of pair-count → top-1 → replace), so the driver-loop
+    * trainer itself is transitively oracle-verified.
+    *
+    * Scale shape: the merge replay runs over the DISTINCT-WORD table
+    * (vocabulary-sized, the trainer's own compression), then encoded
+    * tokens join back to corpus word occurrences. Token ids are the
+    * global frequency rank, computed TWO-PHASE (per-count-bin
+    * row_number + bin-offset prefix sum over the distinct-count frame) —
+    * no single-reducer global window over the vocabulary, the
+    * q_equidepth_hist discipline. */
+  def qBpeEncode(s: SparkSession, sf: String): DataFrame = {
+    val merges = bpeMerges(s, sf).sortBy(_._1).map(m => (m._2, m._3))
+    val occ = Tables.documents(s, sf)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+      .filter(length(col("w")) >= 1)
+    val distinctW = occ.select("w").distinct()
+      .withColumn("tokstr", regexp_replace(col("w"), "(.)", " $1 "))
+    val encoded = merges.foldLeft(distinctW) { case (df, (l, r)) =>
+      val (lq, rq) = (sqlLit(l), sqlLit(r))
+      df.withColumn("tokstr",
+        expr(s"replace(tokstr, ' $lq  $rq ', ' $lq$rq ')"))
+    }.withColumn("toks", split(trim(col("tokstr")), "  ")).select("w", "toks")
+    val docToks = occ.join(encoded, Seq("w"))
+      .select(col("doc_id"), col("wpos"), posexplode(col("toks")).as(Seq("tpos", "tok")))
+    // global frequency rank without a global window: rank-within-count-bin
+    // (partitioned window) + cumulative bin offset over the tiny
+    // distinct-count frame
+    val vc = docToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val binOff = vc.groupBy("cnt").agg(count(lit(1)).as("bin_n"))
+      .withColumn("off", coalesce(
+        sum("bin_n").over(Window.orderBy(col("cnt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("cnt", "off")
+    val vocab = vc.join(binOff, Seq("cnt"))
+      .withColumn("rk_in",
+        row_number().over(Window.partitionBy("cnt").orderBy(col("tok").asc)))
+      .select(col("tok"), (col("off") + col("rk_in")).as("tok_id"))
+    docToks.join(vocab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(wpos, tpos, tok_id))), " +
+          "x -> CAST(x.tok_id AS STRING)), ' ')").as("token_ids"))
+      .orderBy("doc_id")
   }
 
   /** Bigram language model: P(w2 | w1) as exact count ratios, reported as
@@ -786,6 +864,7 @@ object TextOps {
     "q_sample_temperature" -> qSampleTemperature _,
     "q_ngram_lm" -> qNgramLm _,
     "q_bpe_train" -> qBpeTrain _,
+    "q_bpe_encode" -> qBpeEncode _,
     "q_bpe_step" -> qBpeStep _,
     "q_text_colloc" -> qTextColloc _,
     "q_token_rarity" -> qTokenRarity _,
@@ -814,6 +893,49 @@ object TextOps {
 
   private val lexValues = lexicon
     .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  /** Oracle for [[qBpeEncode]]: replays every one of the [[BpeMerges]]
+    * merge selections AND rewrites from the raw corpus in pure SQL — each
+    * stage counts adjacent token pairs over the double-space-delimited
+    * token strings (frequency-weighted, same (n DESC, l, r) tie-break as
+    * the trainer), takes the top pair, and applies it via leftmost
+    * non-overlapping `replace` (see the qBpeEncode scaladoc for why that
+    * IS the greedy fold). The LEFT JOIN ON TRUE + coalesce keeps the
+    * rewrite a no-op on the exhausted-vocabulary edge where a stage has
+    * no pairs left. */
+  private val bpeEncodeOracle: String = {
+    val stages = (1 to BpeMerges).map { k =>
+      s"""p$k AS (SELECT toks[i] AS l, toks[i+1] AS r, f
+         |  FROM (SELECT f, string_split(trim(tokstr), '  ') AS toks FROM st${k - 1}),
+         |       UNNEST(range(1, len(toks))) AS u(i)),
+         |t$k AS (SELECT l, r FROM p$k GROUP BY l, r
+         |        ORDER BY sum(f) DESC, l ASC, r ASC LIMIT 1),
+         |st$k AS (SELECT s.w, s.f,
+         |  coalesce(replace(s.tokstr, ' ' || t.l || '  ' || t.r || ' ',
+         |                   ' ' || t.l || t.r || ' '), s.tokstr) AS tokstr
+         |  FROM st${k - 1} s LEFT JOIN t$k t ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH occ AS (
+       |  SELECT doc_id, i AS wpos, s[i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+       |       UNNEST(range(1, len(s) + 1)) AS u(i)
+       |  WHERE length(s[i]) >= 1),
+       |wf AS (SELECT w, count(*) AS f FROM occ GROUP BY w),
+       |st0 AS (SELECT w, f, regexp_replace(w, '(.)', ' \\1 ', 'g') AS tokstr FROM wf),
+       |$stages,
+       |enc AS (SELECT w, string_split(trim(tokstr), '  ') AS toks FROM st$BpeMerges),
+       |doctoks AS (
+       |  SELECT o.doc_id, o.wpos, i AS tpos, e.toks[i] AS tok
+       |  FROM occ o JOIN enc e USING (w),
+       |       UNNEST(range(1, len(e.toks) + 1)) AS u(i)),
+       |vocab AS (SELECT tok,
+       |            row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS tok_id
+       |          FROM doctoks GROUP BY tok)
+       |SELECT d.doc_id, count(*) AS n_tokens,
+       |       string_agg(CAST(v.tok_id AS VARCHAR), ' ' ORDER BY d.wpos, d.tpos) AS token_ids
+       |FROM doctoks d JOIN vocab v USING (tok)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_text_novelty" ->
@@ -900,6 +1022,7 @@ object TextOps {
         |SELECT pair, CAST(sum(f) AS BIGINT) AS n
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    "q_bpe_encode" -> bpeEncodeOracle,
     "q_text_colloc" ->
       """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT unnest(t) AS w FROM d),

@@ -520,6 +520,45 @@ class InvariantSpec extends SparkSuite {
     assert(math.abs(skew - maxCnt.toDouble / p50) < 1e-12)
   }
 
+  test("bpe encode: matches a plain-Scala greedy merge replay with frequency-ranked ids") {
+    // independent model: re-apply the learned merge table with the
+    // textbook fold (accumulator-tail greedy scan) per word, concatenate
+    // per doc, rank the resulting token vocabulary by (count desc, token)
+    // — the query's string-replace formulation must agree row for row
+    val merges = TextOps.bpeMerges(spark, sf001).sortBy(_._1).map(m => (m._2, m._3))
+    assert(merges.nonEmpty, "the trainer must learn merges on this fixture")
+    def applyMerge(toks: List[String], l: String, r: String): List[String] =
+      toks.foldLeft(List.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == l && t == r) acc.init :+ (l + r)
+        else acc :+ t
+      }
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val encodedDocs = docs.map { case (id, text) =>
+      id -> text.split(" ").filter(_.nonEmpty).toList.flatMap { w =>
+        merges.foldLeft(w.map(_.toString).toList) {
+          case (ts, (l, r)) => applyMerge(ts, l, r)
+        }
+      }
+    }
+    val cnt = encodedDocs.flatMap(_._2).groupBy(identity).map { case (t, g) => t -> g.size }
+    val ranked = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    val expect = encodedDocs.filter(_._2.nonEmpty).map { case (id, toks) =>
+      (id, toks.size.toLong, toks.map(ranked).mkString(" "))
+    }.sortBy(_._1).toSeq
+    val got = TextOps.qBpeEncode(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got.size == expect.size, s"doc count: got ${got.size}, model ${expect.size}")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g == e, s"doc ${e._1} diverges: got $g, model $e")
+    }
+    // the encode must compress: merged tokens mean fewer tokens than chars
+    val nChars = docs.map(_._2.count(_ != ' ').toLong).sum
+    val nToks = expect.map(_._2).sum
+    assert(nToks < nChars, s"10 merges must compress: $nToks tokens vs $nChars chars")
+  }
+
   test("prefix dedup: clusters match a brute-force 16-word-head grouping") {
     val out = graft.queries.Llm.qDedupPrefix(spark, sf001).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
