@@ -901,11 +901,16 @@ object VectorOps {
     * trade from [[pagerank]]'s 40 rounds). Emits the converged
     * (vec_id, c, d2) assignment with its exact final distance. */
   def qKmeans(s: SparkSession, sf: String): DataFrame = {
+    // deliberately UNCACHED: the loop below is lazy, so all 10 per-round
+    // consumers share the lane frame through planner exchange reuse (2
+    // corpus exchanges for 5 rounds, verified with tools.Shuffles); an
+    // InMemoryRelation here would hide the vec_id partitioning under AQE
+    // (the q_churn_matrix trap) and hand every consumer its own re-shuffle
+    // — measured 1.9x slower than the reused exchange
     val dims = Tables.embeddings(s, sf)
       .repartition(col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .withColumn("qx", expr("CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT)"))
-      .cache()
     var assign = Tables.embeddings(s, sf)
       .select(col("vec_id"), col("label").cast("long").as("c"))
     for (_ <- 1 to KmeansIters) {
@@ -920,7 +925,6 @@ object VectorOps {
         .select(col("vec_id"), expr("key % 1024").as("c"),
           expr("key div 1024").as("d2"))
     }
-    dims.unpersist()
     assign.select("vec_id", "c", "d2").orderBy("vec_id")
   }
 
