@@ -35,8 +35,10 @@ class CachesSpec extends SparkSuite {
     // clean slate: caches are performance-only, so clearing anything a
     // prior suite left behind cannot affect correctness
     spark.sharedState.cacheManager.clearCache()
-    // the heaviest registered-cache user: the inverted-index dedup pipeline
-    val pairs = queries.VectorOps.qDedupNgram(spark, sf001)
+    // the heaviest registered-cache user: the FRESH inverted-index dedup
+    // pipeline (the table-backed queries read the ngramIndex checkpoint
+    // memo instead and register nothing)
+    val pairs = queries.VectorOps.containmentPairs(Tables.documents(spark, sf001))
     pairs.count()
     assert(Caches.liveCount(spark) > 0, "the dedup pipeline must register its caches")
     Caches.drain(spark)

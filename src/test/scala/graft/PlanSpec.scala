@@ -159,11 +159,18 @@ class PlanSpec extends SparkSuite {
     // BucketCap BEFORE the candidate self-join — an unbounded bucket of
     // n boilerplate docs enqueues n^2/2 pairs (a 2,288-doc bucket
     // spill-sorted the disk to ENOSPC on the 10x sweep).
-    // (q_dedup_ngram shares the same pipeline but may plan over the
-    // memoized ngramEdges localCheckpoint — a Scan ExistingRDD — so only
-    // the two queries that always build fresh are asserted.)
-    Seq("q_dedup_containment", "q_dedup_edit").foreach { n =>
-      assert(plan(n).contains("LeftSemi"),
+    // Since round 12 ALL table-backed verifiers (ngram/containment/edit)
+    // read the memoized ngramIndex checkpoints — a Scan ExistingRDD — so
+    // the prune is asserted where it lives: the FRESH index-construction
+    // path the generic pipelines drive (the same code ngramIndex runs
+    // once per session).
+    Seq(
+      "containmentPairs" -> graft.queries.VectorOps.containmentPairs(
+        Tables.documents(spark, sf001)),
+      "ngramPairs" -> graft.queries.VectorOps.ngramPairs(
+        Tables.documents(spark, sf001))
+    ).foreach { case (n, df) =>
+      assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"),
         s"$n: bigram verify join lost its candidate-doc semi-join prune")
     }
     val near = plan("q_dedup_near")
