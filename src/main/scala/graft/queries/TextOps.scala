@@ -562,10 +562,9 @@ object TextOps {
     * `q_bpe_encode` share one driver loop instead of re-training per
     * query. Driver state is the merge list itself (≤ [[BpeMerges]] tiny
     * rows). */
-  private val mergeMemo = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String), Seq[(Int, String, String, Long)]]
+  private val mergeMemo = new graft.SessionMemo[Seq[(Int, String, String, Long)]]
   private[graft] def bpeMerges(s: SparkSession, sf: String): Seq[(Int, String, String, Long)] =
-    mergeMemo.getOrElseUpdate((s, sf), {
+    mergeMemo.getOrElseUpdate(s, sf) {
     var state = Tables.documents(s, sf)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -631,7 +630,7 @@ object TextOps {
     state.unpersist()
     merges.toSeq
     }
-  })
+  }
 
   /** BPE ENCODE — the trainer's consumer: apply the learned merge table
     * greedily to every document and emit (doc_id, n_tokens, token_ids),

@@ -337,13 +337,14 @@ object VectorOps {
     * dropped once the checkpoint holds — the production shape is a
     * materialized edge TABLE maintained once and served to every
     * downstream graph job. */
-  private val edgeMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  private val edgeMemo = new graft.SessionMemo[DataFrame]
   private[graft] def ngramEdges(s: SparkSession, sf: String): DataFrame =
-    edgeMemo.getOrElseUpdate((s, sf), {
+    edgeMemo.getOrElseUpdate(s, sf) {
       val (cand, bgc) = ngramIndex(s, sf)
       pairsFromIndex(cand, bgc).localCheckpoint()
-    })
+    }
+  private[graft] def edgeMemoEntriesFor(s: SparkSession): Int =
+    edgeMemo.entriesFor(s)
 
   /** The materialized rare-bigram INVERTED INDEX — (candidate pairs,
     * candidate-doc bigram postings) — memoized per (session, SF dir) like
@@ -357,16 +358,15 @@ object VectorOps {
     * is dropped once the checkpoints hold. The production shape is a
     * maintained posting-list TABLE every dedup job reads, exactly like
     * the edge table above. */
-  private val indexMemo = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String), (DataFrame, DataFrame)]
+  private val indexMemo = new graft.SessionMemo[(DataFrame, DataFrame)]
   private[graft] def ngramIndex(s: SparkSession, sf: String): (DataFrame, DataFrame) =
-    indexMemo.getOrElseUpdate((s, sf), {
+    indexMemo.getOrElseUpdate(s, sf) {
       val bg = docBigrams(Tables.documents(s, sf)).cache()
       val cand = rareCandidates(bg).localCheckpoint()
       val bgc = bigramsOfCandidates(bg, cand).localCheckpoint()
       bg.unpersist()
       (cand, bgc)
-    })
+    }
 
   /** Bigram rows restricted to docs that appear in `cand` — the verify
     * joins only ever read candidate docs' bigrams, but joining the FULL

@@ -35,6 +35,10 @@ class TablesCacheSpec extends SparkSuite {
     Tables.lineitem(old, sf001)
     Tables.orders(old, sf001)
     assert(Tables.cachedReadersFor(old) == 2)
+    // the artifact memos (edge table / inverted index / merge table) hold
+    // the same session-keyed lifecycle contract as the readers
+    queries.VectorOps.ngramEdges(old, sf001)
+    assert(queries.VectorOps.edgeMemoEntriesFor(old) == 1)
     old.stop()
     val fresh = newSharedSession()
     assert(!(fresh eq old), "getOrCreate after stop must build a new session")
@@ -42,6 +46,10 @@ class TablesCacheSpec extends SparkSuite {
     assert(Tables.cachedReadersFor(old) == 0,
       "the stopped session's entries must be gone after any later read")
     assert(Tables.cachedReadersFor(fresh) == 1)
+    queries.VectorOps.ngramEdges(fresh, sf001)
+    assert(queries.VectorOps.edgeMemoEntriesFor(old) == 0,
+      "the stopped session's memoized edge table must purge on the next access")
+    assert(queries.VectorOps.edgeMemoEntriesFor(fresh) == 1)
     Tables.evict(fresh)
   }
 }
