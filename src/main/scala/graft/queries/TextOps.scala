@@ -670,11 +670,20 @@ object TextOps {
       df.withColumn("tokstr",
         expr(s"replace(tokstr, ' $lq  $rq ', ' $lq$rq ')"))
     }.withColumn("toks", split(trim(col("tokstr")), "  ")).select("w", "toks")
-    val docToks = occ.join(encoded, Seq("w"))
+    // the word dictionary broadcasts (one row per DISTINCT word with its
+    // token array — the classic tokenizer-dictionary broadcast), so the
+    // exploded corpus keeps the doc_id partitioning from the repartition
+    // above all the way into the final per-doc aggregate: ONE corpus
+    // shuffle end to end
+    val docToks = occ.join(broadcast(encoded), Seq("w"))
       .select(col("doc_id"), col("wpos"), posexplode(col("toks")).as(Seq("tpos", "tok")))
     // global frequency rank without a global window: rank-within-count-bin
     // (partitioned window) + cumulative bin offset over the tiny
-    // distinct-count frame
+    // distinct-count frame. The token vocabulary is PROVABLY bounded at
+    // any corpus size — single characters ∪ the BpeMerges merge products
+    // — so the id lookup broadcasts instead of shuffling the corpus-sized
+    // token stream on a string key (measured: the 100× encode spent its
+    // time in exactly that shuffle)
     val vc = docToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val binOff = vc.groupBy("cnt").agg(count(lit(1)).as("bin_n"))
       .withColumn("off", coalesce(
@@ -685,7 +694,7 @@ object TextOps {
       .withColumn("rk_in",
         row_number().over(Window.partitionBy("cnt").orderBy(col("tok").asc)))
       .select(col("tok"), (col("off") + col("rk_in")).as("tok_id"))
-    docToks.join(vocab, Seq("tok"))
+    docToks.join(broadcast(vocab), Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         expr("array_join(transform(array_sort(collect_list(struct(wpos, tpos, tok_id))), " +
