@@ -831,7 +831,35 @@ object Analytics {
       .orderBy("key_name")
   }
 
+  /** Robust (median/MAD) outlier audit per event type — the heavy-tail-safe
+    * sibling of the stddev rule (one wild day shifts a mean+stddev fence;
+    * the MAD fence doesn't move). MAD needs two medians by definition, so
+    * the plan is two percentile aggregations with a broadcast of the 5-row
+    * intermediate between them, then one counting pass — three linear
+    * scans, no corpus-sized shuffle. The fence comparison (adev > 3·mad)
+    * is float-deterministic: both engines interpolate the same two sample
+    * doubles and compare the same products. */
+  def qOutlierMad(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf).select("event_type", "value")
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", expr("abs(value - med)"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        max("med").as("med"), max("mad").as("mad"),
+        expr("count(CASE WHEN adev > 3.0 * mad THEN 1 END)").as("n_outliers"))
+      .withColumn("outlier_rate",
+        expr("CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outlier_mad" -> qOutlierMad _,
     "q_key_skew_audit" -> qKeySkewAudit _,
     "q_table_diff" -> qTableDiff _,
     "q_funnel_windowed" -> qFunnelWindowed _,
@@ -862,6 +890,18 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_outlier_mad" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, value, med, abs(value - med) AS adev
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n, max(med) AS med, max(mad) AS mad,
+        |       count(CASE WHEN adev > 3.0 * mad THEN 1 END) AS n_outliers,
+        |       CAST(count(CASE WHEN adev > 3.0 * mad THEN 1 END) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS outlier_rate
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q_key_skew_audit" -> {
       def audit(key: String) =
         s"""SELECT '$key' AS key_name, count(*) AS n_keys,

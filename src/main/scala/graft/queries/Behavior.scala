@@ -610,7 +610,73 @@ object Behavior {
       .select("segment", "r_score", "f_score", "m_score", "n_customers", "sum_cents")
       .orderBy("segment")
 
+  /** Two-sample Kolmogorov–Smirnov test between the click and view value
+    * distributions: D = max over the pooled value grid of |F_a − F_b|.
+    * The ECDF steps are exact integer cumulative counts over DISTINCT
+    * values (group-by first, so ties never split a step); the only floats
+    * are per-row divisions of exact ints, and the argmax row is picked by
+    * the total (d DESC, value ASC) order — engine-independent. The global
+    * window rides one partition, but its input is the distinct-VALUE
+    * grid, which the 2-decimal fixture domain caps at ~50k rows at any
+    * corpus size (and a production pipeline would quantize values for the
+    * same reason) — the corpus itself only ever flows through the
+    * partial-agg groupBy. */
+  def qKsTest(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"))
+    val byV = e.groupBy("value").agg(
+      sum("is_a").cast("bigint").as("ca"),
+      expr("CAST(count(1) - sum(is_a) AS BIGINT)").as("cb"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = e.agg(
+      sum("is_a").cast("bigint").as("n_a"),
+      expr("CAST(count(1) - sum(is_a) AS BIGINT)").as("n_b"))
+    byV
+      .withColumn("cum_a", sum("ca").over(w).cast("bigint"))
+      .withColumn("cum_b", sum("cb").over(w).cast("bigint"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ks_d",
+        expr("abs(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b)"))
+      .orderBy(col("ks_d").desc, col("value").asc).limit(1)
+      .select(col("n_a"), col("n_b"), col("value").as("d_at_value"), col("ks_d"))
+  }
+
+  /** Categorical drift audit: split the stream at the midpoint of its time
+    * range, contingency-table the event types, and emit each type's
+    * chi-square term against the homogeneity expectation — the
+    * distribution-shift monitor run before trusting a data refresh.
+    * The midpoint and all counts are exact integers; expected/chi2 are
+    * per-ROW float expressions (no cross-row float sums to reorder).
+    * Two aggregations (5-row output each) plus two 1-row broadcasts —
+    * the corpus is scanned once whatever its size. */
+  def qChi2Drift(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    val mid = e.agg(expr("(min(sec) + max(sec)) div 2").as("mid"))
+    val byType = e.crossJoin(broadcast(mid))
+      .withColumn("is_early", (col("sec") < col("mid")).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        sum("is_early").cast("bigint").as("early_n"),
+        expr("CAST(count(1) - sum(is_early) AS BIGINT)").as("late_n"))
+    val grand = byType.agg(
+      sum("early_n").cast("bigint").as("tot_early"),
+      expr("CAST(sum(early_n + late_n) AS BIGINT)").as("grand"))
+    byType.crossJoin(broadcast(grand))
+      .withColumn("expected_early",
+        expr("CAST((early_n + late_n) * tot_early AS DOUBLE) / grand"))
+      .withColumn("chi2_term",
+        expr("(early_n - expected_early) * (early_n - expected_early) / expected_early"))
+      .select("event_type", "early_n", "late_n", "expected_early", "chi2_term")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> qKsTest _,
+    "q_chi2_drift" -> qChi2Drift _,
     "q_ab_wilson" -> qAbWilson _,
     "q_rfm_segment" -> qRfmSegment _,
     "q_seasonal_profile" -> qSeasonalProfile _,
@@ -636,6 +702,39 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH e AS (SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |v AS (SELECT value, CAST(sum(is_a) AS BIGINT) AS ca,
+        |             CAST(count(*) - sum(is_a) AS BIGINT) AS cb
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT value,
+        |             CAST(sum(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |             CAST(sum(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        |      FROM v),
+        |t AS (SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+        |             CAST(count(*) - sum(is_a) AS BIGINT) AS n_b FROM e)
+        |SELECT n_a, n_b, value AS d_at_value,
+        |       abs(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b) AS ks_d
+        |FROM c, t
+        |ORDER BY ks_d DESC, value ASC LIMIT 1""".stripMargin,
+    "q_chi2_drift" ->
+      """WITH e AS (SELECT event_type,
+        |                  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |           FROM events),
+        |m AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM e),
+        |b AS (SELECT event_type,
+        |             CAST(sum(CASE WHEN sec < mid THEN 1 ELSE 0 END) AS BIGINT) AS early_n,
+        |             CAST(count(*) - sum(CASE WHEN sec < mid THEN 1 ELSE 0 END) AS BIGINT) AS late_n
+        |      FROM e, m GROUP BY 1),
+        |g AS (SELECT CAST(sum(early_n) AS BIGINT) AS tot_early,
+        |             CAST(sum(early_n + late_n) AS BIGINT) AS grand FROM b),
+        |x AS (SELECT event_type, early_n, late_n,
+        |             CAST((early_n + late_n) * tot_early AS DOUBLE) / grand AS expected_early
+        |      FROM b, g)
+        |SELECT event_type, early_n, late_n, expected_early,
+        |       (early_n - expected_early) * (early_n - expected_early) / expected_early AS chi2_term
+        |FROM x ORDER BY event_type""".stripMargin,
     "q_ab_wilson" ->
       s"""WITH a AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
          |                  count(*) AS n, count(CASE WHEN value > 50.0 THEN 1 END) AS conv

@@ -869,7 +869,69 @@ object TextOps {
       .orderBy("vocab_size")
   }
 
+  /** Per-document bigram-LM likelihood scoring — the perplexity-style
+    * quality filter every pre-training pipeline runs (train an n-gram LM
+    * on the corpus, drop documents the LM finds improbable). The LM is the
+    * corpus conditional p(w2|w1) = c12/c1; each document's adjacent pairs
+    * are scored and summarized. All probabilities travel as EXACT
+    * fixed-point integers ((c12·1e9) div c1 — integer floor-division, no
+    * float sums to reorder), so the per-doc aggregate hash-matches any
+    * engine; the one double (mean_p) is a single division of exact ints.
+    * Shapes: one pair explode feeding both the LM build and the scoring
+    * join (same subtree → exchange reuse), shuffles keyed on (w1,w2) /
+    * (w1) / doc_id — all linear in corpus pairs, no driver round-trips.
+    * At 100 TB the LM table shuffles instead of broadcasting; hot head
+    * words (Zipf skew) are AQE's skew-join case, not a plan change. */
+  def qLmScore(s: SparkSession, sf: String): DataFrame = {
+    val pairs = Tables.documents(s, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) > 1)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val lm = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val heads = lm.groupBy("w1").agg(sum("c12").cast("bigint").as("c1"))
+    pairs.join(lm, Seq("w1", "w2")).join(heads, Seq("w1"))
+      .withColumn("p_fix", expr("(c12 * 1000000000) div c1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("p_fix").cast("bigint").as("sum_p_fix"),
+        min("p_fix").as("min_p_fix"))
+      .withColumn("mean_p",
+        expr("CAST(sum_p_fix AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000000.0)"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget allocation: greedily admit documents per language (in
+    * deterministic content-hash order — an unbiased, reproducible
+    * priority) until 60% of that language's token mass is spent — the
+    * data-mixing step that caps each domain's TOKEN contribution (vs
+    * q_domain_mix's doc-count quota). Budgets are integer token sums
+    * ((total·3) div 5 — no float thresholds to disagree on); the cumsum
+    * is one window per language partition and the 5-row budget side
+    * broadcasts. Membership is stable under corpus growth only via the
+    * hash order — ingestion order would reshuffle the cut every run. */
+  def qTokenBudget(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+        sha2(col("text"), 256).as("h"))
+    val budgets = d.groupBy("lang")
+      .agg(expr("CAST((sum(n_tokens) * 3) div 5 AS BIGINT)").as("budget"))
+    val w = Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum("n_tokens").over(w).cast("bigint"))
+      .join(broadcast(budgets), Seq("lang"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("doc_id", "lang", "n_tokens", "cum_tokens", "budget")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_score" -> qLmScore _,
+    "q_token_budget" -> qTokenBudget _,
     "q_text_novelty" -> qTextNovelty _,
     "q_vocab_prune" -> qVocabPrune _,
     "q_text_line_dedup" -> qTextLineDedup _,
@@ -951,6 +1013,34 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        |           WHERE len(string_split(text, ' ')) > 1),
+        |pr AS (SELECT doc_id, s[i] AS w1, s[i+1] AS w2
+        |       FROM d, UNNEST(range(1, len(s))) AS t(i)),
+        |lm AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+        |hd AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |sc AS (SELECT doc_id, (c12 * 1000000000) // c1 AS p_fix
+        |       FROM pr JOIN lm USING (w1, w2) JOIN hd USING (w1))
+        |SELECT doc_id, count(*) AS n_pairs,
+        |       CAST(sum(p_fix) AS BIGINT) AS sum_p_fix,
+        |       CAST(min(p_fix) AS BIGINT) AS min_p_fix,
+        |       CAST(sum(p_fix) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS mean_p
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |                  sha256(text) AS h
+        |           FROM documents),
+        |b AS (SELECT lang, (CAST(sum(n_tokens) AS BIGINT) * 3) // 5 AS budget
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |      FROM d)
+        |SELECT doc_id, lang, n_tokens, cum_tokens, budget
+        |FROM c JOIN b USING (lang) WHERE cum_tokens <= budget
+        |ORDER BY doc_id""".stripMargin,
     "q_text_novelty" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents WHERE len(string_split(text, ' ')) > 1),
         |bi AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bigram

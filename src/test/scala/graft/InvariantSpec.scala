@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Relational, TextOps, Windows}
+import graft.queries.{Analytics, Behavior, Relational, TextOps, Windows}
 import org.apache.spark.sql.functions._
 
 /** Model-based invariants for queries whose DuckDB oracle shares the
@@ -574,6 +574,121 @@ class InvariantSpec extends SparkSuite {
       val row = byCanon(canon)
       assert(row._2 == g.length && row._4 == g.map(_._2).min && row._5 == g.map(_._2).max,
         s"cluster at canonical $canon diverges from brute force")
+    }
+  }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // Spark `percentile` semantics: linear interpolation at p·(n-1).
+  private def pctl(sorted: IndexedSeq[Double], p: Double): Double = {
+    val pos = p * (sorted.length - 1)
+    val lo = pos.toInt
+    if (lo == sorted.length - 1) sorted(lo)
+    else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
+  }
+
+  test("lm_score: matches a brute-force fixed-point bigram-LM replay") {
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val pairs = docs.flatMap { case (id, t) => t.sliding(2).collect { case Seq(a, b) => (id, a, b) } }
+    val c12 = pairs.groupBy(p => (p._2, p._3)).map { case (k, v) => k -> v.length.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val model = pairs.groupBy(_._1).map { case (id, ps) =>
+      val fix = ps.map { case (_, a, b) => c12((a, b)) * 1000000000L / c1(a) }
+      id -> (ps.length.toLong, fix.sum, fix.min)
+    }
+    val out = TextOps.qLmScore(spark, sf001).collect()
+    assert(out.nonEmpty && out.length == model.size)
+    out.foreach { r =>
+      val (n, sum, mn) = model(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == sum && r.getLong(3) == mn,
+        s"doc ${r.getLong(0)} diverges from the LM replay")
+      val meanP = r.getDouble(4)
+      assert(meanP > 0.0 && meanP <= 1.0, s"mean_p out of (0,1]: $meanP")
+    }
+  }
+
+  test("token_budget: hash-priority greedy fill is maximal and matches a replay") {
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").length.toLong, sha256Hex(r.getString(2))))
+    val out = TextOps.qTokenBudget(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out.nonEmpty)
+    docs.groupBy(_._2).foreach { case (lang, g) =>
+      val budget = g.map(_._3).sum * 3 / 5
+      val ordered = g.sortBy(d => (d._4, d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      val kept = ordered.zip(cums).takeWhile(_._2 <= budget)
+      val got = out.filter(_._2 == lang)
+      assert(got.map(_._1).toSet == kept.map(_._1._1).toSet,
+        s"$lang membership diverges from the greedy replay")
+      assert(got.forall(_._5 == budget), s"$lang budget mismatch")
+      // maximality: the next doc in priority order would not have fit
+      if (kept.length < ordered.length)
+        assert(cums(kept.length) > budget, s"$lang fill is not maximal")
+    }
+  }
+
+  test("ks_test: D matches the brute-force pooled-ECDF max, bounded in [0,1]") {
+    val ev = Tables.events(spark, sf001)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = ev.filter(_._1 == "click").map(_._2)
+    val b = ev.filter(_._1 == "view").map(_._2)
+    val grid = (a ++ b).distinct.sorted
+    val model = grid.map(v =>
+      math.abs(a.count(_ <= v).toDouble / a.length - b.count(_ <= v).toDouble / b.length)).max
+    val r = Behavior.qKsTest(spark, sf001).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == a.length && r(0).getLong(1) == b.length)
+    val d = r(0).getDouble(3)
+    assert(d == model, s"ks_d $d != brute-force $model")
+    assert(d >= 0.0 && d <= 1.0)
+  }
+
+  test("chi2_drift: contingency table matches an epoch-midpoint replay, terms consistent") {
+    val ev = Tables.events(spark, sf001)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000))
+    val secs = ev.map(_._2)
+    val mid = (secs.min + secs.max) / 2
+    val out = Behavior.qChi2Drift(spark, sf001).collect()
+    assert(out.map(_.getString(0)).toSet == ev.map(_._1).toSet)
+    val totEarly = ev.count(_._2 < mid).toLong
+    val grand = ev.length.toLong
+    out.foreach { r =>
+      val (t, early, late) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(early == ev.count(e => e._1 == t && e._2 < mid),
+        s"$t early count diverges from the midpoint replay")
+      assert(early + late == ev.count(_._1 == t).toLong)
+      val expected = ((early + late) * totEarly).toDouble / grand
+      assert(r.getDouble(3) == expected, s"$t expected_early mismatch")
+      assert(r.getDouble(4) == (early - expected) * (early - expected) / expected,
+        s"$t chi2 term mismatch")
+    }
+  }
+
+  test("outlier_mad: med/mad/outlier counts match an interpolating Scala model") {
+    val ev = Tables.events(spark, sf001)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val out = Analytics.qOutlierMad(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val vals = ev.filter(_._1 == r.getString(0)).map(_._2)
+      val med = pctl(vals.sorted.toIndexedSeq, 0.5)
+      val mad = pctl(vals.map(v => math.abs(v - med)).sorted.toIndexedSeq, 0.5)
+      assert(r.getLong(1) == vals.length.toLong)
+      assert(r.getDouble(2) == med && r.getDouble(3) == mad,
+        s"${r.getString(0)} med/mad diverge from the model")
+      val n_out = vals.count(v => math.abs(v - med) > 3.0 * mad).toLong
+      assert(r.getLong(4) == n_out, s"${r.getString(0)} outlier count mismatch")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
     }
   }
 }
