@@ -890,6 +890,11 @@ object TextOps {
         explode(expr(
           "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // NOT pre-aggregated to (doc, w1, w2, k): A/B at the 100x corpus
+    // measured that form at 14.5 s vs 8.6 s here — per-doc pairs are
+    // nearly all k=1, so the "compression" is a pure extra corpus-sized
+    // 3-key shuffle; the raw-pair scans below are map-side partial-agg
+    // work the explode amortizes.
     val lm = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val heads = lm.groupBy("w1").agg(sum("c12").cast("bigint").as("c1"))
     pairs.join(lm, Seq("w1", "w2")).join(heads, Seq("w1"))
