@@ -934,9 +934,91 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language dataset card — the datasheet block every corpus release
+    * ships: volume (docs/sources/tokens), length profile (min/mean/max),
+    * and near-dup mass (docs sharing a 16-word prefix with another doc —
+    * the boilerplate signal that exists at every fixture SF, where exact
+    * dups don't). Two partial-agg rollups over one scan's worth of
+    * per-row expressions; the prefix-dup side aggregates (lang, prefix)
+    * first so the corpus never self-joins. All counts exact ints; the two
+    * rates are single divisions of exact ints. */
+  def qDatasetCard(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf).select(col("doc_id"), col("lang"), col("source"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("toks"),
+      expr("array_join(slice(split(text, ' '), 1, 16), ' ')").as("prefix"))
+    val base = d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("source").as("n_sources"),
+      sum("toks").cast("bigint").as("sum_tokens"),
+      min("toks").as("min_tokens"),
+      max("toks").as("max_tokens"))
+    val dup = d.groupBy("lang", "prefix").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy("lang").agg(sum("c").cast("bigint").as("n_prefix_dup_docs"))
+    base.join(dup, Seq("lang"), "left")
+      .withColumn("n_prefix_dup_docs", coalesce(col("n_prefix_dup_docs"), lit(0L)))
+      .withColumn("mean_tokens",
+        expr("CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+      .withColumn("prefix_dup_rate",
+        expr("CAST(n_prefix_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+      .select("lang", "n_docs", "n_sources", "sum_tokens", "min_tokens",
+        "max_tokens", "mean_tokens", "n_prefix_dup_docs", "prefix_dup_rate")
+      .orderBy("lang")
+  }
+
+  /** Tokenizer fertility per language: BPE tokens emitted per whitespace
+    * word — THE metric a tokenizer is judged by across languages (fertility
+    * ≫ 1 on a language means its text pays more sequence length per word).
+    * Consumes the learned tokenizer end-to-end: q_bpe_encode's per-doc
+    * token counts joined back to word counts, rolled up per language.
+    * The oracle replays the full merge derivation in SQL (shared CTE chain
+    * with q_bpe_encode's oracle), so the metric is verified against an
+    * independent re-derivation, not against our own encoder. */
+  def qTokenizerFertility(s: SparkSession, sf: String): DataFrame = {
+    val enc = qBpeEncode(s, sf).select("doc_id", "n_tokens")
+    val d = Tables.documents(s, sf).select(col("doc_id"), col("lang"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("words"))
+    d.join(enc, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("words").cast("bigint").as("n_words"),
+        sum("n_tokens").cast("bigint").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        expr("CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)"))
+      .orderBy("lang")
+  }
+
+  /** Corpus duplication profile per source — the curation report read
+    * before choosing dedup aggressiveness: sub-document (8-word-line)
+    * duplication mass per source, the granularity at which boilerplate
+    * lives (and which exists at every fixture SF). Line derivation is
+    * q_text_line_dedup's; this rolls the corpus up to one row per source
+    * instead of editing documents. distinct-count runs as a two-phase
+    * partial agg on (source, line) — no corpus-sized window or self-join. */
+  def qDupProfile(s: SparkSession, sf: String): DataFrame = {
+    val L = 8
+    val lines = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $L), " +
+          s"i -> array_join(slice(t, i * $L + 1, $L), ' '))")).as("line"))
+    lines.groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_lines"),
+        countDistinct("line").as("n_distinct_lines"))
+      .withColumn("dup_line_rate",
+        expr("CAST(n_lines - n_distinct_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_score" -> qLmScore _,
     "q_token_budget" -> qTokenBudget _,
+    "q_dataset_card" -> qDatasetCard _,
+    "q_tokenizer_fertility" -> qTokenizerFertility _,
+    "q_dup_profile" -> qDupProfile _,
     "q_text_novelty" -> qTextNovelty _,
     "q_vocab_prune" -> qVocabPrune _,
     "q_text_line_dedup" -> qTextLineDedup _,
@@ -983,7 +1065,10 @@ object TextOps {
     * IS the greedy fold). The LEFT JOIN ON TRUE + coalesce keeps the
     * rewrite a no-op on the exhausted-vocabulary edge where a stage has
     * no pairs left. */
-  private val bpeEncodeOracle: String = {
+  /** The CTE chain re-deriving every BPE merge selection + rewrite from
+    * the raw corpus down to `doctoks` (doc_id, wpos, tpos, tok) — shared
+    * by the q_bpe_encode oracle and the q_tokenizer_fertility oracle. */
+  private val bpeDoctoksCtes: String = {
     val stages = (1 to BpeMerges).map { k =>
       s"""p$k AS (SELECT toks[i] AS l, toks[i+1] AS r, f
          |  FROM (SELECT f, string_split(trim(tokstr), '  ') AS toks FROM st${k - 1}),
@@ -995,7 +1080,7 @@ object TextOps {
          |                   ' ' || t.l || t.r || ' '), s.tokstr) AS tokstr
          |  FROM st${k - 1} s LEFT JOIN t$k t ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""WITH occ AS (
+    s"""occ AS (
        |  SELECT doc_id, i AS wpos, s[i] AS w
        |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
        |       UNNEST(range(1, len(s) + 1)) AS u(i)
@@ -1007,7 +1092,11 @@ object TextOps {
        |doctoks AS (
        |  SELECT o.doc_id, o.wpos, i AS tpos, e.toks[i] AS tok
        |  FROM occ o JOIN enc e USING (w),
-       |       UNNEST(range(1, len(e.toks) + 1)) AS u(i)),
+       |       UNNEST(range(1, len(e.toks) + 1)) AS u(i))""".stripMargin
+  }
+
+  private val bpeEncodeOracle: String =
+    s"""WITH $bpeDoctoksCtes,
        |vocab AS (SELECT tok,
        |            row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS tok_id
        |          FROM doctoks GROUP BY tok)
@@ -1015,9 +1104,47 @@ object TextOps {
        |       string_agg(CAST(v.tok_id AS VARCHAR), ' ' ORDER BY d.wpos, d.tpos) AS token_ids
        |FROM doctoks d JOIN vocab v USING (tok)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
+    "q_dataset_card" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |                  array_to_string((string_split(text, ' '))[1:16], ' ') AS prefix
+        |           FROM documents),
+        |base AS (SELECT lang, count(*) AS n_docs,
+        |                count(DISTINCT source) AS n_sources,
+        |                CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |                min(toks) AS min_tokens, max(toks) AS max_tokens
+        |         FROM d GROUP BY lang),
+        |dup AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_prefix_dup_docs
+        |        FROM (SELECT lang, prefix, count(*) AS c FROM d GROUP BY 1, 2)
+        |        WHERE c >= 2 GROUP BY lang)
+        |SELECT lang, n_docs, n_sources, sum_tokens, min_tokens, max_tokens,
+        |       CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+        |       coalesce(n_prefix_dup_docs, 0) AS n_prefix_dup_docs,
+        |       CAST(coalesce(n_prefix_dup_docs, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE) AS prefix_dup_rate
+        |FROM base LEFT JOIN dup USING (lang) ORDER BY lang""".stripMargin,
+    "q_tokenizer_fertility" ->
+      s"""WITH $bpeDoctoksCtes,
+         |dt AS (SELECT doc_id, count(*) AS n_tokens FROM doctoks GROUP BY doc_id),
+         |dd AS (SELECT doc_id, lang,
+         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS words
+         |       FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(words) AS BIGINT) AS n_words,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(words) AS DOUBLE) AS fertility
+         |FROM dd JOIN dt USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dup_profile" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |ln AS (SELECT doc_id, source,
+        |              array_to_string(t[i*8+1 : least((i+1)*8, len(t))], ' ') AS line
+        |       FROM d, UNNEST(range(0, (len(t)-1)//8 + 1)) AS u(i))
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_lines,
+        |       count(DISTINCT line) AS n_distinct_lines,
+        |       CAST(count(*) - count(DISTINCT line) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS dup_line_rate
+        |FROM ln GROUP BY source ORDER BY source""".stripMargin,
     "q_lm_score" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents
         |           WHERE len(string_split(text, ' ')) > 1),

@@ -673,6 +673,63 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("dataset_card: volumes and prefix-dup mass match a replay; dup signal non-vacuous") {
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3).split(" ")))
+    val out = TextOps.qDatasetCard(spark, sf001).collect()
+    assert(out.map(_.getString(0)).toSet == docs.map(_._2).toSet)
+    var anyDup = 0L
+    out.foreach { r =>
+      val g = docs.filter(_._2 == r.getString(0))
+      val toks = g.map(_._4.length.toLong)
+      assert(r.getLong(1) == g.length && r.getLong(2) == g.map(_._3).distinct.length.toLong)
+      assert(r.getLong(3) == toks.sum && r.getLong(4) == toks.min && r.getLong(5) == toks.max)
+      assert(r.getDouble(6) == toks.sum.toDouble / g.length)
+      val dupDocs = g.groupBy(_._4.take(16).mkString(" ")).values
+        .filter(_.size >= 2).map(_.size.toLong).sum
+      assert(r.getLong(7) == dupDocs, s"${r.getString(0)} prefix-dup mass diverges")
+      anyDup += dupDocs
+    }
+    assert(anyDup > 0, "fixture must exercise the prefix-dup signal (vacuity trap)")
+  }
+
+  test("tokenizer_fertility: consistent with the encoder's own output; every word >= 1 token") {
+    val enc = TextOps.qBpeEncode(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").length.toLong))
+    val out = TextOps.qTokenizerFertility(spark, sf001).collect()
+    out.foreach { r =>
+      val g = docs.filter(_._2 == r.getString(0))
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == g.map(_._3).sum)
+      assert(r.getLong(3) == g.map(d => enc(d._1)).sum,
+        s"${r.getString(0)} BPE token mass diverges from the encoder output")
+      assert(r.getDouble(4) >= 1.0, "a word always encodes to at least one token")
+    }
+  }
+
+  test("dup_profile: line masses match a replay; sub-doc duplication non-vacuous") {
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val out = TextOps.qDupProfile(spark, sf001).collect()
+    assert(out.map(_.getString(0)).toSet == docs.map(_._2).toSet)
+    var anyDup = false
+    out.foreach { r =>
+      val g = docs.filter(_._2 == r.getString(0))
+      val lines = g.flatMap { case (_, _, t) =>
+        (0 to (t.length - 1) / 8).map(i => t.slice(i * 8, i * 8 + 8).mkString(" ")) }
+      assert(r.getLong(1) == g.length.toLong && r.getLong(2) == lines.length.toLong)
+      assert(r.getLong(3) == lines.distinct.length.toLong,
+        s"${r.getString(0)} distinct-line count diverges")
+      if (r.getLong(2) > r.getLong(3)) anyDup = true
+    }
+    assert(anyDup, "fixture must exercise sub-doc line duplication (vacuity trap)")
+  }
+
   test("outlier_mad: med/mad/outlier counts match an interpolating Scala model") {
     val ev = Tables.events(spark, sf001)
       .select("event_type", "value").collect()
