@@ -103,6 +103,10 @@ class PlanSpec extends SparkSuite {
       // round-11 addition: the corpus-total 1-row scalar attach on the
       // 3-row truncation report (same bounded shape as tfidf's N attach)
       "q_vocab_prune",
+      // round-12 additions: 1-row scalar attaches — KS totals (n_a, n_b)
+      // onto the distinct-value grid; the chi2 time-midpoint onto the
+      // corpus scan and the grand totals onto the 5-row table
+      "q_ks_test", "q_chi2_drift",
       // ^ scalar broadcasts (1-row corpus counts/quotas/bounds); the
       // graph queries over the memoized edge checkpoint (ngram/clusters,
       // bfs, hits, triangles) no longer print the pair pipeline's scalar
@@ -690,5 +694,56 @@ class PlanSpec extends SparkSuite {
     // the lane frame
     assert(p.contains("BroadcastHashJoin"),
       "stats/offsets must broadcast back onto the lane frame")
+  }
+
+  test("q_lm_score: LM build and scoring stay keyed joins, never nested loops") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair-keyed LM joins must be hash/sort-merge equi-joins")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    assert(firstHashAgg >= 0 && p.lastIndexOf("HashAggregate") != firstHashAgg,
+      "LM counts must aggregate partial-before-exchange")
+  }
+
+  test("q_token_budget: the cumsum window is per-language; budgets broadcast") {
+    val p = SparkEntry.queries("q_token_budget")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      "the token cumsum must run under the lang partitioning, never one partition")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-language budget table must broadcast back onto the corpus")
+  }
+
+  test("q_ks_test: only the distinct-value grid crosses the global window; argmax is TakeOrdered") {
+    val p = plan("q_ks_test")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the D argmax must be a top-1 heap, never a global sort")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    assert(firstHashAgg >= 0 && p.lastIndexOf("HashAggregate") != firstHashAgg,
+      "the value-grid rollup must aggregate partial-before-exchange so only " +
+        "distinct values reach the single-partition window")
+  }
+
+  test("q_outlier_mad: the 5-row med/mad intermediates broadcast, never shuffle the corpus") {
+    val p = plan("q_outlier_mad")
+    assert(p.contains("BroadcastHashJoin"), "med/mad must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join here would shuffle the corpus against a 5-row side")
+  }
+
+  test("q_dataset_card: the prefix-dup side pre-aggregates; no self-join of the corpus") {
+    val p = plan("q_dataset_card")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "base and dup rollups are 5-row frames — their join must broadcast")
+  }
+
+  test("q_dup_profile: distinct counts are two-phase aggs, no corpus window or self-join") {
+    val p = plan("q_dup_profile")
+    assert(!p.contains("CartesianProduct") && !p.contains(" Window"),
+      "the per-source profile must need no window and no self-join")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    assert(firstHashAgg >= 0 && p.lastIndexOf("HashAggregate") != firstHashAgg,
+      "distinct-count must plan as partial+final aggregate pairs")
   }
 }
