@@ -674,7 +674,76 @@ object Behavior {
       .orderBy("event_type")
   }
 
+  /** Signup→purchase conversion lag per signup-week cohort: each user's
+    * first signup joined to their first subsequent purchase, lag
+    * summarized per cohort — the activation-funnel latency read behind
+    * onboarding changes. All times are exact epoch seconds (ints), the
+    * cohort key is integer week arithmetic, and the median lag rides the
+    * percentile interpolation contract. Two user-keyed partial aggs +
+    * one user-keyed join — shuffles keyed on user_id, linear; the cohort
+    * rollup output is week-domain-bounded. */
+  def qConversionLag(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("sec").as("s_sec"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("sec") >= col("s_sec"))
+      .groupBy("user_id").agg(min("sec").as("p_sec"))
+    su.join(pu, Seq("user_id"), "left")
+      .withColumn("cohort_week", expr("s_sec div 604800"))
+      .withColumn("lag_sec", col("p_sec") - col("s_sec"))
+      .groupBy("cohort_week")
+      .agg(
+        count(lit(1)).as("n_signups"),
+        count(col("p_sec")).as("n_converted"),
+        expr("percentile(lag_sec, 0.5)").as("median_lag_sec"),
+        max("lag_sec").as("max_lag_sec"))
+      .withColumn("conversion_rate",
+        expr("CAST(n_converted AS DOUBLE) / CAST(n_signups AS DOUBLE)"))
+      .orderBy("cohort_week")
+  }
+
+  /** Lag-1 and lag-7 autocorrelation of daily volume per event type — the
+    * periodicity detector (a high lag-7 r flags weekly seasonality) run
+    * before choosing forecast features. The corpus rolls up ONCE to the
+    * (type, day) count grid; each lag pairs the grid with itself by
+    * integer day arithmetic (an equi-join on the day-domain-bounded
+    * frame, robust to calendar gaps where a lag window is not), and
+    * Pearson r comes from exact BIGINT power sums with the closed-form
+    * double finish shared textually with the oracle (the q_rolling_corr
+    * contract). Zero-variance guard BEFORE the divide so both engines
+    * agree on NULL. */
+  def qAutocorr(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    def atLag(k: Int) =
+      daily.as("x").join(daily.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.day") === col("y.day") + k)
+        .select(col("x.event_type").as("event_type"), lit(k).as("lag"),
+          col("x.cnt").as("xv"), col("y.cnt").as("yv"))
+    atLag(1).unionAll(atLag(7))
+      .groupBy("event_type", "lag")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("xv").cast("bigint").as("sx"), sum("yv").cast("bigint").as("sy"),
+        sum(expr("xv * yv")).cast("bigint").as("sxy"),
+        sum(expr("xv * xv")).cast("bigint").as("sxx"),
+        sum(expr("yv * yv")).cast("bigint").as("syy"))
+      .withColumn("r", expr(
+        "CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0 THEN NULL " +
+          "ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE) / " +
+          "(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END"))
+      .select("event_type", "lag", "n_pairs", "r")
+      .orderBy("event_type", "lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conversion_lag" -> qConversionLag _,
+    "q_autocorr" -> qAutocorr _,
     "q_ks_test" -> qKsTest _,
     "q_chi2_drift" -> qChi2Drift _,
     "q_ab_wilson" -> qAbWilson _,
@@ -702,6 +771,46 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |           FROM events),
+        |s AS (SELECT user_id, min(sec) AS s_sec FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.sec) AS p_sec
+        |      FROM e JOIN s USING (user_id)
+        |      WHERE event_type = 'purchase' AND sec >= s_sec GROUP BY 1),
+        |u AS (SELECT s.user_id, s_sec // 604800 AS cohort_week,
+        |             p_sec, p_sec - s_sec AS lag_sec
+        |      FROM s LEFT JOIN p USING (user_id))
+        |SELECT cohort_week, count(*) AS n_signups,
+        |       count(p_sec) AS n_converted,
+        |       quantile_cont(lag_sec, 0.5) AS median_lag_sec,
+        |       max(lag_sec) AS max_lag_sec,
+        |       CAST(count(p_sec) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conversion_rate
+        |FROM u GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400 AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT x.event_type, 1 AS lag, x.cnt AS xv, y.cnt AS yv
+        |  FROM daily x JOIN daily y ON x.event_type = y.event_type AND x.day = y.day + 1
+        |  UNION ALL
+        |  SELECT x.event_type, 7 AS lag, x.cnt AS xv, y.cnt AS yv
+        |  FROM daily x JOIN daily y ON x.event_type = y.event_type AND x.day = y.day + 7),
+        |m AS (
+        |  SELECT event_type, lag, count(*) AS n_pairs,
+        |         CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+        |         CAST(sum(xv * yv) AS BIGINT) AS sxy,
+        |         CAST(sum(xv * xv) AS BIGINT) AS sxx,
+        |         CAST(sum(yv * yv) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |       CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0 THEN NULL ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END AS r
+        |FROM m ORDER BY event_type, lag""".stripMargin,
     "q_ks_test" ->
       """WITH e AS (SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
         |           FROM events WHERE event_type IN ('click', 'view')),

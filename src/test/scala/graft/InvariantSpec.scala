@@ -730,6 +730,59 @@ class InvariantSpec extends SparkSuite {
     assert(anyDup, "fixture must exercise sub-doc line duplication (vacuity trap)")
   }
 
+  test("conversion_lag: cohorts and lags match a first-signup/first-purchase replay") {
+    val ev = Tables.events(spark, sf001)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime / 1000))
+    val signup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val conv = signup.flatMap { case (u, s) =>
+      val ps = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= s).map(_._3)
+      if (ps.isEmpty) None else Some(u -> (ps.min - s))
+    }
+    val out = Behavior.qConversionLag(spark, sf001).collect()
+    assert(out.nonEmpty && out.map(_.getLong(1)).sum == signup.size.toLong)
+    out.foreach { r =>
+      val wk = r.getLong(0)
+      val inCohort = signup.filter { case (_, s) => s / 604800 == wk }
+      assert(r.getLong(1) == inCohort.size.toLong, s"week $wk signup count diverges")
+      val lags = inCohort.keys.toSeq.flatMap(conv.get)
+      assert(r.getLong(2) == lags.length.toLong, s"week $wk conversion count diverges")
+      if (lags.nonEmpty) {
+        assert(r.getDouble(3) == pctl(lags.map(_.toDouble).sorted.toIndexedSeq, 0.5),
+          s"week $wk median lag diverges")
+        assert(r.getLong(4) == lags.max)
+      }
+    }
+  }
+
+  test("autocorr: r matches an exact-integer Pearson replay over the daily grid, |r| <= 1") {
+    val ev = Tables.events(spark, sf001)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000 / 86400))
+    val daily = ev.groupBy(identity).map { case ((t, d), g) => (t, d) -> g.length.toLong }
+    val out = Behavior.qAutocorr(spark, sf001).collect()
+    assert(out.length == ev.map(_._1).distinct.length * 2)
+    out.foreach { r =>
+      val (t, k) = (r.getString(0), r.getInt(1))
+      // .toSeq BEFORE collect: collecting (x, y) pairs out of a Map would
+      // rebuild a Map and silently dedup equal x counts
+      val pairs = daily.toSeq.collect { case ((`t`, d), x) if daily.contains((t, d - k)) =>
+        (x, daily((t, d - k))) }
+      assert(r.getLong(2) == pairs.length.toLong, s"($t, lag $k) pair count diverges")
+      val n = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val (sxy, sxx, syy) = (pairs.map(p => p._1 * p._2).sum,
+        pairs.map(p => p._1 * p._1).sum, pairs.map(p => p._2 * p._2).sum)
+      if (n * sxx - sx * sx != 0 && n * syy - sy * sy != 0) {
+        val model = (n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+        assert(r.getDouble(3) == model, s"($t, lag $k) r diverges from the replay")
+        assert(math.abs(r.getDouble(3)) <= 1.0)
+      } else assert(r.isNullAt(3), s"($t, lag $k) must be NULL on zero variance")
+    }
+  }
+
   test("outlier_mad: med/mad/outlier counts match an interpolating Scala model") {
     val ev = Tables.events(spark, sf001)
       .select("event_type", "value").collect()
