@@ -741,7 +741,28 @@ object Behavior {
       .orderBy("event_type", "lag")
   }
 
+  /** Q-Q comparison of the click vs view value distributions at the nine
+    * deciles — the shape-diagnostic companion to q_ks_test's single-number
+    * verdict (WHERE the distributions diverge, not just how much). One
+    * percentile-array aggregation per side (each a single partial-agg
+    * pass), the nine-row frames joined by decile index; quantiles ride
+    * the percentile interpolation contract, the diff is one double
+    * subtraction per row. */
+  def qQqPlot(s: SparkSession, sf: String): DataFrame = {
+    val probs = (1 to 9).map(i => s"0.$i").mkString(", ")
+    def side(t: String) = Tables.events(s, sf)
+      .filter(col("event_type") === t)
+      .agg(expr(s"percentile(value, array($probs))").as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", s"q_$t")))
+    side("click").join(side("view"), Seq("i"))
+      .select((col("i") + 1).cast("int").as("decile"),
+        col("q_click"), col("q_view"),
+        (col("q_click") - col("q_view")).as("diff"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_qq_plot" -> qQqPlot _,
     "q_conversion_lag" -> qConversionLag _,
     "q_autocorr" -> qAutocorr _,
     "q_ks_test" -> qKsTest _,
@@ -771,6 +792,16 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_qq_plot" ->
+      """WITH a0 AS (SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |            FROM events WHERE event_type = 'click'),
+        |a AS (SELECT unnest(qs) AS q_click, generate_subscripts(qs, 1) AS decile FROM a0),
+        |b0 AS (SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |       FROM events WHERE event_type = 'view'),
+        |b AS (SELECT unnest(qs) AS q_view, generate_subscripts(qs, 1) AS decile FROM b0)
+        |SELECT CAST(a.decile AS INT) AS decile, q_click, q_view,
+        |       q_click - q_view AS diff
+        |FROM a JOIN b USING (decile) ORDER BY decile""".stripMargin,
     "q_conversion_lag" ->
       """WITH e AS (SELECT user_id, event_type,
         |                  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec

@@ -1013,9 +1013,39 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Cross-source contamination map: exact Jaccard over the DISTINCT
+    * 8-word-line sets of every source pair — which sources share
+    * boilerplate (mirrors, syndication) and should dedup as one pool.
+    * The line self-join is an inverted-index posting join: each distinct
+    * (line → sources) posting contributes at most C(20,2) pair hits, so
+    * pair work is bounded by lines × sources², never docs² (q_edge_jaccard's
+    * argument at the source granularity). Intersections and set sizes are
+    * exact ints; Jaccard is one division per emitted pair. */
+  def qSourceOverlap(s: SparkSession, sf: String): DataFrame = {
+    val L = 8
+    val ls = Tables.documents(s, sf)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $L), " +
+          s"i -> array_join(slice(t, i * $L + 1, $L), ' '))")).as("line"))
+      .distinct()
+    val sizes = ls.groupBy("source").agg(count(lit(1)).as("sz"))
+    ls.as("x").join(ls.as("y"),
+        col("x.line") === col("y.line") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("sz").as("sz_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("sz").as("sz_b"))), Seq("source_b"))
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)"))
+      .select("source_a", "source_b", "inter", "sz_a", "sz_b", "jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_score" -> qLmScore _,
     "q_token_budget" -> qTokenBudget _,
+    "q_source_overlap" -> qSourceOverlap _,
     "q_dataset_card" -> qDatasetCard _,
     "q_tokenizer_fertility" -> qTokenizerFertility _,
     "q_dup_profile" -> qDupProfile _,
@@ -1106,6 +1136,20 @@ object TextOps {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_source_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |ls AS (SELECT DISTINCT source,
+        |              array_to_string(t[i*8+1 : least((i+1)*8, len(t))], ' ') AS line
+        |       FROM d, UNNEST(range(0, (len(t)-1)//8 + 1)) AS u(i)),
+        |sz AS (SELECT source, count(*) AS sz FROM ls GROUP BY 1),
+        |p AS (SELECT x.source AS source_a, y.source AS source_b, count(*) AS inter
+        |      FROM ls x JOIN ls y ON x.line = y.line AND x.source < y.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+        |FROM p JOIN sz sa ON sa.source = p.source_a
+        |       JOIN sz sb ON sb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "q_dataset_card" ->
       """WITH d AS (SELECT doc_id, lang, source,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

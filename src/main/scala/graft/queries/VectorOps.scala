@@ -1189,7 +1189,23 @@ object VectorOps {
       .withColumn("low_variance", col("variance") < 0.005)
       .orderBy("dim")
 
+  /** Degree distribution of the near-dup graph — the first diagnostic read
+    * off any dedup graph (a heavy tail means boilerplate hubs; a spike at
+    * deg 1 means isolated twin pairs) and the input to choosing the
+    * contraction strategy. Consumes the memoized edge list; two partial
+    * aggs over edge endpoints — nothing corpus-sized past the shared
+    * index. */
+  def qDegreeDist(s: SparkSession, sf: String): DataFrame = {
+    val edges = ngramEdges(s, sf).select("a_id", "b_id")
+    val sym = edges.select(col("a_id").as("src"))
+      .unionAll(edges.select(col("b_id").as("src")))
+    sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_degree_dist" -> qDegreeDist _,
     "q_embedding_cov_diag" -> qEmbeddingCovDiag _,
     "q_embedding_drift" -> qEmbeddingDrift _,
     "q_hits" -> qHits _,
@@ -1235,6 +1251,10 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_degree_dist" ->
+      s"""WITH $pairGraphSql
+         |SELECT deg, count(*) AS n_nodes
+         |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
     "q_embedding_cov_diag" ->
       """WITH ex AS (
         |  SELECT CAST(i - 1 AS INT) AS dim,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, Behavior, Relational, TextOps, Windows}
+import graft.queries.{Analytics, Behavior, Relational, TextOps, VectorOps, Windows}
 import org.apache.spark.sql.functions._
 
 /** Model-based invariants for queries whose DuckDB oracle shares the
@@ -581,12 +581,14 @@ class InvariantSpec extends SparkSuite {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  // Spark `percentile` semantics: linear interpolation at p·(n-1).
+  // Spark `percentile` semantics: linear interpolation at p·(n-1), in the
+  // EXACT float form both engines share — lower·(1−frac) + upper·frac
+  // (the a+(b−a)·frac association differs by an ulp on some fracs).
   private def pctl(sorted: IndexedSeq[Double], p: Double): Double = {
     val pos = p * (sorted.length - 1)
     val lo = pos.toInt
     if (lo == sorted.length - 1) sorted(lo)
-    else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
+    else sorted(lo) * (1.0 - (pos - lo)) + sorted(lo + 1) * (pos - lo)
   }
 
   test("lm_score: matches a brute-force fixed-point bigram-LM replay") {
@@ -780,6 +782,67 @@ class InvariantSpec extends SparkSuite {
         assert(r.getDouble(3) == model, s"($t, lag $k) r diverges from the replay")
         assert(math.abs(r.getDouble(3)) <= 1.0)
       } else assert(r.isNullAt(3), s"($t, lag $k) must be NULL on zero variance")
+    }
+  }
+
+  test("degree_dist: histogram conserves the oracle-verified edge mass") {
+    val edges = VectorOps.qDedupNgram(spark, sf001)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degs = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
+      .map { case (n, g) => n -> g.length.toLong }
+    val hist = degs.values.groupBy(identity).map { case (d, g) => d -> g.size.toLong }
+    val out = VectorOps.qDegreeDist(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty, "fixture must exercise the dup graph")
+    assert(out == hist, "degree histogram diverges from the edge-list replay")
+    assert(out.map { case (d, n) => d * n }.sum == 2L * edges.length,
+      "Σ deg·n_nodes must equal 2·|edges|")
+  }
+
+  test("qq_plot: deciles match the interpolating model, monotone per side") {
+    val ev = Tables.events(spark, sf001)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = ev.filter(_._1 == "click").map(_._2).sorted.toIndexedSeq
+    val b = ev.filter(_._1 == "view").map(_._2).sorted.toIndexedSeq
+    val out = Behavior.qQqPlot(spark, sf001).collect()
+    assert(out.length == 9)
+    out.foreach { r =>
+      val p = r.getInt(0) / 10.0
+      assert(r.getDouble(1) == pctl(a, p) && r.getDouble(2) == pctl(b, p),
+        s"decile ${r.getInt(0)} diverges from the model")
+      assert(r.getDouble(3) == r.getDouble(1) - r.getDouble(2))
+    }
+    assert(out.map(_.getDouble(1)).toSeq == out.map(_.getDouble(1)).sortBy(identity).toSeq,
+      "click deciles must be monotone")
+  }
+
+  test("source_overlap: pairwise line Jaccard matches a brute-force set model; non-vacuous") {
+    val docs = Tables.documents(spark, sf001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ")))
+    val lineSets = docs.groupBy(_._1).map { case (src, g) =>
+      src -> g.flatMap { case (_, t) =>
+        (0 to (t.length - 1) / 8).map(i => t.slice(i * 8, i * 8 + 8).mkString(" ")) }.toSet
+    }
+    val out = TextOps.qSourceOverlap(spark, sf001).collect()
+    assert(out.nonEmpty, "fixture must exercise cross-source line overlap")
+    val seen = out.map(r => (r.getString(0), r.getString(1))).toSet
+    out.foreach { r =>
+      val (sa, sb) = (lineSets(r.getString(0)), lineSets(r.getString(1)))
+      val inter = (sa intersect sb).size.toLong
+      assert(r.getLong(2) == inter && r.getLong(3) == sa.size.toLong &&
+        r.getLong(4) == sb.size.toLong,
+        s"${r.getString(0)}/${r.getString(1)} set sizes diverge")
+      assert(r.getDouble(5) == inter.toDouble / (sa.size + sb.size - inter))
+    }
+    // completeness: every positively-overlapping pair is emitted
+    val all = lineSets.keys.toSeq.sorted
+    for (i <- all.indices; j <- i + 1 until all.length) {
+      val inter = (lineSets(all(i)) intersect lineSets(all(j))).size
+      assert((inter > 0) == seen.contains((all(i), all(j))),
+        s"pair ${all(i)}/${all(j)} presence mismatch (inter=$inter)")
     }
   }
 
