@@ -746,4 +746,19 @@ class PlanSpec extends SparkSuite {
     assert(firstHashAgg >= 0 && p.lastIndexOf("HashAggregate") != firstHashAgg,
       "distinct-count must plan as partial+final aggregate pairs")
   }
+
+  test("q_source_overlap: the posting self-join stays a line-keyed equi-join") {
+    val p = plan("q_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the source-pair enumeration must ride the line posting lists, " +
+        "never an all-pairs nested loop")
+  }
+
+  test("q_autocorr and q_conversion_lag: lag/first-event joins stay equi-joins") {
+    Seq("q_autocorr", "q_conversion_lag").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on its keys (day arithmetic / user_id), never nested-loop")
+    }
+  }
 }
