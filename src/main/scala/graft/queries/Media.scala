@@ -53,13 +53,59 @@ object Media {
       .select("doc_id", "frame_idx", "byte_offset", "frame_bytes")
       .orderBy("doc_id", "frame_idx")
 
+  /** Storage-level blob dedup estimate: fixed 64-BYTE chunking of every
+    * media blob, duplicate-chunk mass per source — the content-addressed-
+    * store sizing read (how much of this corpus's media bytes dedup away),
+    * run on the OPAQUE binary column (Spark substring over BinaryType —
+    * no decode). Shared prefixes across near-dup docs make the signal
+    * non-vacuous at every SF. One explode + two partial-agg rollups; the
+    * chunk groupBy shuffles 64-byte keys, linear in corpus bytes. The
+    * oracle chunks the hex image of the blob (2 chars per byte — a
+    * bijection, since DuckDB substring cannot take a BLOB), 128 hex chars
+    * ≡ 64 bytes, so the counts must agree exactly. */
+  def qMediaChunkDedup(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
+    val chunks = d
+      .select(col("source"), col("media"),
+        explode(expr("sequence(0, (length(media) - 1) div 64)")).as("i"))
+      .select(col("source"), expr("substring(media, i * 64 + 1, 64)").as("chunk"))
+    val blobs = d.groupBy("source").agg(
+      count(lit(1)).as("n_blobs"),
+      sum(length(col("media"))).cast("bigint").as("total_bytes"))
+    chunks.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"), countDistinct("chunk").as("n_distinct_chunks"))
+      .join(broadcast(blobs), Seq("source"))
+      .withColumn("dup_chunk_rate",
+        expr("CAST(n_chunks - n_distinct_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE)"))
+      .select("source", "n_blobs", "total_bytes", "n_chunks",
+        "n_distinct_chunks", "dup_chunk_rate")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
     "q_multimodal_frames" -> qMultimodalFrames _,
+    "q_media_chunk_dedup" -> qMediaChunkDedup _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_media_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, source, encode(text) AS media FROM documents),
+        |ch AS (SELECT source,
+        |              substring(hex(media), CAST(i * 128 + 1 AS BIGINT), 128) AS chunk
+        |       FROM d, UNNEST(range(0, (octet_length(media) - 1) // 64 + 1)) AS u(i)),
+        |a AS (SELECT source, count(*) AS n_chunks,
+        |             count(DISTINCT chunk) AS n_distinct_chunks
+        |      FROM ch GROUP BY 1),
+        |b AS (SELECT source, count(*) AS n_blobs,
+        |             CAST(sum(octet_length(media)) AS BIGINT) AS total_bytes
+        |      FROM d GROUP BY 1)
+        |SELECT source, n_blobs, total_bytes, n_chunks, n_distinct_chunks,
+        |       CAST(n_chunks - n_distinct_chunks AS DOUBLE) /
+        |       CAST(n_chunks AS DOUBLE) AS dup_chunk_rate
+        |FROM a JOIN b USING (source) ORDER BY source""".stripMargin,
     "q_multimodal_frames" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,

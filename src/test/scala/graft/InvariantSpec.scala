@@ -846,6 +846,26 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("media_chunk_dedup: byte-chunk masses match a UTF-8 slicing model; dup mass non-vacuous") {
+    val docs = Tables.documents(spark, sf001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).getBytes("UTF-8")))
+    val out = queries.Media.qMediaChunkDedup(spark, sf001).collect()
+    assert(out.map(_.getString(0)).toSet == docs.map(_._1).toSet)
+    var dup = 0L
+    out.foreach { r =>
+      val g = docs.filter(_._1 == r.getString(0))
+      val chunks = g.flatMap(_._2.grouped(64)).map(_.toSeq)
+      assert(r.getLong(1) == g.length.toLong &&
+        r.getLong(2) == g.map(_._2.length.toLong).sum)
+      assert(r.getLong(3) == chunks.length.toLong &&
+        r.getLong(4) == chunks.distinct.length.toLong,
+        s"${r.getString(0)} chunk masses diverge from the byte-slicing model")
+      dup += r.getLong(3) - r.getLong(4)
+    }
+    assert(dup > 0, "fixture must exercise duplicate chunks (vacuity trap)")
+  }
+
   test("outlier_mad: med/mad/outlier counts match an interpolating Scala model") {
     val ev = Tables.events(spark, sf001)
       .select("event_type", "value").collect()
