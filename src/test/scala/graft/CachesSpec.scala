@@ -50,4 +50,29 @@ class CachesSpec extends SparkSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "no cached plans may outlive the drain")
   }
+
+  test("bare .cache() inventory: only the audited loop-scoped sites") {
+    // Every bare .cache() must be a driver-loop intermediate with an
+    // explicit unpersist on the same control path (or a pre-return
+    // unpersist in a memo builder). Anything feeding a RETURNED lazy plan
+    // must use Caches.registered instead — a bare cache there is exactly
+    // the class of leak that OOM'd the 100x bench in round 11. A count
+    // change here means a NEW site to audit (or a removed one to delist).
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val counts = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map { p =>
+        val code = java.nio.file.Files.readAllLines(p).asScala
+          .map(_.trim).filterNot(l => l.startsWith("*") || l.startsWith("//"))
+        root.relativize(p).toString -> code.count(_.contains(".cache()"))
+      }.filter(_._2 > 0).toMap
+    val audited = Map(
+      "Caches.scala" -> 1,          // the registered() implementation itself
+      "tools/NearDbg.scala" -> 5,   // interactive debug tool, not a query path
+      "queries/TextOps.scala" -> 2, // BPE trainer loop: per-round cache + unpersist
+      "queries/VectorOps.scala" -> 4) // index-memo builder + CC/pagerank loop frames
+    assert(counts == audited,
+      s"bare .cache() inventory drifted — audit the new/removed sites: $counts")
+  }
 }
