@@ -826,6 +826,43 @@ object Relational {
          |WHERE l_shipdate >= timestamp'1998-01-01'
          |  AND l_shipdate < timestamp'1998-04-01'""".stripMargin)
 
+  /** TPC-H Q4 shape (order-priority checking) through the text SQL
+    * surface — the correlated-EXISTS exhibit: Catalyst must decorrelate
+    * the per-order lineitem probe into one left-semi join on the order
+    * key (never per-row subquery execution), with the date-range filter
+    * pushed to the orders scan. Adapted predicate: the fixture carries no
+    * commit/receipt dates, so "late" = shipped more than 60 days after
+    * the order date (same correlated-comparison structure as the
+    * official l_commitdate < l_receiptdate). Integer counts only. */
+  def qSqlQ4(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM parquet.`$sf/orders.parquet` o
+         |WHERE o_orderdate >= timestamp'1997-01-01'
+         |  AND o_orderdate < timestamp'1997-07-01'
+         |  AND EXISTS (SELECT 1 FROM parquet.`$sf/lineitem.parquet` l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** TPC-H Q19 shape (discounted revenue over brand/size/quantity
+    * bands) through the text SQL surface — the DISJUNCTIVE-predicate
+    * exhibit: the OR of three conjunct bands must still prune — the
+    * common `p_partkey = l_partkey` stays a single equi-join (never a
+    * per-disjunct union of joins), the part-only predicate union
+    * ((brand, size) bands) is pushable to the part scan, and the mixed
+    * l/p conjuncts evaluate post-join. Revenue is the exact decimal
+    * fragment shared with every other revenue oracle; bands chosen
+    * non-vacuous at every fixture SF. */
+  def qSqlQ19(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT ${sumAsDouble(revDec)} AS revenue, count(*) AS n_lines
+         |FROM parquet.`$sf/lineitem.parquet` l
+         |JOIN parquet.`$sf/part.parquet` p ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30 AND l_quantity BETWEEN 10 AND 35)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50 AND l_quantity BETWEEN 25 AND 50)""".stripMargin)
+
   /** TPC-H Q5 shape (local-supplier volume) through the text SQL surface —
     * the join-ORDER exhibit: six tables, where Catalyst must broadcast
     * the region→nation chain, route customer/supplier through it, and
@@ -879,6 +916,8 @@ object Relational {
     "q_sql_q18" -> qSqlQ18 _,
     "q_sql_q10" -> qSqlQ10 _,
     "q_sql_q14" -> qSqlQ14 _,
+    "q_sql_q4" -> qSqlQ4 _,
+    "q_sql_q19" -> qSqlQ19 _,
     "q_sql_q3" -> qSqlQ3 _,
     "q_join_lateral" -> qJoinLateral _,
     "q_recursive_cte" -> qRecursiveCte _,
@@ -996,6 +1035,22 @@ object Relational {
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+    "q_sql_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= timestamp'1997-01-01'
+        |  AND o_orderdate < timestamp'1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_q19" ->
+      s"""SELECT ${Det.sumAsDouble(Det.revDec)} AS revenue, count(*) AS n_lines
+         |FROM lineitem l
+         |JOIN part p ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30 AND l_quantity BETWEEN 10 AND 35)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50 AND l_quantity BETWEEN 25 AND 50)""".stripMargin,
     "q_sql_q14" ->
       s"""SELECT CAST(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
          |         THEN ${Det.revDec} ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) /

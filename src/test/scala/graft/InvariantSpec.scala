@@ -866,6 +866,55 @@ class InvariantSpec extends SparkSuite {
     assert(dup > 0, "fixture must exercise duplicate chunks (vacuity trap)")
   }
 
+  test("sql_q4: EXISTS counts match a brute-force late-shipment replay") {
+    val orders = Tables.orders(spark, sf001)
+      .selectExpr("o_orderkey", "o_orderpriority", "CAST(o_orderdate AS STRING) AS d")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        java.time.LocalDateTime.parse(r.getString(2).replace(' ', 'T'))))
+    val ship = Tables.lineitem(spark, sf001)
+      .selectExpr("l_orderkey", "CAST(l_shipdate AS STRING) AS d").collect()
+      .groupBy(_.getLong(0)).map { case (k, g) =>
+        k -> g.map(r => java.time.LocalDateTime.parse(r.getString(1).replace(' ', 'T'))) }
+    val window = orders.filter { case (_, _, d) =>
+      !d.isBefore(java.time.LocalDateTime.parse("1997-01-01T00:00")) &&
+        d.isBefore(java.time.LocalDateTime.parse("1997-07-01T00:00")) }
+    val late = window.filter { case (k, _, d) =>
+      ship.getOrElse(k, Array.empty[java.time.LocalDateTime])
+        .exists(_.isAfter(d.plusDays(60))) }
+    val model = late.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val out = Relational.qSqlQ4(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out == model,
+      s"q4 priority counts diverge from the replay: got $out want $model")
+  }
+
+  test("sql_q19: disjunctive-band revenue matches an exact BigDecimal replay") {
+    val parts = Tables.part(spark, sf001)
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val li = Tables.lineitem(spark, sf001)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").collect()
+    var rev = BigDecimal(0)
+    var n = 0L
+    li.foreach { r =>
+      val (brand, size) = parts(r.getLong(0))
+      val q = r.getDouble(1)
+      val in =
+        (brand == "Brand#1" && size >= 1 && size <= 15 && q >= 1 && q <= 20) ||
+          (brand == "Brand#2" && size >= 5 && size <= 30 && q >= 10 && q <= 35) ||
+          (brand == "Brand#3" && size >= 10 && size <= 50 && q >= 25 && q <= 50)
+      if (in) {
+        // Det.revDec: DECIMAL(12,2) price × DECIMAL(4,2) (1 − discount)
+        rev += BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal("1.00") - BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        n += 1
+      }
+    }
+    val out = Relational.qSqlQ19(spark, sf001).collect()
+    assert(out.length == 1 && out(0).getLong(1) == n)
+    assert(out(0).getDouble(0) == rev.toDouble, s"q19 revenue diverges: ${out(0).getDouble(0)} vs $rev")
+  }
+
   test("outlier_mad: med/mad/outlier counts match an interpolating Scala model") {
     val ev = Tables.events(spark, sf001)
       .select("event_type", "value").collect()

@@ -754,6 +754,25 @@ class PlanSpec extends SparkSuite {
         "never an all-pairs nested loop")
   }
 
+  test("q_sql_q4: the correlated EXISTS decorrelates to one LeftSemi; dates pushed") {
+    val p = plan("q_sql_q4")
+    assert(p.contains("LeftSemi"),
+      "Catalyst must rewrite the EXISTS probe to a left-semi join")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the order-date window must reach the orders scan as a pushed filter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_sql_q19: the disjunctive bands push to BOTH scans; one equi-join survives") {
+    val p = plan("q_sql_q19")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(Or("),
+      "the quantity-band OR must reach the lineitem scan")
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), Or(Or(And(EqualTo(p_brand"),
+      "the (brand, size) band OR must reach the part scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the OR must never decompose into a union of joins or a nested loop")
+  }
+
   test("q_autocorr and q_conversion_lag: lag/first-event joins stay equi-joins") {
     Seq("q_autocorr", "q_conversion_lag").foreach { q =>
       val p = plan(q)
