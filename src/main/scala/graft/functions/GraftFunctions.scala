@@ -72,8 +72,12 @@ object GraftFunctions {
 }
 
 /** Injectable extensions entry point:
-  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  * Installs the SQL function surface plus the optimizer rules
+  * ([[graft.plans.RangeBinJoinRule]] — opt-in via its conf key). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
+  }
 }
