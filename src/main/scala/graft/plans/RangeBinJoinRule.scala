@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 /** Optimizer rule: rewrite an inner theta RANGE join
-  * (`point >= lo AND point <= hi`, point from one side, bounds from the
-  * other) into a bin-synthesized EQUI-join — the automation of
+  * (`point ≥/> lo AND point ≤/< hi` — closed, open, or half-open; point
+  * from one side, bounds from the other) into a bin-synthesized
+  * EQUI-join — the automation of
   * `q_join_range_binned`'s hand-written shape, expressed as a
   * `Rule[LogicalPlan]` so a user writing the declarative BETWEEN join
   * gets the scalable plan without knowing the trick.
@@ -69,33 +70,37 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
 
   private case class RangePair(point: Expression, lo: Expression, hi: Expression)
 
-  /** Split a conjunction, find the (point >= lo, point <= hi) pair with
-    * `point` from `pointSide` and both bounds from `boundSide`; return
-    * the pair plus every remaining conjunct. */
+  /** Split a conjunction, find a (point ≥/> lo, point ≤/< hi) pair with
+    * `point` from `pointSide` and both bounds from `boundSide`. Strict
+    * bounds are fine for BINNING (the strict interval is a subset of the
+    * closed one, so closed-bound bin coverage is a superset) — the
+    * ORIGINAL predicates are kept verbatim in the rewritten condition,
+    * so strictness is enforced exactly where it was before. */
   private def extractRange(
       cond: Expression,
       pointSide: LogicalPlan,
-      boundSide: LogicalPlan): Option[(RangePair, Seq[Expression])] = {
+      boundSide: LogicalPlan): Option[RangePair] = {
     def fromPoint(e: Expression) = e.references.subsetOf(pointSide.outputSet) && e.references.nonEmpty
     def fromBound(e: Expression) = e.references.subsetOf(boundSide.outputSet) && e.references.nonEmpty
     val conjuncts = splitConjunctivePredicates(cond)
     val lower = conjuncts.collectFirst {
-      case g @ GreaterThanOrEqual(p, lo)
-          if fromPoint(p) && fromBound(lo) && p.dataType == LongType => (g, p, lo)
-      case g @ LessThanOrEqual(lo, p)
-          if fromPoint(p) && fromBound(lo) && p.dataType == LongType => (g, p, lo)
+      case GreaterThanOrEqual(p, lo)
+          if fromPoint(p) && fromBound(lo) && p.dataType == LongType => (p, lo)
+      case GreaterThan(p, lo)
+          if fromPoint(p) && fromBound(lo) && p.dataType == LongType => (p, lo)
+      case LessThanOrEqual(lo, p)
+          if fromPoint(p) && fromBound(lo) && p.dataType == LongType => (p, lo)
+      case LessThan(lo, p)
+          if fromPoint(p) && fromBound(lo) && p.dataType == LongType => (p, lo)
     }
-    lower.flatMap { case (gEx, p, lo) =>
+    lower.flatMap { case (p, lo) =>
       val upper = conjuncts.collectFirst {
-        case l @ LessThanOrEqual(p2, hi)
-            if p2.semanticEquals(p) && fromBound(hi) => (l, hi)
-        case l @ GreaterThanOrEqual(hi, p2)
-            if p2.semanticEquals(p) && fromBound(hi) => (l, hi)
+        case LessThanOrEqual(p2, hi) if p2.semanticEquals(p) && fromBound(hi) => hi
+        case LessThan(p2, hi) if p2.semanticEquals(p) && fromBound(hi) => hi
+        case GreaterThanOrEqual(hi, p2) if p2.semanticEquals(p) && fromBound(hi) => hi
+        case GreaterThan(hi, p2) if p2.semanticEquals(p) && fromBound(hi) => hi
       }
-      upper.map { case (lEx, hi) =>
-        val rest = conjuncts.filterNot(c => c.semanticEquals(gEx) || c.semanticEquals(lEx))
-        (RangePair(p, lo, hi), rest)
-      }
+      upper.map(hi => RangePair(p, lo, hi))
     }
   }
 
@@ -114,7 +119,7 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
 
   private def rewrite(
       j: Join, pointSide: LogicalPlan, boundSide: LogicalPlan,
-      pair: RangePair, rest: Seq[Expression], w: Long): LogicalPlan = {
+      pair: RangePair, cond: Expression, w: Long): LogicalPlan = {
     // point side: one synthesized bin column
     val binL = Alias(bin(pair.point, w), "graft_bin_p")()
     val pointProj = Project(pointSide.output :+ binL, pointSide)
@@ -133,10 +138,9 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
     val binR = AttributeReference("graft_bin_i", LongType, nullable = true)()
     val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binR), boundSide)
-    val rangeCond = And(
-      GreaterThanOrEqual(pair.point, pair.lo), LessThanOrEqual(pair.point, pair.hi))
-    val fullCond = (Seq(EqualTo(binL.toAttribute, binR), rangeCond) ++ rest)
-      .reduce(And)
+    // original condition kept VERBATIM (it carries the exact strict/closed
+    // bounds and any extra conjuncts) — the bin equality is purely additive
+    val fullCond = And(EqualTo(binL.toAttribute, binR), cond)
     val (newL, newR) =
       if (j.left eq pointSide) (pointProj, gen) else (gen: LogicalPlan, pointProj: LogicalPlan)
     Project(j.output, Join(newL, newR, Inner, Some(fullCond), j.hint))
@@ -144,21 +148,18 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
 
   /** Test/debug hook: apply with an explicit width, bypassing the conf. */
   private[graft] def testApply(plan: LogicalPlan, w: Long): LogicalPlan =
+    rewriteAll(plan, w)
+
+  private def rewriteAll(plan: LogicalPlan, w: Long): LogicalPlan =
     plan transform {
       case j @ Join(l, r, Inner, Some(cond), _) if !hasEquiConjunct(cond, l, r) =>
-        extractRange(cond, l, r).map { case (p, rest) => rewrite(j, l, r, p, rest, w) }
-          .orElse(extractRange(cond, r, l).map { case (p, rest) => rewrite(j, r, l, p, rest, w) })
+        extractRange(cond, l, r).map(p => rewrite(j, l, r, p, cond, w))
+          .orElse(extractRange(cond, r, l).map(p => rewrite(j, r, l, p, cond, w)))
           .getOrElse(j)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
     case None => plan
-    case Some(w) =>
-      plan transform {
-        case j @ Join(l, r, Inner, Some(cond), _) if !hasEquiConjunct(cond, l, r) =>
-          extractRange(cond, l, r).map { case (p, rest) => rewrite(j, l, r, p, rest, w) }
-            .orElse(extractRange(cond, r, l).map { case (p, rest) => rewrite(j, r, l, p, rest, w) })
-            .getOrElse(j)
-      }
+    case Some(w) => rewriteAll(plan, w)
   }
 }

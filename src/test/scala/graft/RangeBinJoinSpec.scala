@@ -94,6 +94,20 @@ class RangeBinJoinSpec extends SparkSuite {
     withRule(4L) { assert(run() == baseline) }
   }
 
+  test("half-open windows (>= lo AND < hi): strict bound enforced exactly") {
+    val p = Seq(0L, 5L, 9L, 10L, 11L).toDF("sec").withColumn("event_id", col("sec"))
+    val i = Seq((1L, 5L, 10L)).toDF("user_id", "lo", "hi")
+    def run() = p.join(i, p("sec") >= i("lo") && p("sec") < i("hi"))
+      .select(p("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(run() == Seq(5L, 9L), "baseline: 10 excluded by the strict bound")
+    withRule(4L) {
+      val df = p.join(i, p("sec") >= i("lo") && p("sec") < i("hi"))
+      assert(planOf(df).contains("graft_bin"), "the rule must fire on half-open windows")
+      assert(run() == Seq(5L, 9L),
+        "the strict upper bound must survive the rewrite verbatim")
+    }
+  }
+
   test("an extra non-range conjunct is preserved through the rewrite") {
     def run() = points.as("p").join(intervals.as("i"),
         col("p.sec") >= col("i.lo") && col("p.sec") <= col("i.hi") &&
