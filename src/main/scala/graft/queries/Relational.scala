@@ -863,6 +863,76 @@ object Relational {
          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30 AND l_quantity BETWEEN 10 AND 35)
          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50 AND l_quantity BETWEEN 25 AND 50)""".stripMargin)
 
+  /** TPC-H Q15 shape (top supplier by quarterly revenue) — the
+    * MAX-OF-AGGREGATE exhibit: the revenue CTE is aggregated once, then
+    * consumed twice (the equality probe against its own max and the
+    * supplier join). At 100 TB the per-supplier aggregate is one shuffle
+    * over a date-pruned scan; the max is a single-row scalar subquery
+    * broadcast into the filter, and the supplier dimension broadcasts.
+    * The decimal sum keeps the max-equality exact — a float revenue
+    * would make "equal to the max" order-dependent. */
+  def qSqlQ15(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no, sum($revDec) AS total_rev
+         |  FROM parquet.`$sf/lineitem.parquet`
+         |  WHERE l_shipdate >= timestamp'1997-01-01'
+         |    AND l_shipdate < timestamp'1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, ${liftDec4("total_rev")} AS total_rev
+         |FROM parquet.`$sf/supplier.parquet`
+         |JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin)
+
+  /** TPC-H Q17 shape (small-quantity-order revenue) — the CORRELATED
+    * SCALAR SUBQUERY DECORRELATION exhibit: the per-part quantity
+    * threshold (`l_quantity < 0.2 * avg over the part's lineitems`) is
+    * written as correlated scalar subqueries that Catalyst must
+    * decorrelate into a per-part aggregate joined back on p_partkey —
+    * never a per-row re-scan of lineitem (which would be O(n²) at any
+    * scale). The avg comparison is multiplied through
+    * (qty·5·count < sum, exact decimals/bigints) so the threshold is
+    * order-independent — `0.2*avg(double)` would flip borderline rows
+    * between engines. */
+  def qSqlQ17(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+         |       count(*) AS n_lines
+         |FROM parquet.`$sf/lineitem.parquet` l
+         |JOIN parquet.`$sf/part.parquet` p ON p_partkey = l_partkey
+         |WHERE p_size <= 10 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+         |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 *
+         |      (SELECT count(*) FROM parquet.`$sf/lineitem.parquet` l2
+         |       WHERE l2.l_partkey = p.p_partkey)
+         |    < (SELECT sum(CAST(l_quantity AS DECIMAL(12,2)))
+         |       FROM parquet.`$sf/lineitem.parquet` l2
+         |       WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+
+  /** TPC-H Q22 shape (global sales opportunity) — the ANTI-JOIN +
+    * UNCORRELATED THRESHOLD exhibit: rich customers (balance above the
+    * cohort's positive-balance mean) with no urgent order, grouped by
+    * nation. The mean threshold is an uncorrelated scalar subquery
+    * (computed once, broadcast into the filter), the no-orders predicate
+    * a NOT EXISTS that must plan as a left-anti hash join on o_custkey.
+    * The mean comparison is multiplied through (bal·count > sum, exact)
+    * for order-independence, mirroring Q17. */
+  def qSqlQ22(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""WITH pool AS (
+         |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+         |  FROM parquet.`$sf/customer.parquet`
+         |  WHERE c_nationkey IN (1, 3, 7, 12, 17, 20, 24))
+         |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+         |       ${liftDec2("sum(bal)")} AS totacctbal
+         |FROM pool c
+         |WHERE bal * (SELECT count(*) FROM pool WHERE bal > 0.00)
+         |      > (SELECT sum(bal) FROM pool WHERE bal > 0.00)
+         |  AND NOT EXISTS (SELECT 1 FROM parquet.`$sf/orders.parquet` o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin)
+
   /** TPC-H Q5 shape (local-supplier volume) through the text SQL surface —
     * the join-ORDER exhibit: six tables, where Catalyst must broadcast
     * the region→nation chain, route customer/supplier through it, and
@@ -917,7 +987,10 @@ object Relational {
     "q_sql_q10" -> qSqlQ10 _,
     "q_sql_q14" -> qSqlQ14 _,
     "q_sql_q4" -> qSqlQ4 _,
+    "q_sql_q15" -> qSqlQ15 _,
+    "q_sql_q17" -> qSqlQ17 _,
     "q_sql_q19" -> qSqlQ19 _,
+    "q_sql_q22" -> qSqlQ22 _,
     "q_sql_q3" -> qSqlQ3 _,
     "q_join_lateral" -> qJoinLateral _,
     "q_recursive_cte" -> qRecursiveCte _,
@@ -1044,6 +1117,44 @@ object Relational {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_q15" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no, sum($revDec) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= timestamp'1997-01-01'
+         |    AND l_shipdate < timestamp'1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, ${liftDec4("total_rev")} AS total_rev
+         |FROM supplier
+         |JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q_sql_q17" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON p_partkey = l_partkey
+        |WHERE p_size <= 10 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 *
+        |      (SELECT count(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = p.p_partkey)
+        |    < (SELECT sum(CAST(l_quantity AS DECIMAL(12,2)))
+        |       FROM lineitem l2
+        |       WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    "q_sql_q22" ->
+      s"""WITH pool AS (
+         |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+         |  FROM customer
+         |  WHERE c_nationkey IN (1, 3, 7, 12, 17, 20, 24))
+         |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+         |       ${liftDec2("sum(bal)")} AS totacctbal
+         |FROM pool c
+         |WHERE bal * (SELECT count(*) FROM pool WHERE bal > 0.00)
+         |      > (SELECT sum(bal) FROM pool WHERE bal > 0.00)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
     "q_sql_q19" ->
       s"""SELECT ${Det.sumAsDouble(Det.revDec)} AS revenue, count(*) AS n_lines
          |FROM lineitem l

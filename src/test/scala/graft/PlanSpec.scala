@@ -773,6 +773,33 @@ class PlanSpec extends SparkSuite {
       "the OR must never decompose into a union of joins or a nested loop")
   }
 
+  test("q_sql_q15: quarter filter pushed; supplier side broadcasts; no nested loop") {
+    val p = plan("q_sql_q15")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "the quarter window must reach the lineitem scan as a pushed filter")
+    assert(p.contains("BroadcastHashJoin"),
+      "the supplier dimension (or the 1-row max probe) must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_sql_q17: correlated scalar subqueries decorrelate; no per-row rescan") {
+    val p = plan("q_sql_q17")
+    assert(p.contains("LessThanOrEqual(p_size,10)"),
+      "the part size filter must push into the part scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the per-part threshold must decorrelate to an aggregate join, " +
+        "never a per-row re-scan of lineitem")
+  }
+
+  test("q_sql_q22: NOT EXISTS plans as LeftAnti; nation pool filter pushed") {
+    val p = plan("q_sql_q22")
+    assert(p.contains("LeftAnti"),
+      "the no-urgent-order predicate must plan as a left-anti hash join")
+    assert(p.contains("In(c_nationkey"),
+      "the nation cohort IN-list must push into the customer scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_autocorr and q_conversion_lag: lag/first-event joins stay equi-joins") {
     Seq("q_autocorr", "q_conversion_lag").foreach { q =>
       val p = plan(q)
