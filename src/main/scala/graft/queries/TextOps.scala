@@ -1042,7 +1042,47 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every RAW
+    * document by how much its unigram distribution resembles the TARGET
+    * slice (sources src0–src3) relative to the raw pool itself — the
+    * weight that importance-resamples target-like pretraining data out
+    * of a crawl. The published log-likelihood-ratio is replaced by a
+    * fixed-point LINEAR ratio difference per token,
+    * floor(ct·1e9/Nt) − floor(cr·1e9/Nr) (integer `div`, exact BIGINTs
+    * on both engines — a log would tie the hash to libm), summed over
+    * the document's token occurrences; same target-vs-raw ranking
+    * intent. At 100 TB every stage is linear: ONE token-keyed partial
+    * agg builds the target/raw count table (vocabulary-sized, stays
+    * distributed — never collected or broadcast), the totals are a
+    * 1-row broadcast, the doc-token join is token-keyed equi, the doc
+    * rollup one doc-keyed shuffle, and the top-20 a
+    * TakeOrderedAndProject. */
+  def qDsirWeights(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"),
+        col("source").isin("src0", "src1", "src2", "src3").as("is_t"),
+        explode(split(col("text"), " ")).as("w"))
+    val counts = toks.groupBy("w").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val scores = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        expr("(ct * 1000000000) div nt - (cr * 1000000000) div nr").as("s"))
+    val docToks = toks.filter(!col("is_t"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    docToks.join(scores, Seq("w"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("k") * col("s")).cast("bigint").as("weight"),
+        sum("k").cast("bigint").as("n_tokens"))
+      .orderBy(col("weight").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> qDsirWeights _,
     "q_lm_score" -> qLmScore _,
     "q_token_budget" -> qTokenBudget _,
     "q_source_overlap" -> qSourceOverlap _,
@@ -1136,6 +1176,26 @@ object TextOps {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         source IN ('src0', 'src1', 'src2', 'src3') AS is_t,
+        |         unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT w, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+        |         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+        |  FROM toks GROUP BY 1),
+        |totals AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+        |scores AS (
+        |  SELECT w, (ct * 1000000000) // nt - (cr * 1000000000) // nr AS s
+        |  FROM counts, totals),
+        |dt AS (SELECT doc_id, source, w, count(*) AS k
+        |       FROM toks WHERE NOT is_t GROUP BY 1, 2, 3)
+        |SELECT doc_id, source, CAST(sum(k * s) AS BIGINT) AS weight,
+        |       CAST(sum(k) AS BIGINT) AS n_tokens
+        |FROM dt JOIN scores USING (w)
+        |GROUP BY 1, 2 ORDER BY weight DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_source_overlap" ->
       """WITH d AS (SELECT source, string_split(text, ' ') AS t FROM documents),
         |ls AS (SELECT DISTINCT source,

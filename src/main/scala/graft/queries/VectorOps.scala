@@ -758,6 +758,52 @@ object VectorOps {
       .orderBy("label", "assigned")
   }
 
+  /** SemDeDup-style semantic dedup report (Abbas et al. 2023: cluster
+    * the embeddings, then pairwise-compare ONLY within a cluster): per
+    * cluster the near-duplicate pair count, the pruned-vector count
+    * under the greedy lowest-id-survivor rule, and the kept size. The
+    * cluster bound is the whole design — pairwise cosine is quadratic,
+    * but quadratic IN THE CLUSTER, so at 100 TB the cost is
+    * Σ|cluster|², not n²: one equi-join shuffle on the cluster key,
+    * each cluster's pair block materializing on one executor. The
+    * cosine threshold (0.35, tuned non-vacuous at every fixture SF) is
+    * evaluated entirely in quantized-integer space — lanes floor(x·128)
+    * (exponent shift, no rounding), cos ≥ τ rewritten as
+    * 400·dot² ≥ 49·‖a‖²·‖b‖² ∧ dot > 0 (τ² = 49/400) — every operand an
+    * exact integer-valued double (≤4.4e14 < 2^53), so the predicate is
+    * bit-identical to the oracle's BIGINT arithmetic; the codegen'd
+    * [[graft.functions.VectorExpressions.dot]] keeps the per-pair
+    * kernel in whole-stage codegen. */
+  def qSemdedup(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.VectorExpressions.dot
+    val q = Tables.embeddings(s, sf).select(col("vec_id"), col("label"),
+      // FLOAT lanes (graft_dot's probe type): the quantized values are
+      // small integers (|qx| ≤ 129 « 2^24), exactly representable
+      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT) AS FLOAT))")
+        .as("qv"))
+    val withN = q.withColumn("nn", dot(col("qv"), col("qv")))
+    val a = withN.select(col("label"), col("vec_id").as("a_id"),
+      col("qv").as("av"), col("nn").as("na"))
+    val b = withN.select(col("label").as("b_label"), col("vec_id").as("b_id"),
+      col("qv").as("bv"), col("nn").as("nb"))
+    val d = dot(col("av"), col("bv"))
+    // cheap conjunct (id order) ahead of the 64-dim dot, whole predicate
+    // in the join condition (the q_dedup_embcos lesson)
+    val pairs = a.join(b,
+      col("label") === col("b_label") && col("a_id") < col("b_id") &&
+        d > lit(0d) && d * d * lit(400d) >= col("na") * col("nb") * lit(49d))
+    val pairStats = pairs.groupBy("label").agg(
+      count(lit(1)).as("n_near_pairs"),
+      countDistinct(col("b_id")).as("n_pruned"))
+    val sizes = withN.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    sizes.join(pairStats, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        (col("n_vecs") - coalesce(col("n_pruned"), lit(0L))).as("n_kept"))
+      .orderBy("label")
+  }
+
   /** One PageRank power-iteration step over the near-dup similarity graph
     * (edges: n-gram Jaccard ≥ 0.5 pairs, symmetrized) — centrality in the
     * duplication graph ranks BOILERPLATE HUBS: a template shared by many
@@ -1215,6 +1261,7 @@ object VectorOps {
     "q_pagerank" -> qPagerank _,
     "q_pagerank_step" -> qPagerankStep _,
     "q_cluster_assign" -> qClusterAssign _,
+    "q_semdedup" -> qSemdedup _,
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_edit" -> qDedupEdit _,
@@ -1438,6 +1485,30 @@ object VectorOps {
          |SELECT doc_id, r AS r_scaled,
          |       CAST(r AS DOUBLE) / (CAST((SELECT n FROM nd) AS DOUBLE) * 1000000000000.0) AS rank
          |FROM pr WHERE it = ${PagerankIters} ORDER BY doc_id""".stripMargin,
+    "q_semdedup" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, i - 1 AS pos,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT) AS qx
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
+        |norms AS (SELECT vec_id, label, sum(qx * qx) AS nn FROM q GROUP BY 1, 2),
+        |dots AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |                sum(a.qx * b.qx) AS dot
+        |         FROM q a JOIN q b ON a.label = b.label AND a.pos = b.pos
+        |                           AND a.vec_id < b.vec_id
+        |         GROUP BY 1, 2, 3),
+        |pairs AS (SELECT d.label, a_id, b_id FROM dots d
+        |          JOIN norms na ON na.vec_id = d.a_id
+        |          JOIN norms nb ON nb.vec_id = d.b_id
+        |          WHERE dot > 0 AND 400 * dot * dot >= 49 * na.nn * nb.nn),
+        |ps AS (SELECT label, count(*) AS n_near_pairs,
+        |              count(DISTINCT b_id) AS n_pruned
+        |       FROM pairs GROUP BY 1),
+        |sizes AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT s.label, n_vecs,
+        |       coalesce(n_near_pairs, 0) AS n_near_pairs,
+        |       coalesce(n_pruned, 0) AS n_pruned,
+        |       n_vecs - coalesce(n_pruned, 0) AS n_kept
+        |FROM sizes s LEFT JOIN ps USING (label) ORDER BY label""".stripMargin,
     "q_cluster_assign" ->
       """WITH dims AS (
         |  SELECT vec_id, label, i - 1 AS pos,

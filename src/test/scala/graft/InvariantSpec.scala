@@ -933,4 +933,53 @@ class InvariantSpec extends SparkSuite {
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("semdedup: per-cluster pair/prune counts match a brute-force integer replay") {
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(x => math.floor(x.toDouble * 128).toLong)))
+    def near(a: Array[Long], b: Array[Long]): Boolean = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      dot > 0 && 400L * dot * dot >= 49L * na * nb
+    }
+    val model = vecs.groupBy(_._2).map { case (label, g) =>
+      val sorted = g.sortBy(_._1)
+      val pairs = for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        if near(sorted(i)._3, sorted(j)._3)
+      } yield (sorted(i)._1, sorted(j)._1)
+      label -> ((g.length.toLong, pairs.length.toLong,
+        pairs.map(_._2).distinct.length.toLong))
+    }
+    val out = VectorOps.qSemdedup(spark, sf001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == model, s"semdedup diverges from the replay: got $out want $model")
+    assert(out.values.map(_._2).sum > 0, "fixture must plant at least one near pair")
+    VectorOps.qSemdedup(spark, sf001).collect().foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(3), "n_kept = n_vecs - n_pruned")
+    }
+  }
+
+  test("dsir_weights: top-20 weights match an integer-division replay; raw docs only") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val target = Set("src0", "src1", "src2", "src3")
+    val ct = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cr = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, src, ws) =>
+      val m = if (target(src)) ct else cr; ws.foreach(w => m(w) += 1) }
+    val nt = ct.values.sum; val nr = cr.values.sum
+    def score(w: String): Long = ct(w) * 1000000000L / nt - cr(w) * 1000000000L / nr
+    val model = docs.filterNot { case (_, src, _) => target(src) }
+      .map { case (id, src, ws) => (id, src, ws.map(score).sum, ws.length.toLong) }
+      .sortBy { case (id, _, wgt, _) => (-wgt, id) }.take(20)
+    val out = TextOps.qDsirWeights(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == model.toSeq, s"dsir top-20 diverges: got $out want $model")
+    assert(out.forall { case (_, src, _, _) => !target(src) },
+      "only raw-pool documents may be scored")
+  }
 }

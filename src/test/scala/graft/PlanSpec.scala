@@ -107,6 +107,9 @@ class PlanSpec extends SparkSuite {
       // onto the distinct-value grid; the chi2 time-midpoint onto the
       // corpus scan and the grand totals onto the 5-row table
       "q_ks_test", "q_chi2_drift",
+      // round-12 late addition: the 1-row (Nt, Nr) token-total attach
+      // onto the vocabulary-sized score table
+      "q_dsir_weights",
       // ^ scalar broadcasts (1-row corpus counts/quotas/bounds); the
       // graph queries over the memoized edge checkpoint (ngram/clusters,
       // bfs, hits, triangles) no longer print the pair pipeline's scalar
@@ -798,6 +801,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("In(c_nationkey"),
       "the nation cohort IN-list must push into the customer scan")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_semdedup: the pair stage is a cluster-keyed equi-join, dot codegen'd") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pairwise cosine must ride the label equi-join — quadratic in the " +
+        "cluster, never in the corpus")
+    assert(p.contains("graft_dot"),
+      "the per-pair kernel must be the codegen'd dot expression")
   }
 
   test("q_autocorr and q_conversion_lag: lag/first-event joins stay equi-joins") {
