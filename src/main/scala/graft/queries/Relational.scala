@@ -980,7 +980,118 @@ object Relational {
          |GROUP BY 1, 2, 3
          |ORDER BY 1, 2, 3""".stripMargin)
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting) through the
+    * text SQL surface — the DOUBLE-CORRELATION exhibit: one correlated
+    * EXISTS (another supplier contributed to the same order) AND one
+    * correlated NOT EXISTS (no OTHER supplier was also late) over the
+    * same fact table, which Catalyst must decorrelate into ONE LeftSemi
+    * plus ONE LeftAnti against re-scanned lineitem — never per-row
+    * subquery execution (quadratic at any scale). "Late" adapts the
+    * official commit-vs-receipt comparison to the fixture's columns
+    * (shipped >60 days after the order date), re-derived inside the
+    * anti side via its own orders join so the correlation stays a pure
+    * orderkey equality. Both probe sides shuffle on l_orderkey — at
+    * 100 TB that is 3 co-partitioned exchanges of the same table, a
+    * shape AQE can reuse. Counts are exact ints. */
+  def qSqlQ21(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM parquet.`$sf/supplier.parquet` s
+         |JOIN parquet.`$sf/lineitem.parquet` l1 ON s_suppkey = l1.l_suppkey
+         |JOIN parquet.`$sf/orders.parquet` o ON o_orderkey = l1.l_orderkey
+         |JOIN parquet.`$sf/nation.parquet` n ON s_nationkey = n_nationkey
+         |WHERE o.o_orderstatus = 'F'
+         |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+         |  AND n_nationkey < 13
+         |  AND EXISTS (SELECT 1 FROM parquet.`$sf/lineitem.parquet` l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM parquet.`$sf/lineitem.parquet` l3
+         |                  JOIN parquet.`$sf/orders.parquet` o3
+         |                    ON l3.l_orderkey = o3.o_orderkey
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+         |GROUP BY s_name ORDER BY numwait DESC, s_name
+         |LIMIT 50""".stripMargin)
+
+  /** TPC-H Q13 shape (customer order-count distribution) through the
+    * text SQL surface — the OUTER-JOIN-UNDER-AGGREGATION exhibit: the
+    * LEFT OUTER join must survive optimization (zero-order customers are
+    * the point — an inner-join "simplification" silently drops the
+    * c_count=0 row), the priority exclusion rides the JOIN CONDITION
+    * (not a WHERE, which would turn the outer join inner), and the
+    * double aggregation is two partial+final pairs: per-customer counts
+    * shuffle on c_custkey, the distribution on the ~20-value count
+    * domain. All exact ints — nothing to float-drift. */
+  def qSqlQ13(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT c_count, count(*) AS custdist
+         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+         |      FROM parquet.`$sf/customer.parquet` c
+         |      LEFT OUTER JOIN parquet.`$sf/orders.parquet` o
+         |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         |      GROUP BY c_custkey) c_orders
+         |GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  /** TPC-H Q16 shape (supplier-relationship count) through the text SQL
+    * surface — the NOT-IN + COUNT-DISTINCT exhibit: the supplier
+    * exclusion is a NOT IN subquery (Catalyst's null-aware anti-join
+    * surface; with the fixture's non-nullable keys it must still plan as
+    * an anti join, never a filter re-executing the subquery per row),
+    * and count(DISTINCT l_suppkey) expands to the two-shuffle
+    * distinct-aggregate form. lineitem stands in for the official
+    * partsupp as the part↔supplier relation; the balance threshold (600)
+    * keeps the excluded set non-empty at every fixture SF. The brand/
+    * type/size predicates are part-scan-pushable. */
+  def qSqlQ16(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT p_brand, p_type, p_size,
+         |       count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM parquet.`$sf/lineitem.parquet` l
+         |JOIN parquet.`$sf/part.parquet` p ON p_partkey = l_partkey
+         |WHERE p_brand <> 'Brand#1'
+         |  AND p_type NOT LIKE 'PROMO%'
+         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49, 50)
+         |  AND l_suppkey NOT IN (SELECT s_suppkey
+         |                        FROM parquet.`$sf/supplier.parquet`
+         |                        WHERE s_acctbal < 600)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+         |LIMIT 40""".stripMargin)
+
+  /** TPC-H Q20 shape (potential part promotion) through the text SQL
+    * surface — the NESTED-IN-CHAIN exhibit: an IN whose subquery itself
+    * contains an IN (suppliers who shipped >50 units of any 'small%'
+    * part in 1997), each level decorrelating to its own LeftSemi — the
+    * inner one against the name-filtered part dimension (broadcastable),
+    * the outer against the HAVING-filtered per-(supplier, part)
+    * aggregate. The quantity threshold compares an exact decimal sum.
+    * lineitem's shipped quantity stands in for the official partsupp
+    * availability (no partsupp in the fixture); the supplier probe stays
+    * a key-only semi join — no supplier attribute leaks into the
+    * subquery. */
+  def qSqlQ20(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT s_suppkey, s_name, s_acctbal
+         |FROM parquet.`$sf/supplier.parquet`
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM parquet.`$sf/lineitem.parquet`
+         |  WHERE l_partkey IN (SELECT p_partkey
+         |                      FROM parquet.`$sf/part.parquet`
+         |                      WHERE p_name LIKE 'small%')
+         |    AND l_shipdate >= timestamp'1997-01-01'
+         |    AND l_shipdate < timestamp'1998-01-01'
+         |  GROUP BY l_suppkey, l_partkey
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+         |ORDER BY s_suppkey""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q21" -> qSqlQ21 _,
+    "q_sql_q13" -> qSqlQ13 _,
+    "q_sql_q16" -> qSqlQ16 _,
+    "q_sql_q20" -> qSqlQ20 _,
     "q_sql_q7" -> qSqlQ7 _,
     "q_sql_q5" -> qSqlQ5 _,
     "q_sql_q18" -> qSqlQ18 _,
@@ -1095,6 +1206,59 @@ object Relational {
          |  AND o_orderdate < timestamp'1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_sql_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o_orderkey = l1.l_orderkey
+        |JOIN nation n ON s_nationkey = n_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND n_nationkey < 13
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name
+        |LIMIT 50""".stripMargin,
+    "q_sql_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer c
+        |      LEFT OUTER JOIN orders o
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_sql_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49, 50)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 600)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 40""".stripMargin,
+    "q_sql_q20" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'small%')
+        |    AND l_shipdate >= timestamp'1997-01-01'
+        |    AND l_shipdate < timestamp'1998-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_sql_q10" ->
       s"""SELECT c_custkey, c_name, ${Det.sumAsDouble(Det.revDec)} AS revenue,
          |       c_acctbal, n_name

@@ -803,6 +803,47 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_sql_q21: both correlations decorrelate — one LeftSemi AND one LeftAnti") {
+    val p = plan("q_sql_q21")
+    assert(p.contains("LeftSemi"),
+      "the other-supplier EXISTS must plan as a left-semi join on l_orderkey")
+    assert(p.contains("LeftAnti"),
+      "the no-other-late NOT EXISTS must plan as a left-anti join on l_orderkey")
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      "the order-status filter must push into the orders scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "neither correlated probe may fall back to per-row execution")
+  }
+
+  test("q_sql_q13: the outer join survives; both aggregations are partial+final") {
+    val p = plan("q_sql_q13")
+    assert(p.contains("LeftOuter"),
+      "zero-order customers are the point — the LEFT OUTER join must " +
+        "survive optimization (the priority exclusion rides the join condition)")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both aggregation levels must be partial+final pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_sql_q16: NOT IN plans as an anti join; part predicates pushed") {
+    val p = plan("q_sql_q16")
+    assert(p.contains("LeftAnti"),
+      "the supplier NOT IN must plan as an anti join, never a per-row filter")
+    assert(p.contains("In(p_size"),
+      "the size IN-list must push into the part scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_sql_q20: the nested IN chain decorrelates to two semi joins") {
+    val p = plan("q_sql_q20")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "both IN levels must decorrelate to semi joins — the supplier probe " +
+        "and the small-part probe")
+    assert(p.contains("StringStartsWith(p_name,small)"),
+      "the part-name prefix must push into the part scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_semdedup: the pair stage is a cluster-keyed equi-join, dot codegen'd") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
