@@ -765,7 +765,13 @@ object VectorOps {
     * cluster bound is the whole design — pairwise cosine is quadratic,
     * but quadratic IN THE CLUSTER, so at 100 TB the cost is
     * Σ|cluster|², not n²: one equi-join shuffle on the cluster key,
-    * each cluster's pair block materializing on one executor. The
+    * each cluster's pair block materializing on one executor.
+    * PRECONDITION at scale: the clustering granularity must grow with
+    * the corpus (SemDeDup uses k ∝ n, cluster size ~constant) — feeding
+    * fixed-count clusters makes Σ|cluster|² quadratic in n, measured at
+    * 147× wall on the 100× corpus (PERF.md batch 5, tools.SemProbe;
+    * note Perf/Bench `.count()` is vacuous here — Catalyst drops the
+    * left join onto the unique-key pair aggregate under a count). The
     * cosine threshold (0.35, tuned non-vacuous at every fixture SF) is
     * evaluated entirely in quantized-integer space — lanes floor(x·128)
     * (exponent shift, no rounding), cos ≥ τ rewritten as
