@@ -81,6 +81,31 @@ object Pipeline {
       .select("user_id", "v_ts", "c_ts")
   }
 
+  /** LEFT OUTER flavor of [[clicksWithin]]: every view paired with its
+    * clicks in (v_ts, v_ts + 10 min], and views with NO such click kept
+    * with a null c_ts — the attribution join that also reports the lost
+    * impressions. In the streaming flavor this is the semantically sharp
+    * case: an unmatched view may only emit once the watermark has passed
+    * its join window's upper bound (before that a matching click could
+    * still arrive), so the null row appears exactly once, late, and the
+    * state store holds the view exactly until then. In batch the
+    * watermarks are no-ops and it is a plain left outer interval join —
+    * same equi-join shuffle on user_id, range as residual. */
+  def viewOutcomes(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select("user_id", "v_ts", "c_ts")
+  }
+
   /** Stream-static enrichment + windowed rollup: join each event to its
     * dimension row (user_id mod 25 keys the synthetic nation dim), then
     * count/sum per (1-hour window, dimension attribute). The dim is

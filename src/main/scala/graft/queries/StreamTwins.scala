@@ -45,7 +45,21 @@ object StreamTwins {
       .orderBy("user_id")
   }
 
+  def qStreamOuterJoin(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Pipeline.viewOutcomes(Tables.events(s, sf))
+      .groupBy("user_id")
+      .agg(
+        countDistinct(when(col("c_ts").isNotNull, col("v_ts")))
+          .as("converted_views"),
+        countDistinct(when(col("c_ts").isNull, col("v_ts")))
+          .as("lost_views"),
+        count(col("c_ts")).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_outer_join" -> qStreamOuterJoin _,
     "q_stream_tumbling" -> qStreamTumbling _,
     "q_stream_sliding" -> qStreamSliding _,
     "q_stream_session" -> qStreamSession _,
@@ -85,6 +99,16 @@ object StreamTwins {
          |FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type, ts, value FROM events ORDER BY event_id""".stripMargin,
+    "q_stream_outer_join" ->
+      """SELECT v.user_id,
+        |       count(DISTINCT CASE WHEN c.ts IS NOT NULL THEN v.ts END) AS converted_views,
+        |       count(DISTINCT CASE WHEN c.ts IS NULL THEN v.ts END) AS lost_views,
+        |       count(c.ts) AS n_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
     "q_stream_join" ->
       """SELECT v.user_id, count(*) AS n_pairs, count(DISTINCT v.ts) AS n_matched_views
         |FROM events v JOIN events c

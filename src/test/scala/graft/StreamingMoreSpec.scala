@@ -43,6 +43,97 @@ class StreamingMoreSpec extends SparkSuite {
     assert(got == Seq(1L), "only the click within 10 minutes joins")
   }
 
+  test("stream-stream LEFT OUTER interval join: lost view emits once, after the watermark") {
+    // The semantically sharp outer-join case: a view with no click inside
+    // its 10-minute window may emit its null row only once the watermark
+    // has passed the window's upper bound (earlier, a matching click could
+    // still arrive) — and must emit it exactly once.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvT]
+    val q = Pipeline.viewOutcomes(
+        mem.toDF().withColumn("value", lit(0.0)))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_join_out").start()
+    try {
+      mem.addData(
+        EvT(ts("2024-01-01 10:00:00"), 7L, "view"),  // converts at 10:05
+        EvT(ts("2024-01-01 10:05:00"), 7L, "click"),
+        EvT(ts("2024-01-01 10:02:00"), 8L, "view"))  // never converts
+      q.processAllAvailable()
+      val early = spark.table("outer_join_out").collect()
+      assert(early.map(r => (r.getLong(0), Option(r.getTimestamp(2)))).toSet ==
+        Set((7L, Some(ts("2024-01-01 10:05:00")))),
+        "the match emits immediately; the lost view must still be held " +
+          s"(watermark hasn't passed its window): ${early.mkString(",")}")
+      // two more batches, each advancing BOTH event-time branches (the
+      // global watermark is the MIN of the view-side and click-side
+      // watermarks — advancing only one side holds it back forever): the
+      // first moves the watermark past 10:02 + 10 min window + 30 min
+      // delay, the second gives the join the post-advance batch it needs
+      // to flush the evicted view. The sentinel clicks (users 90/91)
+      // can never surface — the right side of a left join emits only on
+      // a match. Sentinel view 9 (12:00) also closes once the 14:00
+      // batch's finalization round runs at watermark 13:30 > 12:40;
+      // view 10 (14:00) stays inside its own horizon.
+      mem.addData(EvT(ts("2024-01-01 12:00:00"), 9L, "view"),
+        EvT(ts("2024-01-01 12:00:00"), 90L, "click"))
+      q.processAllAvailable()
+      mem.addData(EvT(ts("2024-01-01 14:00:00"), 10L, "view"),
+        EvT(ts("2024-01-01 14:00:00"), 91L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("outer_join_out").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)), Option(r.getTimestamp(2))))
+    val lost = out.filter(_._3.isEmpty).sortBy(_._1).toSeq
+    assert(lost == Seq(
+        (8L, Some(ts("2024-01-01 10:02:00")), None),
+        (9L, Some(ts("2024-01-01 12:00:00")), None)),
+      s"each lost view must emit with a null click exactly once: ${out.mkString(",")}")
+    assert(!out.exists(r => Seq(10L, 90L, 91L).contains(r._1)),
+      "views still inside the watermark horizon (and unmatched clicks) " +
+        "must NOT have emitted")
+  }
+
+  test("outer-join twin: streaming viewOutcomes matches its batch flavor when closed") {
+    // On a stream whose watermark has passed every view's join window,
+    // streaming viewOutcomes emits exactly the batch result over the same
+    // rows (minus the horizon-advancing sentinel, filtered out here).
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      EvT(ts("2024-01-01 10:00:00"), 1L, "view"),
+      EvT(ts("2024-01-01 10:03:00"), 1L, "click"),
+      EvT(ts("2024-01-01 10:06:00"), 1L, "click"), // 2 clicks, 1 view
+      EvT(ts("2024-01-01 10:01:00"), 2L, "view"),  // lost
+      EvT(ts("2024-01-01 10:30:00"), 2L, "click")) // outside 2's window
+    val mem = MemoryStream[EvT]
+    val toDf = (df: org.apache.spark.sql.DataFrame) =>
+      Pipeline.viewOutcomes(df.withColumn("value", lit(0.0)))
+    val q = toDf(mem.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("outer_twin_out").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      // sentinel PAIRS: both event-time branches must advance (global
+      // watermark = min of the two sides); the sentinel views stay inside
+      // their own horizon and are filtered from the comparison
+      mem.addData(EvT(ts("2024-01-02 00:00:00"), 99L, "view"),
+        EvT(ts("2024-01-02 00:00:00"), 99L, "click")) // advance
+      q.processAllAvailable()
+      mem.addData(EvT(ts("2024-01-03 00:00:00"), 99L, "view"),
+        EvT(ts("2024-01-03 00:00:00"), 99L, "click")) // flush
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(rows: Seq[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2))))
+      .filter(_._1 != 99L)
+      .sortBy(r => (r._1, r._2.getTime, r._3.map(_.getTime).getOrElse(0L)))
+    val streamed = canon(spark.table("outer_twin_out").collect().toSeq)
+    val batch = canon(toDf(data.toDF()).collect().toSeq)
+    assert(streamed == batch,
+      s"streaming $streamed must equal batch $batch on the closed stream")
+    assert(batch.count(_._3.isEmpty) == 1, "exactly one lost view planted")
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup per micro-batch)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("ad_id", "tier")
