@@ -1087,7 +1087,42 @@ object Relational {
          |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
          |ORDER BY s_suppkey""".stripMargin)
 
+  /** TPC-H Q8 shape (national market share) through the text SQL
+    * surface — the widest join-ORDER exhibit here (8 relations): part,
+    * supplier, lineitem, orders, customer, region, and nation TWICE
+    * under different roles (customer's nation routes through region for
+    * the market filter; supplier's nation becomes the share dimension).
+    * Catalyst must broadcast every dimension (part after its type
+    * filter, supplier, both nation roles, region) and keep
+    * orders⨝lineitem as the single big shuffle. The share is a
+    * conditional aggregate over the exact decimal revenue fragment —
+    * both sums exact, ONE double division at the end, formula text
+    * shared verbatim with the oracle (the q_sql_q14 pattern). */
+  def qSqlQ8(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT o_year,
+         |       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+         |                 THEN vol ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) /
+         |            CAST(sum(vol) AS DOUBLE) AS DOUBLE) AS mkt_share,
+         |       count(*) AS n_lines
+         |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |             ${Det.revDec} AS vol,
+         |             n2.n_name AS supp_nation
+         |      FROM parquet.`$sf/part.parquet`
+         |      JOIN parquet.`$sf/lineitem.parquet` ON p_partkey = l_partkey
+         |      JOIN parquet.`$sf/supplier.parquet` ON s_suppkey = l_suppkey
+         |      JOIN parquet.`$sf/orders.parquet`   ON l_orderkey = o_orderkey
+         |      JOIN parquet.`$sf/customer.parquet` ON o_custkey = c_custkey
+         |      JOIN parquet.`$sf/nation.parquet` n1 ON c_nationkey = n1.n_nationkey
+         |      JOIN parquet.`$sf/region.parquet`   ON n1.n_regionkey = r_regionkey
+         |      JOIN parquet.`$sf/nation.parquet` n2 ON s_nationkey = n2.n_nationkey
+         |      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+         |        AND o_orderdate BETWEEN timestamp'1996-01-01'
+         |                            AND timestamp'1997-12-31') t
+         |GROUP BY o_year ORDER BY o_year""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q8" -> qSqlQ8 _,
     "q_sql_q21" -> qSqlQ21 _,
     "q_sql_q13" -> qSqlQ13 _,
     "q_sql_q16" -> qSqlQ16 _,
@@ -1206,6 +1241,27 @@ object Relational {
          |  AND o_orderdate < timestamp'1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_sql_q8" ->
+      s"""SELECT o_year,
+         |       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+         |                 THEN vol ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) /
+         |            CAST(sum(vol) AS DOUBLE) AS DOUBLE) AS mkt_share,
+         |       count(*) AS n_lines
+         |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |             ${Det.revDec} AS vol,
+         |             n2.n_name AS supp_nation
+         |      FROM part
+         |      JOIN lineitem ON p_partkey = l_partkey
+         |      JOIN supplier ON s_suppkey = l_suppkey
+         |      JOIN orders   ON l_orderkey = o_orderkey
+         |      JOIN customer ON o_custkey = c_custkey
+         |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |      JOIN region   ON n1.n_regionkey = r_regionkey
+         |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+         |        AND o_orderdate BETWEEN timestamp'1996-01-01'
+         |                            AND timestamp'1997-12-31') t
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_sql_q21" ->
       """SELECT s_name, count(*) AS numwait
         |FROM supplier s

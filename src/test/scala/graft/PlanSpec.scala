@@ -803,6 +803,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_sql_q8: 8-relation join — filters pushed, dimensions broadcast, no nested loop") {
+    val p = plan("q_sql_q8")
+    assert(p.contains("EqualTo(p_type,PROMO)"),
+      "the part-type filter must push into the part scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the two-year window must reach the orders scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "the dimension chain (part/supplier/nation roles/region) must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_sql_q21: both correlations decorrelate — one LeftSemi AND one LeftAnti") {
     val p = plan("q_sql_q21")
     assert(p.contains("LeftSemi"),
