@@ -106,6 +106,27 @@ object Pipeline {
       .select("user_id", "v_ts", "c_ts")
   }
 
+  /** CHAINED stateful operators in one query: the [[clicksWithin]]
+    * stream-stream interval join feeding a tumbling-window aggregation
+    * of conversion pairs per hour — two stateful operators (join state +
+    * window state) in a single streaming plan, the shape Spark supports
+    * since 3.5 (SPARK-42376) and the reason watermarks PROPAGATE: the
+    * window may only close once the join can emit nothing earlier than
+    * it. In batch this is a plain join + agg; one definition serves
+    * both. At scale: join shuffles on user_id, the window agg re-keys on
+    * the hour bucket — two exchanges, both keyed, state bounded by the
+    * watermark on both operators. */
+  def attributedHourlyCounts(events: DataFrame): DataFrame =
+    clicksWithin(events)
+      .groupBy(window(col("v_ts"), "1 hour"))
+      // plain count only: DISTINCT aggregates are unsupported in
+      // streaming plans, and this definition must serve both flavors
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("n_pairs"))
+
   /** Stream-static enrichment + windowed rollup: join each event to its
     * dimension row (user_id mod 25 keys the synthetic nation dim), then
     * count/sum per (1-hour window, dimension attribute). The dim is

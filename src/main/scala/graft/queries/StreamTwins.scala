@@ -58,7 +58,12 @@ object StreamTwins {
       .orderBy("user_id")
   }
 
+  def qStreamJoinAgg(s: SparkSession, sf: String): DataFrame =
+    Pipeline.attributedHourlyCounts(Tables.events(s, sf))
+      .orderBy("win_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join_agg" -> qStreamJoinAgg _,
     "q_stream_outer_join" -> qStreamOuterJoin _,
     "q_stream_tumbling" -> qStreamTumbling _,
     "q_stream_sliding" -> qStreamSliding _,
@@ -99,6 +104,15 @@ object StreamTwins {
          |FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type, ts, value FROM events ORDER BY event_id""".stripMargin,
+    "q_stream_join_agg" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, v.ts) AS win_start,
+        |       time_bucket(INTERVAL 1 HOUR, v.ts) + INTERVAL 1 HOUR AS win_end,
+        |       count(*) AS n_pairs
+        |FROM events v JOIN events c
+        |  ON c.user_id = v.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        |GROUP BY 1, 2 ORDER BY win_start""".stripMargin,
     "q_stream_outer_join" ->
       """SELECT v.user_id,
         |       count(DISTINCT CASE WHEN c.ts IS NOT NULL THEN v.ts END) AS converted_views,

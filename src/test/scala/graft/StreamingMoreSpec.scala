@@ -134,6 +134,47 @@ class StreamingMoreSpec extends SparkSuite {
     assert(batch.count(_._3.isEmpty) == 1, "exactly one lost view planted")
   }
 
+  test("chained stateful operators: interval join feeding a windowed agg in ONE query") {
+    // Two stateful operators in a single streaming plan (join state +
+    // window state): the window may only emit once the PROPAGATED
+    // watermark — delayed by the join's own output lateness — passes its
+    // end. Closed-stream result must equal the batch flavor.
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      EvT(ts("2024-01-01 10:00:00"), 1L, "view"),
+      EvT(ts("2024-01-01 10:03:00"), 1L, "click"),  // pair in hour 10
+      EvT(ts("2024-01-01 10:40:00"), 2L, "view"),
+      EvT(ts("2024-01-01 10:45:00"), 2L, "click"),  // pair in hour 10
+      EvT(ts("2024-01-01 11:20:00"), 3L, "view"),
+      EvT(ts("2024-01-01 11:25:00"), 3L, "click"),  // pair in hour 11
+      EvT(ts("2024-01-01 11:30:00"), 4L, "view"))   // lost: no pair
+    val mem = MemoryStream[EvT]
+    val toDf = (df: org.apache.spark.sql.DataFrame) =>
+      Pipeline.attributedHourlyCounts(df.withColumn("value", lit(0.0)))
+    val q = toDf(mem.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("join_agg_out").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      // close both hours: advance BOTH event-time branches far enough
+      // that the propagated watermark passes 12:00
+      mem.addData(EvT(ts("2024-01-02 00:00:00"), 99L, "view"),
+        EvT(ts("2024-01-02 00:00:00"), 99L, "click"))
+      q.processAllAvailable()
+      mem.addData(EvT(ts("2024-01-03 00:00:00"), 99L, "view"),
+        EvT(ts("2024-01-03 00:00:00"), 99L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("join_agg_out").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2))).sortBy(_._1.getTime).toSeq
+    assert(streamed == Seq(
+        (ts("2024-01-01 10:00:00"), 2L), (ts("2024-01-01 11:00:00"), 1L)),
+      s"closed hourly conversion counts: $streamed")
+    val batch = toDf(data.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2))).sortBy(_._1.getTime).toSeq
+    assert(streamed == batch, s"streaming $streamed must equal batch $batch")
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup per micro-batch)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("ad_id", "tier")
