@@ -1121,7 +1121,35 @@ object Relational {
          |                            AND timestamp'1997-12-31') t
          |GROUP BY o_year ORDER BY o_year""".stripMargin)
 
+  /** TPC-H Q2 shape (minimum-cost supplier) through the text SQL
+    * surface — the CORRELATED-MIN-EQUALITY exhibit (Q2's signature
+    * predicate): each part's candidate rows must equal that part's OWN
+    * minimum price, written as a correlated scalar MIN subquery that
+    * Catalyst decorrelates into a per-part aggregate joined back on
+    * p_partkey — never a per-row lineitem rescan. Lineitem's unit price
+    * stands in for the official partsupp supplycost; the winning rows
+    * route through supplier→nation for the report columns. The min
+    * equality compares exact decimals (a float min would make ties
+    * order-dependent); DISTINCT collapses a supplier hitting the same
+    * part's min price on several lineitems. */
+  def qSqlQ2(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT DISTINCT p_partkey, s_suppkey, s_name, n_name,
+         |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS best_price
+         |FROM parquet.`$sf/part.parquet` p
+         |JOIN parquet.`$sf/lineitem.parquet` l ON l_partkey = p_partkey
+         |JOIN parquet.`$sf/supplier.parquet` s ON s_suppkey = l_suppkey
+         |JOIN parquet.`$sf/nation.parquet` n ON s_nationkey = n_nationkey
+         |WHERE p_size <= 5
+         |  AND CAST(l_extendedprice AS DECIMAL(12,2)) = (
+         |    SELECT min(CAST(l2.l_extendedprice AS DECIMAL(12,2)))
+         |    FROM parquet.`$sf/lineitem.parquet` l2
+         |    WHERE l2.l_partkey = p.p_partkey)
+         |ORDER BY p_partkey, s_suppkey
+         |LIMIT 100""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q2" -> qSqlQ2 _,
     "q_sql_q8" -> qSqlQ8 _,
     "q_sql_q21" -> qSqlQ21 _,
     "q_sql_q13" -> qSqlQ13 _,
@@ -1241,6 +1269,19 @@ object Relational {
          |  AND o_orderdate < timestamp'1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_sql_q2" ->
+      """SELECT DISTINCT p_partkey, s_suppkey, s_name, n_name,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS best_price
+        |FROM part p
+        |JOIN lineitem l ON l_partkey = p_partkey
+        |JOIN supplier s ON s_suppkey = l_suppkey
+        |JOIN nation n ON s_nationkey = n_nationkey
+        |WHERE p_size <= 5
+        |  AND CAST(l_extendedprice AS DECIMAL(12,2)) = (
+        |    SELECT min(CAST(l2.l_extendedprice AS DECIMAL(12,2)))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
     "q_sql_q8" ->
       s"""SELECT o_year,
          |       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3'

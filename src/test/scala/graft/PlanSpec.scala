@@ -803,6 +803,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_sql_q2: the correlated MIN decorrelates to an aggregate join") {
+    val p = plan("q_sql_q2")
+    assert(p.contains("LessThanOrEqual(p_size,5)"),
+      "the part size filter must push into the part scan")
+    assert(p.contains("min("),
+      "the per-part minimum must appear as a decorrelated aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the min-equality probe must never become a per-row lineitem rescan")
+  }
+
   test("q_sql_q8: 8-relation join — filters pushed, dimensions broadcast, no nested loop") {
     val p = plan("q_sql_q8")
     assert(p.contains("EqualTo(p_type,PROMO)"),
