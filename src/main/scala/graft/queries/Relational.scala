@@ -1148,7 +1148,76 @@ object Relational {
          |ORDER BY p_partkey, s_suppkey
          |LIMIT 100""".stripMargin)
 
+  /** TPC-H Q6 shape (forecasting revenue change) through the text SQL
+    * surface — the SCAN-DOMINATED exhibit: single table, no join, every
+    * predicate (date year, discount band, quantity cap) pushable to the
+    * parquet reader, one global conditional aggregate. The point at
+    * 100 TB: this query IS its scan — the plan must show all three
+    * predicates in PushedFilters and a two-phase aggregate over the
+    * pruned read, nothing else. Exact decimal product sum surfaced as
+    * DOUBLE once. */
+  def qSqlQ6(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+         |       count(*) AS n_lines
+         |FROM parquet.`$sf/lineitem.parquet`
+         |WHERE l_shipdate >= timestamp'1997-01-01'
+         |  AND l_shipdate < timestamp'1998-01-01'
+         |  AND l_discount BETWEEN 0.02 AND 0.06
+         |  AND l_quantity < 24""".stripMargin)
+
+  /** TPC-H Q9 shape (product-type profit) through the text SQL
+    * surface — the PROFIT-EXPRESSION exhibit: revenue minus cost as ONE
+    * exact decimal expression summed per (nation, year), parts selected
+    * by an unpushable-to-stats LIKE '%gear%' (infix match — the scan
+    * still prunes columns, the filter rides the part dimension), the
+    * supplier's nation as the grouping dimension. p_retailprice·qty·0.60
+    * stands in for the official partsupp supplycost (no partsupp in the
+    * fixture) — same expression structure, exact decimals throughout,
+    * one DOUBLE cast at the end. */
+  def qSqlQ9(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |       CAST(sum(${Det.revDec}
+         |            - CAST(p_retailprice AS DECIMAL(12,2))
+         |              * CAST(l_quantity AS DECIMAL(12,2))
+         |              * CAST(0.60 AS DECIMAL(4,2))) AS DOUBLE) AS profit,
+         |       count(*) AS n_lines
+         |FROM parquet.`$sf/part.parquet`
+         |JOIN parquet.`$sf/lineitem.parquet` ON p_partkey = l_partkey
+         |JOIN parquet.`$sf/supplier.parquet` ON s_suppkey = l_suppkey
+         |JOIN parquet.`$sf/orders.parquet`   ON o_orderkey = l_orderkey
+         |JOIN parquet.`$sf/nation.parquet`   ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)
+
+  /** TPC-H Q12 shape (shipping-mode priority audit) through the text
+    * SQL surface — the TWO-WAY CONDITIONAL COUNT exhibit: one pass over
+    * the date-pruned orders⨝lineitem join, each group's rows split into
+    * high/low priority classes by CASE inside the aggregate (never two
+    * scans or a pivot). Adapted to the fixture's columns: return flag
+    * stands in for l_shipmode as the grouping key, and "late" = shipped
+    * >30 days after the order date replaces the commit/receipt
+    * comparison. Exact integer counts. */
+  def qSqlQ12(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT l_returnflag,
+         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM parquet.`$sf/orders.parquet` o
+         |JOIN parquet.`$sf/lineitem.parquet` l ON o_orderkey = l_orderkey
+         |WHERE l_shipdate >= timestamp'1997-01-01'
+         |  AND l_shipdate < timestamp'1998-01-01'
+         |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q6" -> qSqlQ6 _,
+    "q_sql_q9" -> qSqlQ9 _,
+    "q_sql_q12" -> qSqlQ12 _,
     "q_sql_q2" -> qSqlQ2 _,
     "q_sql_q8" -> qSqlQ8 _,
     "q_sql_q21" -> qSqlQ21 _,
@@ -1269,6 +1338,41 @@ object Relational {
          |  AND o_orderdate < timestamp'1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_sql_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp'1997-01-01'
+        |  AND l_shipdate < timestamp'1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q_sql_q9" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |       CAST(sum(${Det.revDec}
+         |            - CAST(p_retailprice AS DECIMAL(12,2))
+         |              * CAST(l_quantity AS DECIMAL(12,2))
+         |              * CAST(0.60 AS DECIMAL(4,2))) AS DOUBLE) AS profit,
+         |       count(*) AS n_lines
+         |FROM part
+         |JOIN lineitem ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN orders   ON o_orderkey = l_orderkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q_sql_q12" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o
+        |JOIN lineitem l ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= timestamp'1997-01-01'
+        |  AND l_shipdate < timestamp'1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sql_q2" ->
       """SELECT DISTINCT p_partkey, s_suppkey, s_name, n_name,
         |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS best_price

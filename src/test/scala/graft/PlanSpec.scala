@@ -803,6 +803,35 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_sql_q6: the query IS its scan — all three predicates pushed, two-phase agg") {
+    val p = plan("q_sql_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "the ship-year window must reach the lineitem scan")
+    assert(p.contains("LessThan(l_quantity,24.0)"),
+      "the quantity cap must reach the scan")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.02)"),
+      "the discount band must reach the scan — a decimal CAST on the " +
+        "column would block it; the band compares raw stored doubles " +
+        "against literals (bit-identical in both engines), the decimal " +
+        "cast is only for the sum")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial + final aggregate over the pruned read")
+    assert(!p.contains("Join"), "Q6 must not acquire a join")
+  }
+
+  test("q_sql_q9 and q_sql_q12: date windows pushed, single-pass conditional aggs") {
+    val p9 = plan("q_sql_q9")
+    assert(p9.contains("StringContains(p_name,gear)"),
+      "the infix LIKE must still reach the part scan as a contains filter")
+    assert(!p9.contains("CartesianProduct") && !p9.contains("BroadcastNestedLoopJoin"))
+    val p12 = plan("q_sql_q12")
+    assert(p12.contains("GreaterThanOrEqual(l_shipdate"),
+      "the ship window must reach the lineitem scan")
+    assert("HashAggregate".r.findAllIn(p12).size >= 2,
+      "the high/low split is CASE inside one aggregate pass, never two scans")
+    assert(!p12.contains("CartesianProduct") && !p12.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_sql_q2: the correlated MIN decorrelates to an aggregate join") {
     val p = plan("q_sql_q2")
     assert(p.contains("LessThanOrEqual(p_size,5)"),
