@@ -1214,7 +1214,30 @@ object Relational {
          |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
+  /** TPC-H Q1 (pricing summary) through the text SQL surface — the SQL
+    * twin of the DataFrame flagship [[qAggQ1]]: same exact decimal
+    * lanes, same two-phase aggregate, arriving through the parser
+    * instead of the fluent API. With this the SQL surface carries 21 of
+    * the 22 TPC-H shapes on this schema (partsupp-only Q11 has no
+    * stand-in) — a user can run the whole suite as text. */
+  def qSqlQ1(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sumDec2("l_quantity")} AS sum_qty,
+         |       ${sumDec2("l_extendedprice")} AS sum_base_price,
+         |       ${sumAsDouble(revDec)} AS sum_disc_price,
+         |       ${sumAsDouble(chargeDec)} AS sum_charge,
+         |       ${avgDec2("l_quantity")} AS avg_qty,
+         |       ${avgDec2("l_extendedprice")} AS avg_price,
+         |       ${avgDec2("l_discount")} AS avg_disc,
+         |       count(*) AS count_order
+         |FROM parquet.`$sf/lineitem.parquet`
+         |WHERE l_shipdate <= timestamp'2000-01-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q1" -> qSqlQ1 _,
     "q_sql_q6" -> qSqlQ6 _,
     "q_sql_q9" -> qSqlQ9 _,
     "q_sql_q12" -> qSqlQ12 _,
@@ -1710,6 +1733,18 @@ object Relational {
         |FROM capped WHERE rn <= 2
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+    "q_sql_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sumDec2("l_quantity")} AS sum_qty,
+         |       ${sumDec2("l_extendedprice")} AS sum_base_price,
+         |       ${sumAsDouble(revDec)} AS sum_disc_price,
+         |       ${sumAsDouble(chargeDec)} AS sum_charge,
+         |       ${avgDec2("l_quantity")} AS avg_qty,
+         |       ${avgDec2("l_extendedprice")} AS avg_price,
+         |       ${avgDec2("l_discount")} AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sumDec2("l_quantity")} AS sum_qty,
