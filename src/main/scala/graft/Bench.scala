@@ -14,8 +14,20 @@ import org.apache.spark.sql.SparkSession
   * Failures are loud: a query that throws is recorded with `-1` in the
   * queries map and listed in `errors`; `failed` carries the count and the
   * process exits non-zero — a regression cannot silently improve the total.
+  *
+  * Materialization is a NOOP-SINK WRITE, not `.count()`: under a count,
+  * Catalyst correctly prunes output work whose cardinality is guaranteed
+  * — left joins onto unique-key aggregates vanish (q_semdedup's whole
+  * pair stage), unreferenced aggregate expressions are dropped from
+  * HashAggregate, and projected expression columns are eliminated — so a
+  * count-based total under-reports the work a consumer actually pays.
+  * The noop sink consumes every row and column (the full-board A/B at
+  * sf0.1 measured 97.6 s count vs 174.7 s noop before the q_try_arith
+  * fixture fix; PERF.md "honest materialization").
   */
 object Bench {
+  private[graft] def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,7 +61,7 @@ object Bench {
     // Runs unconditionally — even when benching sf0.001 itself, the cold
     // pass should measure plans and IO, not codegen compilation.
     SparkEntry.queries.values.foreach { fn =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try materialize(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
       Caches.drain(spark)
     }
@@ -60,7 +72,7 @@ object Bench {
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { materialize(fn(spark, sfDir)); true }
           catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         // per-query cache release: a 205-query session must never hold the

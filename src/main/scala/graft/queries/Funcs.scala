@@ -129,15 +129,23 @@ object Funcs {
   /** ANSI-safe arithmetic: try_divide / try_add / try_cast return NULL
     * where strict ANSI mode would raise (division by zero, long overflow,
     * malformed cast) — the semantics a pipeline wants for dirty data.
-    * The divisor floor(l_quantity) - 25 is genuinely zero for a slice of
-    * rows, so both NULL and non-NULL paths are exercised. */
+    * Every capture kind exercises BOTH lanes on deterministic slices
+    * (zero divisor where quantity = 25; overflow and bad-cast on the
+    * l_orderkey % 100 = 0 slice). The failure lane is exception-backed
+    * per row (~15-20 µs/row measured at sf0.1), so the dirty slice is
+    * 1% — an expression whose try_ fails on EVERY row is a data bug
+    * upstream, not a workload, and benching one distorts the board
+    * (the pre-fix shape cost 30 s under honest materialization). */
   def qTryArith(s: SparkSession, sf: String): DataFrame =
     Tables.lineitem(s, sf)
       .select(
         col("l_orderkey"), col("l_linenumber"),
         expr("try_divide(l_extendedprice, floor(l_quantity) - 25)").as("div_maybe0"),
-        expr("try_add(l_orderkey, CAST(9223372036854775807 AS BIGINT))").as("add_ovf"),
-        expr("try_cast(l_returnflag AS INT)").as("cast_bad"),
+        expr("try_add(l_orderkey, CASE WHEN l_orderkey % 100 = 0 " +
+          "THEN CAST(9223372036854775807 AS BIGINT) " +
+          "ELSE CAST(1000000 AS BIGINT) END)").as("add_ovf"),
+        expr("try_cast(CASE WHEN l_orderkey % 100 = 0 THEN l_returnflag " +
+          "ELSE CAST(l_linenumber AS STRING) END AS INT)").as("cast_bad"),
         expr("try_cast(cast(l_orderkey AS STRING) AS INT)").as("cast_ok"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -175,8 +183,12 @@ object Funcs {
     "q_try_arith" ->
       """SELECT l_orderkey, l_linenumber,
         |       l_extendedprice / nullif(floor(l_quantity) - 25, 0) AS div_maybe0,
-        |       CASE WHEN l_orderkey = 0 THEN 9223372036854775807 ELSE CAST(NULL AS BIGINT) END AS add_ovf,
-        |       TRY_CAST(l_returnflag AS INT) AS cast_bad,
+        |       CASE WHEN l_orderkey % 100 = 0
+        |            THEN (CASE WHEN l_orderkey > 0 THEN CAST(NULL AS BIGINT)
+        |                       ELSE 9223372036854775807 END)
+        |            ELSE l_orderkey + 1000000 END AS add_ovf,
+        |       TRY_CAST(CASE WHEN l_orderkey % 100 = 0 THEN l_returnflag
+        |                     ELSE CAST(l_linenumber AS VARCHAR) END AS INT) AS cast_bad,
         |       TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INT) AS cast_ok
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_str_funcs" ->

@@ -769,9 +769,10 @@ object VectorOps {
     * PRECONDITION at scale: the clustering granularity must grow with
     * the corpus (SemDeDup uses k ∝ n, cluster size ~constant) — feeding
     * fixed-count clusters makes Σ|cluster|² quadratic in n, measured at
-    * 147× wall on the 100× corpus (PERF.md batch 5, tools.SemProbe;
-    * note Perf/Bench `.count()` is vacuous here — Catalyst drops the
-    * left join onto the unique-key pair aggregate under a count). The
+    * 147× wall on the 100× corpus (PERF.md batch 5, tools.SemProbe —
+    * the query that exposed count()-based timing as vacuous here, since
+    * Catalyst drops the left join onto the unique-key pair aggregate
+    * under a count; Bench/Perf now materialize via the noop sink). The
     * cosine threshold (0.35, tuned non-vacuous at every fixture SF) is
     * evaluated entirely in quantized-integer space — lanes floor(x·128)
     * (exponent shift, no rounding), cos ≥ τ rewritten as

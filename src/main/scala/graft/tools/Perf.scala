@@ -1,6 +1,8 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Steady-state per-query timing: run each query N times, report min. */
+/** Steady-state per-query timing: run each query N times, report min.
+  * Materializes through the noop sink (never `.count()` — a count lets
+  * Catalyst prune output-column work, see `graft.Bench`'s scaladoc). */
 object Perf {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -15,7 +17,7 @@ object Perf {
     val rows = names.map { n =>
       val fn = graft.SparkEntry.queries(n)
       val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        val t0 = System.nanoTime(); graft.Bench.materialize(fn(spark, sfDir))
         val t = (System.nanoTime() - t0) / 1e9
         // drain between reps so every rep pays the query's true cost —
         // min-of-N over a cache a prior rep left behind is not steady state
