@@ -55,6 +55,10 @@ object GraftFunctions {
       info("graft_bloom_contains", classOf[BloomContains],
         "graft_bloom_contains(bf, key) - codegen'd Bloom membership probe (false = definitely absent)"),
       (es: Seq[Expression]) => BloomContains(es(0), es(1))),
+    (FunctionIdentifier("graft_rollhash"),
+      info("graft_rollhash", classOf[RollingHash],
+        "graft_rollhash(s) - rolling polynomial content hash (base 31, mod 1e9+7) over a string's characters (codegen'd, one linear pass)"),
+      (es: Seq[Expression]) => RollingHash(es.head)),
     (FunctionIdentifier("graft_kll_quantile"),
       info("graft_kll_quantile", classOf[KllQuantile],
         "graft_kll_quantile(x, rank) - mergeable DataSketches KLL quantile aggregate (rank must be a literal in [0,1])"),

@@ -72,14 +72,20 @@ object TextOps {
       .select("doc_id", "ws_tokens", "bpe_pieces")
       .orderBy("doc_id")
 
-  /** Rolling polynomial hash (base 31, mod 1e9+7) over the text's bytes —
-    * a content fingerprint computable as a sequential fold on both engines
-    * (modulus keeps every intermediate far from long overflow, which ANSI
-    * mode would reject). */
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the text's
+    * characters — a content fingerprint computable as a sequential fold
+    * on both engines (modulus keeps every intermediate far from long
+    * overflow, which ANSI mode would reject). Runs as the codegen'd
+    * [[graft.functions.RollingHash]] expression (one linear pass); the
+    * HOF formulation it replaces — `aggregate(sequence(1, length(text)),
+    * …, (acc, i) -> (acc·31 + ascii(substring(text, i, 1))) % 1e9+7)` —
+    * was QUADRATIC per document (substring re-scans UTF-8 from the start
+    * each position) and interpreted (CodegenFallback), 3.16 s → 0.2 s at
+    * sf0.1; VectorExprSpec pins expression ≡ HOF value equality. */
   def qTextFingerprint(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)
       .withColumn("fingerprint",
-        expr("aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"))
+        graft.functions.TextExpressions.rollHash(col("text")))
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
 

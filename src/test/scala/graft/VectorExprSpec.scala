@@ -106,4 +106,37 @@ class VectorExprSpec extends SparkSuite {
       Option(t).toList.flatMap(e => Option(e.getMessage).toList ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("degenerate")), "constant vector must raise")
   }
+
+  test("rollHash matches the HOF formulation bit-for-bit on real data") {
+    // the quadratic-per-doc lambda the expression replaced — kept here as
+    // the reference model so the linear kernel can never drift from it
+    val hof = "aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), " +
+      "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"
+    val diffs = Tables.documents(spark, sf001)
+      .withColumn("native", graft.functions.TextExpressions.rollHash(col("text")))
+      .withColumn("ref", expr(hof))
+      .filter(col("native") =!= col("ref"))
+      .count()
+    assert(diffs == 0, "codegen'd rolling hash must equal the HOF fold")
+  }
+
+  test("rollHash: code-point semantics (non-ASCII + surrogate pair), null propagates") {
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, "café"), (3L, "a😀b"), (4L, ""))
+      .toDF("id", "text")
+    val hof = "aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), " +
+      "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"
+    val rows = df
+      .withColumn("native", graft.functions.TextExpressions.rollHash(col("text")))
+      .withColumn("ref", expr(hof))
+      .collect()
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"code-point fold must match ascii(substring(..)) on '${r.getString(1)}'"))
+    assert(df.filter(col("id") === 4L)
+      .select(graft.functions.TextExpressions.rollHash(col("text")))
+      .head.getLong(0) == 0L, "empty string folds to the seed")
+    val nulls = df.withColumn("t2", when(col("id") === 1L, col("text")))
+      .select(graft.functions.TextExpressions.rollHash(col("t2"))).collect()
+    assert(nulls.count(_.isNullAt(0)) == 3, "null input must propagate")
+  }
 }
