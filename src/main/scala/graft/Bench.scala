@@ -103,7 +103,7 @@ object Bench {
         .mkString("{", ",", "}")
     val errs = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${qjson(warm)},"cold_value":$coldTotal,"cold_queries":${qjson(cold)},"steady_value":$steadyTotal,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failedNames.size},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${qjson(warm)},"cold_value":$coldTotal,"cold_queries":${qjson(cold)},"steady_value":$steadyTotal,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failedNames.size},"errors":$errs,"materialization":"noop-sink (full rows+columns; pre-r12 rounds timed .count(), which let Catalyst prune output work - totals are not comparable across that change)","sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
       try w.println(fullJson) finally w.close()
@@ -119,7 +119,7 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"queries_cs","unit":"centisec","queries":$centis}""")
     // compact total LAST: short enough to survive any output-tail capture
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_value":$coldTotal,"steady_value":$steadyTotal,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failedNames.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_value":$coldTotal,"steady_value":$steadyTotal,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failedNames.size},"materialization":"noop","sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }
