@@ -991,8 +991,10 @@ object Relational {
     * (shipped >60 days after the order date), re-derived inside the
     * anti side via its own orders join so the correlation stays a pure
     * orderkey equality. Both probe sides shuffle on l_orderkey — at
-    * 100 TB that is 3 co-partitioned exchanges of the same table, a
-    * shape AQE can reuse. Counts are exact ints. */
+    * 100 TB that is three column-pruned passes over lineitem, each
+    * exchanged on the order key (the probes project different columns,
+    * so the exchanges are distinct subtrees — no ReusedExchange; this
+    * is Q21's textbook cost). Counts are exact ints. */
   def qSqlQ21(s: SparkSession, sf: String): DataFrame =
     s.sql(
       s"""SELECT s_name, count(*) AS numwait
