@@ -75,4 +75,29 @@ class CachesSpec extends SparkSuite {
     assert(counts == audited,
       s"bare .cache() inventory drifted — audit the new/removed sites: $counts")
   }
+
+  test("no quadratic per-character HOF folds in query source") {
+    // `aggregate(sequence(1, length(s)), …, substring(s, i, 1))` is
+    // QUADRATIC per value: substring re-scans UTF-8 from the start for
+    // every position (no random access), and the lambda runs interpreted
+    // (CodegenFallback). The fingerprint query shipped this shape for 11
+    // rounds (3.16 s at sf0.1, minutes at 100×) until the honest-
+    // materialization A/B exposed it; per-character folds belong in a
+    // codegen'd expression (functions/TextExpressions.RollingHash).
+    // Per-WORD char walks (BPE's bounded ~10-char tokens) are exempt by
+    // construction: this net keys on folding over a length() sequence.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala
+          .map(_.trim).filterNot(l => l.startsWith("*") || l.startsWith("//"))
+          .filter(l => l.contains("aggregate(sequence(1, length("))
+          .map(l => s"${root.relativize(p)}: $l")
+      }.toList
+    assert(offenders.isEmpty,
+      s"quadratic per-character fold reintroduced — use a codegen'd " +
+        s"expression instead:\n${offenders.mkString("\n")}")
+  }
 }
