@@ -1087,7 +1087,38 @@ object TextOps {
       .limit(20)
   }
 
+  /** C4-style quality-filter FUNNEL report: a fixed cascade of four
+    * deterministic per-document filters (too short → low lexical
+    * diversity → high mean token length → over-long token), each doc
+    * attributed to the FIRST stage that kills it (0 = survives all),
+    * with doc and token mass per stage — the audit every filtering
+    * pipeline publishes before committing a corpus cut. All predicates
+    * are exact integer comparisons (counts and character totals,
+    * ratio thresholds multiplied through — no float ratios to disagree
+    * on), thresholds tuned non-vacuous at every fixture SF. At 100 TB
+    * this is ONE corpus scan computing per-doc integers, then a
+    * 5-group partial agg — no shuffle carries document text. */
+  def qFilterFunnel(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf).select(
+      col("doc_id"),
+      expr("size(split(text, ' '))").as("ntok"),
+      expr("size(array_distinct(split(text, ' ')))").as("ndis"),
+      expr("length(replace(text, ' ', ''))").as("ntokch"),
+      expr("array_max(transform(split(text, ' '), t -> length(t)))").as("mxtok"))
+    d.select(col("ntok"),
+        expr("""CASE WHEN ntok < 12 THEN 1
+               |     WHEN ndis * 10 < ntok * 3 THEN 2
+               |     WHEN ntokch * 100 > ntok * 495 THEN 3
+               |     WHEN mxtok >= 8 THEN 4
+               |     ELSE 0 END""".stripMargin).as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").cast("bigint").as("n_tokens"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_funnel" -> qFilterFunnel _,
     "q_dsir_weights" -> qDsirWeights _,
     "q_lm_score" -> qLmScore _,
     "q_token_budget" -> qTokenBudget _,
@@ -1182,6 +1213,25 @@ object TextOps {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_filter_funnel" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS ntok,
+        |         len(list_distinct(string_split(text, ' '))) AS ndis,
+        |         length(replace(text, ' ', '')) AS ntokch,
+        |         list_max(list_transform(string_split(text, ' '),
+        |                                 t -> length(t))) AS mxtok
+        |  FROM documents),
+        |staged AS (
+        |  SELECT ntok,
+        |         CASE WHEN ntok < 12 THEN 1
+        |              WHEN ndis * 10 < ntok * 3 THEN 2
+        |              WHEN ntokch * 100 > ntok * 495 THEN 3
+        |              WHEN mxtok >= 8 THEN 4
+        |              ELSE 0 END AS stage
+        |  FROM d)
+        |SELECT stage, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
     "q_dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, source,

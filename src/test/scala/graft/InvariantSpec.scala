@@ -962,6 +962,32 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("filter_funnel: stage attribution matches a scala replay; masses conserve") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def stage(text: String): (Int, Long) = {
+      val toks = text.split(" ", -1)
+      val ntok = toks.length.toLong
+      val s =
+        if (ntok < 12) 1
+        else if (toks.distinct.length * 10 < ntok * 3) 2
+        else if (toks.map(_.length.toLong).sum * 100 > ntok * 495) 3
+        else if (toks.map(_.length).max >= 8) 4
+        else 0
+      (s, ntok)
+    }
+    val model = docs.map(d => stage(d._2)).groupBy(_._1)
+      .map { case (s, g) => s -> ((g.length.toLong, g.map(_._2).sum)) }
+    val out = TextOps.qFilterFunnel(spark, sf001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == model, s"funnel diverges from the replay: got $out want $model")
+    assert(out.keySet == Set(0, 1, 2, 3, 4),
+      "every cascade stage (and the pass-through) must be non-vacuous")
+    assert(out.values.map(_._1).sum == docs.length.toLong,
+      "every document is attributed to exactly one stage")
+  }
+
   test("dsir_weights: top-20 weights match an integer-division replay; raw docs only") {
     val docs = Tables.documents(spark, sf001)
       .select(col("doc_id"), col("source"), col("text")).collect()
