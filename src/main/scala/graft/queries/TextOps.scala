@@ -1117,7 +1117,50 @@ object TextOps {
       .orderBy("stage")
   }
 
+  /** T5-style span-corruption example construction (Raffel et al. 2020):
+    * every 5th 3-token span is masked — the input keeps one
+    * `<extra_id_k>` sentinel per masked span, the target is the
+    * sentinel-delimited concatenation of the masked spans — the
+    * denoising-objective (input, target) pair builder, the example-
+    * construction step after packing/chunking. Span selection is pure
+    * POSITION ARITHMETIC (span = pos div 3, masked ⇔ span % 5 = 4,
+    * sentinel ordinal k = span div 5) — deterministic across engines,
+    * runs, and cluster layouts, never an RNG draw (the production form
+    * seeds per-doc hashes; the arithmetic keeps the oracle exact).
+    * Docs shorter than 13 tokens have no masked span → null target,
+    * preserved. At 100 TB: one token explode (linear), lane rows are map
+    * work, and the rebuild is one (doc, lane)-keyed aggregate whose
+    * state is bounded by document length — text shuffles once. */
+  def qSpanMask(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("span", expr("pos div 3"))
+      .withColumn("masked", expr("(pos div 3) % 5 = 4"))
+      .withColumn("k", expr("(pos div 3) div 5"))
+    def sentinel = expr("concat('<extra_id_', k, '>')")
+    val lanes = toks.filter(!col("masked"))
+        .select(col("doc_id"), lit("input").as("lane"),
+          expr("2 * pos").as("key"), col("tok"))
+      .unionAll(toks.filter(col("masked") && expr("pos % 3 = 0"))
+        .select(col("doc_id"), lit("input").as("lane"),
+          expr("2 * pos").as("key"), sentinel.as("tok")))
+      .unionAll(toks.filter(col("masked") && expr("pos % 3 = 0"))
+        .select(col("doc_id"), lit("target").as("lane"),
+          expr("2 * span * 3 - 1").as("key"), sentinel.as("tok")))
+      .unionAll(toks.filter(col("masked"))
+        .select(col("doc_id"), lit("target").as("lane"),
+          expr("2 * pos").as("key"), col("tok")))
+    lanes.groupBy("doc_id", "lane")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(key, tok))), x -> x.tok), ' ')").as("txt"))
+      .groupBy("doc_id")
+      .agg(max(when(col("lane") === "input", col("txt"))).as("input_text"),
+        max(when(col("lane") === "target", col("txt"))).as("target_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_mask" -> qSpanMask _,
     "q_filter_funnel" -> qFilterFunnel _,
     "q_dsir_weights" -> qDsirWeights _,
     "q_lm_score" -> qLmScore _,
@@ -1213,6 +1256,33 @@ object TextOps {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_span_mask" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |       UNNEST(range(1, len(t) + 1)) AS r(i)),
+        |tagged AS (
+        |  SELECT doc_id, pos, tok, pos // 3 AS span,
+        |         (pos // 3) % 5 = 4 AS masked, (pos // 3) // 5 AS k
+        |  FROM toks),
+        |lanes AS (
+        |  SELECT doc_id, 'input' AS lane, 2 * pos AS key, tok
+        |  FROM tagged WHERE NOT masked
+        |  UNION ALL
+        |  SELECT doc_id, 'input', 2 * pos, '<extra_id_' || k || '>'
+        |  FROM tagged WHERE masked AND pos % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'target', 2 * span * 3 - 1, '<extra_id_' || k || '>'
+        |  FROM tagged WHERE masked AND pos % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'target', 2 * pos, tok FROM tagged WHERE masked),
+        |agg AS (
+        |  SELECT doc_id, lane, string_agg(tok, ' ' ORDER BY key) AS txt
+        |  FROM lanes GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       max(CASE WHEN lane = 'input' THEN txt END) AS input_text,
+        |       max(CASE WHEN lane = 'target' THEN txt END) AS target_text
+        |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_filter_funnel" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -962,6 +962,48 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("span_mask: input/target pairs match a scala replay; round-trip reconstructs") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def model(text: String): (String, Option[String]) = {
+      val toks = text.split(" ", -1).zipWithIndex
+      def span(p: Int) = p / 3
+      def masked(p: Int) = span(p) % 5 == 4
+      val input = toks.flatMap { case (t, p) =>
+        if (!masked(p)) Some(t)
+        else if (p % 3 == 0) Some(s"<extra_id_${span(p) / 5}>")
+        else None
+      }.mkString(" ")
+      val m = toks.filter { case (_, p) => masked(p) }
+      val target = if (m.isEmpty) None else Some(
+        m.groupBy { case (_, p) => span(p) }.toSeq.sortBy(_._1).map { case (sp, g) =>
+          s"<extra_id_${sp / 5}> " + g.sortBy(_._2).map(_._1).mkString(" ")
+        }.mkString(" "))
+      (input, target)
+    }
+    val out = TextOps.qSpanMask(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    docs.foreach { case (id, text) =>
+      assert(out(id) == model(text), s"doc $id diverges from the replay") }
+    assert(out.values.exists(_._2.isDefined), "fixture must mask at least one span")
+    // round-trip: splicing each target span back over its sentinel
+    // reconstructs the original text — nothing lost, nothing duplicated
+    docs.take(50).foreach { case (id, text) =>
+      val (input, target) = out(id)
+      val restored = target match {
+        case None => input
+        case Some(t) =>
+          val spans = t.split("<extra_id_\\d+> ", -1).drop(1)
+          var acc = input
+          spans.zipWithIndex.foreach { case (sTxt, k) =>
+            acc = acc.replace(s"<extra_id_$k>", sTxt.trim) }
+          acc
+      }
+      assert(restored == text, s"doc $id: mask round-trip must reconstruct")
+    }
+  }
+
   test("filter_funnel: stage attribution matches a scala replay; masses conserve") {
     val docs = Tables.documents(spark, sf001)
       .select(col("doc_id"), col("text")).collect()
