@@ -803,6 +803,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_filter_funnel and q_span_mask keep their linear scale shapes") {
+    // funnel: one corpus scan into a domain-bounded agg — a join or a
+    // window would mean per-doc stats leaked into a second corpus pass
+    val pf = plan("q_filter_funnel")
+    assert(!pf.contains("Join") && !pf.contains("Window"),
+      "the funnel is one scan + one agg; no second corpus structure")
+    assert("HashAggregate".r.findAllIn(pf).size >= 2,
+      "stage rollup must be a partial+final aggregate pair")
+    // span_mask: the (doc, lane) rebuild must aggregate, never window over
+    // the token stream (a window would sort the whole corpus of tokens)
+    val ps = plan("q_span_mask")
+    assert(!ps.contains("Window"),
+      "the lane rebuild is collect_list in an aggregate, not a window sort")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_sql_q6: the query IS its scan — all three predicates pushed, two-phase agg") {
     val p = plan("q_sql_q6")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
