@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
 object Windows {
 
   /** rank/dense_rank over price (ties share rank), row_number tie-broken
-    * by PK — deterministic in both engines. */
+    * by PK — deterministic in both engines. Scale note: the partition key
+    * (`o_orderpriority`, 5 values) makes this a 5-REDUCER FUNNEL by
+    * construction — the demanded output (a full materialized ranking per
+    * priority) admits no finer parallelism, and Spark's window sort
+    * spills rather than OOMs (18.7 s for ~3 M rows/group on the 100×
+    * corpus). At real scale a pipeline wants the top-k form
+    * (TakeOrderedAndProject, `q_sort_limit`) or a finer partition key
+    * (`q_win_running`'s per-customer frames) — this query exists to pin
+    * the FULL-rank semantics against the oracle, not as the 100 TB
+    * recipe. */
   def qWinRank(s: SparkSession, sf: String): DataFrame = {
     val byPrice = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
     val byPricePk = Window.partitionBy("o_orderpriority")
