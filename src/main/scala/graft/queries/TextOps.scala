@@ -1159,7 +1159,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Preference-pair construction (the RLHF/DPO data shape): per
+    * (lang, source) group, pair the highest-quality document (chosen)
+    * with the lowest-quality one (rejected) and report the score gap —
+    * the contrastive-example builder that turns a scored corpus into
+    * preference data. The quality key is an exact INTEGER
+    * (100·n_tokens − 400·n_stopwords: rewards substance, punishes
+    * filler; any monotone integer surrogate works — floats would make
+    * borderline picks engine-dependent), ties broken by doc_id both
+    * directions so the pick is total-ordered. At 100 TB: per-doc stats
+    * are map work, the two rank windows share ONE (lang, source) hash
+    * partitioning (group cardinality × doc count, no global sort), and
+    * the output is group-cardinality-sized. */
+  def qPrefPairs(s: SparkSession, sf: String): DataFrame = {
+    val scored = Tables.documents(s, sf).select(
+      col("doc_id"), col("lang"), col("source"),
+      expr("""CAST(100 * size(split(text, ' ')) -
+             |     400 * size(filter(split(text, ' '),
+             |           t -> t = 'the' OR t = 'a' OR t = 'value' OR t = 'data'))
+             |     AS BIGINT)""".stripMargin)
+        .as("score"))
+    val wBest = Window.partitionBy("lang", "source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wWorst = Window.partitionBy("lang", "source")
+      .orderBy(col("score").asc, col("doc_id").desc)
+    val ranked = scored
+      .withColumn("rb", row_number().over(wBest))
+      .withColumn("rw", row_number().over(wWorst))
+    val chosen = ranked.filter(col("rb") === 1)
+      .select(col("lang"), col("source"),
+        col("doc_id").as("chosen_doc"), col("score").as("chosen_score"))
+    val rejected = ranked.filter(col("rw") === 1)
+      .select(col("lang"), col("source"),
+        col("doc_id").as("rejected_doc"), col("score").as("rejected_score"))
+    chosen.join(rejected, Seq("lang", "source"))
+      .withColumn("score_gap", col("chosen_score") - col("rejected_score"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pref_pairs" -> qPrefPairs _,
     "q_span_mask" -> qSpanMask _,
     "q_filter_funnel" -> qFilterFunnel _,
     "q_dsir_weights" -> qDsirWeights _,
@@ -1256,6 +1295,28 @@ object TextOps {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_pref_pairs" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source,
+        |         100 * len(string_split(text, ' ')) -
+        |         400 * len(list_filter(string_split(text, ' '),
+        |                   t -> t = 'the' OR t = 'a' OR t = 'value' OR t = 'data'))
+        |           AS score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY lang, source
+        |                            ORDER BY score DESC, doc_id ASC) AS rb,
+        |         row_number() OVER (PARTITION BY lang, source
+        |                            ORDER BY score ASC, doc_id DESC) AS rw
+        |  FROM scored)
+        |SELECT c.lang, c.source,
+        |       c.doc_id AS chosen_doc, c.score AS chosen_score,
+        |       r.doc_id AS rejected_doc, r.score AS rejected_score,
+        |       c.score - r.score AS score_gap
+        |FROM (SELECT * FROM ranked WHERE rb = 1) c
+        |JOIN (SELECT * FROM ranked WHERE rw = 1) r USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "q_span_mask" ->
       """WITH toks AS (
         |  SELECT doc_id, i - 1 AS pos, t[i] AS tok

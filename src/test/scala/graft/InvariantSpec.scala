@@ -962,6 +962,30 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("pref_pairs: chosen/rejected picks match a scala replay; gap non-negative") {
+    val stop = Set("the", "a", "value", "data")
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), col("source"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(3).split(" ", -1)
+        (r.getLong(0), r.getString(1), r.getString(2),
+          100L * toks.length - 400L * toks.count(stop))
+      }
+    val model = docs.groupBy(d => (d._2, d._3)).map { case (g, ds) =>
+      val chosen = ds.minBy(d => (-d._4, d._1))
+      val rejected = ds.minBy(d => (d._4, -d._1))
+      g -> ((chosen._1, chosen._4, rejected._1, rejected._4))
+    }
+    val out = TextOps.qPrefPairs(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == model, s"preference picks diverge: got $out want $model")
+    TextOps.qPrefPairs(spark, sf001).collect().foreach { r =>
+      assert(r.getLong(6) == r.getLong(3) - r.getLong(5) && r.getLong(6) >= 0,
+        "gap = chosen − rejected and the chosen doc never scores lower")
+    }
+  }
+
   test("span_mask: input/target pairs match a scala replay; round-trip reconstructs") {
     val docs = Tables.documents(spark, sf001)
       .select(col("doc_id"), col("text")).collect()
