@@ -616,6 +616,42 @@ object VectorOps {
       .orderBy("doc_id")
   }
 
+  /** Cluster-aware (leak-proof) train/eval split over the near-dup graph:
+    * split membership is decided by the deterministic content hash of the
+    * document's CLUSTER id, never its own id — every near-duplicate lands
+    * in the same split by construction, so eval can never leak a
+    * training doc's paraphrase (the failure mode of naive per-doc
+    * splitting under dedup, and the reason LLM pipelines split on
+    * canonical ids). Reports, per split, doc and cluster counts, plus
+    * the audit number: how many multi-doc clusters the NAIVE per-doc
+    * hash split would have broken across splits (the leakage the
+    * cluster rule prevents; the cluster split's own leak count is zero
+    * by construction, asserted in InvariantSpec). Split rule = first
+    * sha256 hex char of the id string < '4' (~25% eval) — the
+    * [[graft.queries.TextOps.qSampleHash]] convention. At 100 TB: rides
+    * the memoized edge index + O(log n) CC, then map-work hashing and
+    * two domain-bounded aggregates. */
+  def qSplitLeakproof(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val clusters = connectedComponents(
+      docs.select("doc_id"), ngramEdges(s, sf).select("a_id", "b_id"))
+    def splitOf(c: String) =
+      expr(s"CASE WHEN substring(sha2(CAST($c AS STRING), 256), 1, 1) < '4' " +
+        "THEN 'eval' ELSE 'train' END")
+    val tagged = clusters
+      .withColumn("split", splitOf("cluster_id"))
+      .withColumn("naive_split", splitOf("doc_id"))
+    val naiveLeaky = tagged.groupBy("cluster_id")
+      .agg(countDistinct(col("naive_split")).as("ns"), count(lit(1)).as("sz"))
+      .filter(col("sz") > 1 && col("ns") > 1)
+      .agg(count(lit(1)).as("naive_leaky_clusters"))
+    tagged.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(naiveLeaky))
+      .orderBy("split")
+  }
+
   /** Asymmetric containment near-dup: C(A,B) = |A∩B| / min(|A|,|B|) over
     * word-bigram sets — catches a document EMBEDDED in a larger one, which
     * symmetric Jaccard misses (a doc pasted into one 3x its size has
@@ -1274,6 +1310,7 @@ object VectorOps {
     "q_dedup_edit" -> qDedupEdit _,
     "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_clusters" -> qDedupClusters _,
+    "q_split_leakproof" -> qSplitLeakproof _,
     "q_sim_lsh" -> qSimLsh _,
     "q_sim_ivf" -> qSimIvf _,
     "q_dedup_simhash" -> qDedupSimhash _,
@@ -1534,6 +1571,43 @@ object VectorOps {
         |  FROM dots)
         |SELECT label, c_label AS assigned, count(*) AS n_vecs
         |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin,
+    "q_split_leakproof" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),
+        |rare AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bg a JOIN rare USING (bg) JOIN bg b USING (bg) WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, count(*) AS ic
+        |          FROM cand c JOIN bg x ON x.doc_id = c.a_id JOIN bg y ON y.doc_id = c.b_id AND y.bg = x.bg
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |          WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |),
+        |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        |tagged AS (
+        |  SELECT doc_id, cluster_id,
+        |         CASE WHEN substring(sha256(CAST(cluster_id AS VARCHAR)), 1, 1) < '4'
+        |              THEN 'eval' ELSE 'train' END AS split,
+        |         CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+        |              THEN 'eval' ELSE 'train' END AS naive_split
+        |  FROM cl),
+        |leaky AS (
+        |  SELECT count(*) AS naive_leaky_clusters FROM (
+        |    SELECT cluster_id FROM tagged GROUP BY cluster_id
+        |    HAVING count(*) > 1 AND count(DISTINCT naive_split) > 1))
+        |SELECT split, count(*) AS n_docs,
+        |       count(DISTINCT cluster_id) AS n_clusters,
+        |       (SELECT naive_leaky_clusters FROM leaky) AS naive_leaky_clusters
+        |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE
         |d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

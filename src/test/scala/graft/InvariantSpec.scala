@@ -962,6 +962,38 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("split_leakproof: the cluster split never separates a near-dup pair") {
+    import java.security.MessageDigest
+    def hex1(s: String): Char = MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString.head
+    val clusters = VectorOps.qDedupClusters(spark, sf001)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySplit = clusters.groupBy { case (_, c) =>
+      if (hex1(c.toString) < '4') "eval" else "train" }
+    val naiveLeaky = clusters.groupBy(_._2).values
+      .count(g => g.length > 1 &&
+        g.map(d => hex1(d._1.toString) < '4').distinct.length > 1)
+    val out = VectorOps.qSplitLeakproof(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("eval", "train"), "both splits must be populated")
+    bySplit.foreach { case (s, g) =>
+      assert(out(s)._1 == g.length.toLong, s"$s doc count diverges")
+      assert(out(s)._2 == g.map(_._2).distinct.length.toLong,
+        s"$s cluster count diverges")
+    }
+    assert(out.values.head._3 == naiveLeaky.toLong,
+      "the naive-split leakage audit must match the replay")
+    assert(naiveLeaky > 0,
+      "fixture must contain clusters the naive split would break " +
+        "(otherwise the exhibit is vacuous)")
+    // the whole point: no cluster spans both splits under the cluster rule
+    val clusterSplits = clusters.groupBy(_._2).values
+      .count(g => g.map(d => hex1(g.head._2.toString)).distinct.length > 1)
+    assert(clusterSplits == 0, "cluster-keyed split leaks by definition never")
+  }
+
   test("pref_pairs: chosen/rejected picks match a scala replay; gap non-negative") {
     val stop = Set("the", "a", "value", "data")
     val docs = Tables.documents(spark, sf001)

@@ -107,9 +107,10 @@ class PlanSpec extends SparkSuite {
       // onto the distinct-value grid; the chi2 time-midpoint onto the
       // corpus scan and the grand totals onto the 5-row table
       "q_ks_test", "q_chi2_drift",
-      // round-12 late addition: the 1-row (Nt, Nr) token-total attach
-      // onto the vocabulary-sized score table
-      "q_dsir_weights",
+      // round-12 late additions: the 1-row (Nt, Nr) token-total attach
+      // onto the vocabulary-sized score table; the 1-row naive-leak
+      // audit count attached onto the 2-row split rollup
+      "q_dsir_weights", "q_split_leakproof",
       // ^ scalar broadcasts (1-row corpus counts/quotas/bounds); the
       // graph queries over the memoized edge checkpoint (ngram/clusters,
       // bfs, hits, triangles) no longer print the pair pipeline's scalar
