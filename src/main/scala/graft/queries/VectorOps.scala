@@ -794,57 +794,97 @@ object VectorOps {
       .orderBy("label", "assigned")
   }
 
+  /** Cluster count for [[qSemdedup]] — the [[ivfNlist]] ≈√n sizing rule
+    * with a raised cap (a 4096×64-lane quantized centroid table is still
+    * a trivially broadcastable few hundred KB): k grows with the corpus,
+    * so mean cluster size stays ≈√n and the pair stage's Σ|cluster|²
+    * stays ≈n·√n instead of the quadratic regime a FIXED cluster count
+    * produces (the round-12 board measured that regime at 147× wall for
+    * 100× data; with this rule the 100× sweep re-enters SemDeDup's
+    * intended near-linear band — numbers in PERF.md). */
+  private[graft] def semK(n: Long): Int =
+    math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
   /** SemDeDup-style semantic dedup report (Abbas et al. 2023: cluster
     * the embeddings, then pairwise-compare ONLY within a cluster): per
     * cluster the near-duplicate pair count, the pruned-vector count
     * under the greedy lowest-id-survivor rule, and the kept size. The
     * cluster bound is the whole design — pairwise cosine is quadratic,
     * but quadratic IN THE CLUSTER, so at 100 TB the cost is
-    * Σ|cluster|², not n²: one equi-join shuffle on the cluster key,
-    * each cluster's pair block materializing on one executor.
-    * PRECONDITION at scale: the clustering granularity must grow with
-    * the corpus (SemDeDup uses k ∝ n, cluster size ~constant) — feeding
-    * fixed-count clusters makes Σ|cluster|² quadratic in n, measured at
-    * 147× wall on the 100× corpus (PERF.md batch 5, tools.SemProbe —
-    * the query that exposed count()-based timing as vacuous here, since
-    * Catalyst drops the left join onto the unique-key pair aggregate
-    * under a count; Bench/Perf now materialize via the noop sink). The
-    * cosine threshold (0.35, tuned non-vacuous at every fixture SF) is
-    * evaluated entirely in quantized-integer space — lanes floor(x·128)
-    * (exponent shift, no rounding), cos ≥ τ rewritten as
+    * Σ|cluster|², not n² — and the clustering granularity GROWS with the
+    * corpus ([[semK]] ≈ √n, the SemDeDup k ∝ corpus precondition): both
+    * the nearest-centroid assignment (n·k dots) and the pair stage
+    * (Σ|cluster|² ≈ n²/k dots) are then ≈n^1.5 ops — √n is exactly the
+    * balance point of the two, the same trade [[ivfNlist]] makes.
+    *
+    * The quantizer is deterministic and cross-engine replayable, no
+    * training job: centroids are an id-stride sample of the corpus
+    * itself (the [[qSimIvf]] convention), quantized to integer lanes
+    * floor(x·128) (×128 is an exponent shift — no float rounding), and
+    * every vector joins its squared-Euclidean-nearest centroid, argmin
+    * over the exact BIGINT d² = ‖v‖² − 2·v·c + ‖c‖² with cid ascending
+    * as the tie-break (the q_kmeans oracle idiom; the oracle CTE packs
+    * d²·2²⁴+cid into one BIGINT min — valid while ids < 2²⁴, which holds
+    * at every fixture SF — where Spark uses the unbounded min_by). The
+    * assignment fan-out is a crossJoin against the `broadcast()`
+    * centroid table — the one sanctioned BroadcastNestedLoopJoin shape
+    * (bounded build side), locked as exactly-one-BNLJ in PlanSpec; the
+    * pair stage itself stays a cluster-keyed equi-join.
+    *
+    * The cosine threshold (0.35, non-vacuous at every fixture SF — the
+    * √n clusters find MORE in-cluster near pairs than the old 10-label
+    * grouping did, 64 vs 13 at sf0.001) is evaluated entirely in
+    * quantized-integer space: cos ≥ τ rewritten as
     * 400·dot² ≥ 49·‖a‖²·‖b‖² ∧ dot > 0 (τ² = 49/400) — every operand an
     * exact integer-valued double (≤4.4e14 < 2^53), so the predicate is
     * bit-identical to the oracle's BIGINT arithmetic; the codegen'd
-    * [[graft.functions.VectorExpressions.dot]] keeps the per-pair
-    * kernel in whole-stage codegen. */
+    * [[graft.functions.VectorExpressions.dot]] keeps both the
+    * assignment and per-pair kernels in whole-stage codegen. */
   def qSemdedup(s: SparkSession, sf: String): DataFrame = {
     import graft.functions.VectorExpressions.dot
-    val q = Tables.embeddings(s, sf).select(col("vec_id"), col("label"),
-      // FLOAT lanes (graft_dot's probe type): the quantized values are
-      // small integers (|qx| ≤ 129 « 2^24), exactly representable
-      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT) AS FLOAT))")
-        .as("qv"))
-    val withN = q.withColumn("nn", dot(col("qv"), col("qv")))
-    val a = withN.select(col("label"), col("vec_id").as("a_id"),
+    val n = Tables.embeddings(s, sf).count()
+    val k = semK(n)
+    val stride = math.max(1L, n / k)
+    // FLOAT lanes (graft_dot's probe type): the quantized values are
+    // small integers (|qx| ≤ 129 « 2^24), exactly representable. Cached:
+    // the frame feeds the centroid filter, the assignment fan-out and
+    // the pair join (harness-drained via Caches).
+    val q = Caches.registered(
+      Tables.embeddings(s, sf).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT) AS FLOAT))")
+          .as("qv"))
+        .withColumn("nn", dot(col("qv"), col("qv"))))
+    val cents = q.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("nc"))
+    // nearest-centroid assignment: exact-integer d², min_by(d², cid)
+    val asg = q.crossJoin(broadcast(cents))
+      .withColumn("d2", col("nn") - lit(2d) * dot(col("qv"), col("cv")) + col("nc"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("c"))
+    // cache the assigned frame too: it feeds BOTH pair sides and the
+    // cluster-size aggregate — uncached, the n·k assignment fan-out (the
+    // expensive stage at scale) would run three times
+    val withC = Caches.registered(q.join(asg, Seq("vec_id")))
+    val a = withC.select(col("c"), col("vec_id").as("a_id"),
       col("qv").as("av"), col("nn").as("na"))
-    val b = withN.select(col("label").as("b_label"), col("vec_id").as("b_id"),
+    val b = withC.select(col("c").as("b_c"), col("vec_id").as("b_id"),
       col("qv").as("bv"), col("nn").as("nb"))
     val d = dot(col("av"), col("bv"))
     // cheap conjunct (id order) ahead of the 64-dim dot, whole predicate
     // in the join condition (the q_dedup_embcos lesson)
     val pairs = a.join(b,
-      col("label") === col("b_label") && col("a_id") < col("b_id") &&
+      col("c") === col("b_c") && col("a_id") < col("b_id") &&
         d > lit(0d) && d * d * lit(400d) >= col("na") * col("nb") * lit(49d))
-    val pairStats = pairs.groupBy("label").agg(
+    val pairStats = pairs.groupBy("c").agg(
       count(lit(1)).as("n_near_pairs"),
       countDistinct(col("b_id")).as("n_pruned"))
-    val sizes = withN.groupBy("label").agg(count(lit(1)).as("n_vecs"))
-    sizes.join(pairStats, Seq("label"), "left")
-      .select(col("label"), col("n_vecs"),
+    val sizes = withC.groupBy("c").agg(count(lit(1)).as("n_vecs"))
+    sizes.join(pairStats, Seq("c"), "left")
+      .select(col("c").as("cluster_id"), col("n_vecs"),
         coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"),
         coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
         (col("n_vecs") - coalesce(col("n_pruned"), lit(0L))).as("n_kept"))
-      .orderBy("label")
+      .orderBy("cluster_id")
   }
 
   /** One PageRank power-iteration step over the near-dup similarity graph
@@ -1529,30 +1569,49 @@ object VectorOps {
          |SELECT doc_id, r AS r_scaled,
          |       CAST(r AS DOUBLE) / (CAST((SELECT n FROM nd) AS DOUBLE) * 1000000000000.0) AS rank
          |FROM pr WHERE it = ${PagerankIters} ORDER BY doc_id""".stripMargin,
+    // Replays the full √n-cluster pipeline: k/stride re-derived from the
+    // corpus count (semK's clamp in SQL), id-stride centroids, exact-d²
+    // argmin assignment via the q_kmeans packing idiom (d²·2²⁴+cid —
+    // valid while ids < 2²⁴, true at every fixture SF), then the
+    // in-cluster integer-cosine pair predicate.
     "q_semdedup" ->
       """WITH q AS (
-        |  SELECT vec_id, label, i - 1 AS pos,
+        |  SELECT vec_id, i - 1 AS pos,
         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT) AS qx
         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
-        |norms AS (SELECT vec_id, label, sum(qx * qx) AS nn FROM q GROUP BY 1, 2),
-        |dots AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
-        |                sum(a.qx * b.qx) AS dot
-        |         FROM q a JOIN q b ON a.label = b.label AND a.pos = b.pos
-        |                           AND a.vec_id < b.vec_id
+        |nd AS (SELECT count(*) AS n FROM embeddings),
+        |st AS (SELECT greatest(4, least(4096, CAST(round(sqrt(CAST(n AS DOUBLE))) AS BIGINT))) AS k,
+        |              greatest(1, n // greatest(4, least(4096, CAST(round(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))) AS stride
+        |       FROM nd),
+        |cents AS (SELECT q.vec_id AS cid, pos, qx AS qc FROM q, st
+        |          WHERE q.vec_id % st.stride = 0 AND q.vec_id < st.stride * st.k),
+        |norms AS (SELECT vec_id, sum(qx * qx) AS nn FROM q GROUP BY 1),
+        |cnorms AS (SELECT cid, sum(qc * qc) AS nc FROM cents GROUP BY 1),
+        |cdots AS (SELECT q.vec_id, c.cid, sum(q.qx * c.qc) AS dt
+        |          FROM q JOIN cents c USING (pos) GROUP BY 1, 2),
+        |asg AS (SELECT d.vec_id,
+        |               CAST(min((nn - 2 * dt + nc) * 16777216 + cid) % 16777216 AS BIGINT) AS c
+        |        FROM cdots d JOIN norms USING (vec_id) JOIN cnorms USING (cid)
+        |        GROUP BY d.vec_id),
+        |dots AS (SELECT a.c, a.vec_id AS a_id, b.vec_id AS b_id,
+        |                sum(qa.qx * qb.qx) AS dot
+        |         FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
+        |         JOIN q qa ON qa.vec_id = a.vec_id
+        |         JOIN q qb ON qb.vec_id = b.vec_id AND qb.pos = qa.pos
         |         GROUP BY 1, 2, 3),
-        |pairs AS (SELECT d.label, a_id, b_id FROM dots d
+        |pairs AS (SELECT d.c, a_id, b_id FROM dots d
         |          JOIN norms na ON na.vec_id = d.a_id
         |          JOIN norms nb ON nb.vec_id = d.b_id
         |          WHERE dot > 0 AND 400 * dot * dot >= 49 * na.nn * nb.nn),
-        |ps AS (SELECT label, count(*) AS n_near_pairs,
+        |ps AS (SELECT c, count(*) AS n_near_pairs,
         |              count(DISTINCT b_id) AS n_pruned
         |       FROM pairs GROUP BY 1),
-        |sizes AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
-        |SELECT s.label, n_vecs,
+        |sizes AS (SELECT c, count(*) AS n_vecs FROM asg GROUP BY 1)
+        |SELECT s.c AS cluster_id, n_vecs,
         |       coalesce(n_near_pairs, 0) AS n_near_pairs,
         |       coalesce(n_pruned, 0) AS n_pruned,
         |       n_vecs - coalesce(n_pruned, 0) AS n_kept
-        |FROM sizes s LEFT JOIN ps USING (label) ORDER BY label""".stripMargin,
+        |FROM sizes s LEFT JOIN ps USING (c) ORDER BY cluster_id""".stripMargin,
     "q_cluster_assign" ->
       """WITH dims AS (
         |  SELECT vec_id, label, i - 1 AS pos,

@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Probe: materialize q_semdedup's FULL result (collect, not count) at an
   * arbitrary SF dir. Perf's `.count()` is vacuous for this query —
-  * Catalyst correctly drops the left join against the label-keyed pair
-  * aggregate when no column is consumed, so the quadratic pair stage
-  * never runs under a count. */
+  * Catalyst correctly drops the left join against the cluster-keyed pair
+  * aggregate when no column is consumed, so the pair stage never runs
+  * under a count. Round-13 record: 10× 3.71 s / 100× 14.80 s (k ≈ √n
+  * clustering; the round-12 fixed-label regime read 2.07 / 303.9). */
 object SemProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -935,27 +935,43 @@ class InvariantSpec extends SparkSuite {
   }
 
   test("semdedup: per-cluster pair/prune counts match a brute-force integer replay") {
+    // full-pipeline replay: √n id-stride centroids, exact-integer d²
+    // argmin assignment (cid-ascending tie-break), then the in-cluster
+    // quantized-cosine pair predicate — the same derivation the DuckDB
+    // oracle CTE runs
     val vecs = Tables.embeddings(spark, sf001)
-      .select(col("vec_id"), col("label"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getInt(1),
-        r.getSeq[Float](2).toArray.map(x => math.floor(x.toDouble * 128).toLong)))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 128).toLong)))
+      .sortBy(_._1)
+    val n = vecs.length.toLong
+    val k = VectorOps.semK(n)
+    val stride = math.max(1L, n / k)
+    val cents = vecs.filter { case (id, _) => id % stride == 0 && id < stride * k }
+    def dotL(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def assigned(v: Array[Long]): Long =
+      cents.map { case (cid, c) =>
+        (dotL(v, v) - 2 * dotL(v, c) + dotL(c, c), cid)
+      }.min._2
     def near(a: Array[Long], b: Array[Long]): Boolean = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
-      dot > 0 && 400L * dot * dot >= 49L * na * nb
+      val dot = dotL(a, b)
+      dot > 0 && 400L * dot * dot >= 49L * dotL(a, a) * dotL(b, b)
     }
-    val model = vecs.groupBy(_._2).map { case (label, g) =>
+    val model = vecs.groupBy(v => assigned(v._2)).map { case (c, g) =>
       val sorted = g.sortBy(_._1)
       val pairs = for {
         i <- sorted.indices; j <- (i + 1) until sorted.length
-        if near(sorted(i)._3, sorted(j)._3)
+        if near(sorted(i)._2, sorted(j)._2)
       } yield (sorted(i)._1, sorted(j)._1)
-      label -> ((g.length.toLong, pairs.length.toLong,
+      c -> ((g.length.toLong, pairs.length.toLong,
         pairs.map(_._2).distinct.length.toLong))
     }
     val out = VectorOps.qSemdedup(spark, sf001).collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(out == model, s"semdedup diverges from the replay: got $out want $model")
+    assert(out.size >= k / 2,
+      s"cluster count must scale with the corpus (got ${out.size} of k=$k seeds)")
     assert(out.values.map(_._2).sum > 0, "fixture must plant at least one near pair")
     VectorOps.qSemdedup(spark, sf001).collect().foreach { r =>
       assert(r.getLong(4) == r.getLong(1) - r.getLong(3), "n_kept = n_vecs - n_pruned")

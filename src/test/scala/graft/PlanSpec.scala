@@ -913,9 +913,15 @@ class PlanSpec extends SparkSuite {
 
   test("q_semdedup: the pair stage is a cluster-keyed equi-join, dot codegen'd") {
     val p = plan("q_semdedup")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "pairwise cosine must ride the label equi-join — quadratic in the " +
+    assert(!p.contains("CartesianProduct"),
+      "pairwise cosine must ride the cluster equi-join — quadratic in the " +
         "cluster, never in the corpus")
+    // exactly ONE BroadcastNestedLoopJoin is sanctioned: the nearest-
+    // centroid fan-out against the broadcast ≤4096-row quantizer table
+    // (bounded build side by semK's clamp); a second one would mean the
+    // PAIR stage degenerated to a nested loop
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size == 1,
+      "only the centroid fan-out may be a BNLJ")
     assert(p.contains("graft_dot"),
       "the per-pair kernel must be the codegen'd dot expression")
   }
