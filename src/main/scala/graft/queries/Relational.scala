@@ -1216,12 +1216,58 @@ object Relational {
          |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
+  /** TPC-H Q11 shape (important stock identification) through the text
+    * SQL surface — the GLOBAL-SCALAR-HAVING exhibit: a grouped aggregate
+    * kept only when it exceeds a fraction of the SAME aggregate over the
+    * whole relation (the one TPC-H query whose HAVING correlates against
+    * a full-relation scalar). The fixture has no partsupp table, so the
+    * query DERIVES one deterministically from part × supplier key
+    * arithmetic — the TPC-H generator's own supplier-assignment rule
+    * adapted to 0-based keys (4 suppliers per part:
+    * (p + i·(S div 4 + p div S)) mod S for i in 0..3, S = |supplier|,
+    * DISTINCT because small-S strides can collide), with availqty and
+    * supplycost-in-cents as modular hash arithmetic over the pair —
+    * every value an exact BIGINT, replayed verbatim by the DuckDB CTE
+    * (// for div). value = Σ cents·qty stays integer until one final
+    * ÷100.0; the HAVING comparison v·10000 > total·10 (= 0.1% of total)
+    * is pure BIGINT, selective-but-non-vacuous at every fixture SF
+    * (59/230/102 of 70/308/3101 parts). At 100 TB: the derived partsupp
+    * is map-work over part (no extra source), the nation filter prunes
+    * the supplier dim before the join, the global scalar is one
+    * broadcast row; production would widen the cents comparison to
+    * DECIMAL before t·10⁴ could reach 2⁶³. */
+  def qSqlQ11(s: SparkSession, sf: String): DataFrame =
+    s.sql(
+      s"""WITH sc AS (SELECT count(*) AS s FROM parquet.`$sf/supplier.parquet`),
+         |i4 AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+         |ps AS (
+         |  SELECT DISTINCT p_partkey AS ps_partkey,
+         |         (p_partkey + i4.i * (sc.s div 4 + p_partkey div sc.s)) % sc.s AS ps_suppkey
+         |  FROM parquet.`$sf/part.parquet` CROSS JOIN i4 CROSS JOIN sc),
+         |ps2 AS (
+         |  SELECT ps_partkey, ps_suppkey,
+         |         (ps_partkey * 47 + ps_suppkey * 31) % 9999 + 1 AS ps_availqty,
+         |         (ps_partkey * 13 + ps_suppkey * 7) % 99900 + 100 AS ps_cost_cents
+         |  FROM ps),
+         |filtered AS (
+         |  SELECT ps_partkey, CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT) AS v_cents
+         |  FROM ps2
+         |  JOIN parquet.`$sf/supplier.parquet` ON s_suppkey = ps_suppkey
+         |  JOIN parquet.`$sf/nation.parquet` ON n_nationkey = s_nationkey
+         |  WHERE n_name = 'NATION_15'
+         |  GROUP BY ps_partkey),
+         |tot AS (SELECT CAST(sum(v_cents) AS BIGINT) AS t FROM filtered)
+         |SELECT ps_partkey, CAST(v_cents AS DOUBLE) / 100.0 AS value
+         |FROM filtered CROSS JOIN tot
+         |WHERE v_cents * 10000 > t * 10
+         |ORDER BY value DESC, ps_partkey""".stripMargin)
+
   /** TPC-H Q1 (pricing summary) through the text SQL surface — the SQL
     * twin of the DataFrame flagship [[qAggQ1]]: same exact decimal
     * lanes, same two-phase aggregate, arriving through the parser
-    * instead of the fluent API. With this the SQL surface carries 21 of
-    * the 22 TPC-H shapes on this schema (partsupp-only Q11 has no
-    * stand-in) — a user can run the whole suite as text. */
+    * instead of the fluent API. With this (and [[qSqlQ11]]'s derived
+    * partsupp) the SQL surface carries all 22 TPC-H shapes on this
+    * schema — a user can run the whole suite as text. */
   def qSqlQ1(s: SparkSession, sf: String): DataFrame =
     s.sql(
       s"""SELECT l_returnflag, l_linestatus,
@@ -1240,6 +1286,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_q1" -> qSqlQ1 _,
+    "q_sql_q11" -> qSqlQ11 _,
     "q_sql_q6" -> qSqlQ6 _,
     "q_sql_q9" -> qSqlQ9 _,
     "q_sql_q12" -> qSqlQ12 _,
@@ -1386,6 +1433,33 @@ object Relational {
          |JOIN nation   ON s_nationkey = n_nationkey
          |WHERE p_name LIKE '%gear%'
          |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // identical derivation text modulo div spelling (Spark `div`,
+    // DuckDB `//`) and table paths — the partsupp stand-in is pure
+    // integer key arithmetic, so both engines rebuild the same relation
+    "q_sql_q11" ->
+      """WITH sc AS (SELECT count(*) AS s FROM supplier),
+        |i4 AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |ps AS (
+        |  SELECT DISTINCT p_partkey AS ps_partkey,
+        |         (p_partkey + i4.i * (sc.s // 4 + p_partkey // sc.s)) % sc.s AS ps_suppkey
+        |  FROM part CROSS JOIN i4 CROSS JOIN sc),
+        |ps2 AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |         (ps_partkey * 47 + ps_suppkey * 31) % 9999 + 1 AS ps_availqty,
+        |         (ps_partkey * 13 + ps_suppkey * 7) % 99900 + 100 AS ps_cost_cents
+        |  FROM ps),
+        |filtered AS (
+        |  SELECT ps_partkey, CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT) AS v_cents
+        |  FROM ps2
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_15'
+        |  GROUP BY ps_partkey),
+        |tot AS (SELECT CAST(sum(v_cents) AS BIGINT) AS t FROM filtered)
+        |SELECT ps_partkey, CAST(v_cents AS DOUBLE) / 100.0 AS value
+        |FROM filtered CROSS JOIN tot
+        |WHERE v_cents * 10000 > t * 10
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
     "q_sql_q12" ->
       """SELECT l_returnflag,
         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

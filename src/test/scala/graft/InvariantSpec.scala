@@ -915,6 +915,32 @@ class InvariantSpec extends SparkSuite {
     assert(out(0).getDouble(0) == rev.toDouble, s"q19 revenue diverges: ${out(0).getDouble(0)} vs $rev")
   }
 
+  test("sql_q11: derived partsupp + global-scalar HAVING match an integer replay") {
+    val sCnt = Tables.supplier(spark, sf001).count()
+    val nation15 = Tables.supplier(spark, sf001)
+      .join(Tables.nation(spark, sf001),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_15")
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val parts = Tables.part(spark, sf001).select("p_partkey").collect().map(_.getLong(0))
+    // the exact derivation the query and oracle share: 4 suppliers per
+    // part via the TPC-H assignment rule (0-based), modular qty/cost
+    val byPart = parts.flatMap { p =>
+      (0 to 3).map(i => (p, (p + i * (sCnt / 4 + p / sCnt)) % sCnt)).distinct
+    }.filter { case (_, sk) => nation15.contains(sk) }
+      .map { case (p, sk) =>
+        (p, ((p * 13 + sk * 7) % 99900 + 100) * ((p * 47 + sk * 31) % 9999 + 1))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val t = byPart.values.sum
+    val model = byPart.filter { case (_, v) => v * 10000 > t * 10 }
+      .map { case (p, v) => (p, v.toDouble / 100.0) }
+    val out = Relational.qSqlQ11(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == model, s"q11 diverges from the replay (got ${out.size} rows, want ${model.size})")
+    assert(out.nonEmpty && out.size < byPart.size,
+      "the HAVING must be selective but non-vacuous")
+  }
+
   test("outlier_mad: med/mad/outlier counts match an interpolating Scala model") {
     val ev = Tables.events(spark, sf001)
       .select("event_type", "value").collect()
