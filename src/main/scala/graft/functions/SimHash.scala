@@ -2,15 +2,27 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
-import scala.util.hashing.MurmurHash3
 
 /** 64-bit SimHash document fingerprint (SURVEY.md §2 B.11 q_udf_scalar).
   *
   * Classic Charikar simhash over whitespace tokens: each token hashes to
-  * 64 bits (two 32-bit murmur3 halves with different seeds — deterministic,
-  * JVM-independent); per bit position, +1 if set else -1, summed over
-  * tokens; the sign vector is the fingerprint. Near-duplicate documents
-  * differ in few bits (small Hamming distance).
+  * 64 bits; per bit position, +1 if set else -1, summed over tokens; the
+  * sign vector is the fingerprint. Near-duplicate documents differ in few
+  * bits (small Hamming distance).
+  *
+  * The token hash is DELIBERATELY built from SQL-replayable pieces so the
+  * whole fingerprint is DuckDB-oracle-checkable (the `graft_rollhash`
+  * discipline): a 31-polynomial rolling hash mod 1e9+7 over the token's
+  * ASCII codes (identical to q_text_fingerprint's kernel), widened to 64
+  * well-mixed bits by three xorshift-multiply rounds whose multipliers
+  * are all < 2³² — public mixing constants (Knuth's 2654435761,
+  * MurmurHash2's 1540483477, xxHash's PRIME32_2 2246822519) chosen small
+  * so the oracle's HUGEINT products stay under 2⁹⁶ and every step is
+  * expressible as `(z * M) % 2⁶⁴` / `xor(z, z // 2^k)` in SQL. On the
+  * JVM the same steps are plain Long arithmetic: multiplication wraps
+  * mod 2⁶⁴ natively and `>>>` matches the oracle's nonneg division.
+  * Measured mixing quality: unrelated fixture docs sit at Hamming ~32
+  * (the random expectation), one-word edits at ≤ 10.
   *
   * Scala UDF by design: genuinely custom semantics that no built-in
   * expression composes to. Documented boundary: Catalyst cannot push
@@ -18,6 +30,22 @@ import scala.util.hashing.MurmurHash3
   * no state -> embarrassingly parallel at any scale.
   */
 object SimHash {
+
+  /** Token hash: rollhash (mod 1e9+7) → 64-bit xorshift-multiply mix. */
+  private[graft] def tokenHash64(tok: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < tok.length) {
+      acc = (acc * 31 + tok.charAt(i).toLong) % 1000000007L
+      i += 1
+    }
+    var z = acc * 2654435761L // < 2^30 * 2^32: no Long overflow before mixing
+    z ^= (z >>> 29)
+    z *= 1540483477L // wraps mod 2^64 — the oracle's (z*M) % 2^64
+    z ^= (z >>> 32)
+    z *= 2246822519L
+    z ^ (z >>> 29)
+  }
 
   def simhash64(text: String): Long = {
     if (text == null) return 0L
@@ -29,9 +57,7 @@ object SimHash {
       var end = start
       while (end < n && text.charAt(end) != ' ') end += 1
       if (end > start) {
-        val tok = text.substring(start, end)
-        val h = (MurmurHash3.stringHash(tok, 0xA5F152C3).toLong << 32) |
-          (MurmurHash3.stringHash(tok, 0x1B873593).toLong & 0xFFFFFFFFL)
+        val h = tokenHash64(text.substring(start, end))
         var bit = 0
         while (bit < 64) {
           if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1

@@ -289,8 +289,11 @@ object Llm {
   }
 
   // ------------------------------------------------------ UDF/UDAF/UDTF
-  /** Scala UDF exhibit: simhash64 fingerprint (see [[SimHash]]). NOT
-    * oracled (custom semantics); scalatest pins golden values. */
+  /** Scala UDF exhibit: simhash64 fingerprint (see [[SimHash]]). Oracled
+    * since round 13: the UDF's hash is built from SQL-replayable pieces
+    * (rollhash + small-multiplier xorshift rounds), so the DuckDB CTE
+    * re-derives every fingerprint from the raw text — the
+    * `graft_rollhash` discipline applied to a UDF. */
   def qUdfScalar(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)
       .select(col("doc_id"), SimHash.simhash(col("text")).as("fingerprint"))
@@ -422,7 +425,56 @@ object Llm {
     "q_udtf_shingles" -> qUdtfShingles _,
   )
 
+  // Shared oracle CTE: the full simhash64 fingerprint replay — the
+  // 31-polynomial rollhash per token (q_text_fingerprint's kernel),
+  // three xorshift-multiply widening rounds in HUGEINT mod 2^64 (the
+  // multipliers are < 2^32 so every product stays < 2^96), per-bit ±1
+  // majority vote, then the signed-BIGINT reassembly. Used verbatim by
+  // BOTH the q_udf_scalar oracle and q_dedup_simhash's (in VectorOps),
+  // so the fingerprint definition can never drift between them. `fp`
+  // carries the signed fingerprint plus the unsigned image `ufp` for
+  // band extraction.
+  private[queries] val simhashFpSql =
+    """toks AS (
+      |  SELECT doc_id, t AS tok
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      |  WHERE length(t) >= 1),
+      |th AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(tok) + 1), i -> CAST(ascii(substring(tok, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS HUGEINT) AS rh
+      |  FROM toks),
+      |mx AS (
+      |  SELECT doc_id,
+      |    rh * 2654435761 AS z1,
+      |    xor(z1, z1 // 536870912) AS z2,
+      |    (z2 * 1540483477) % 18446744073709551616 AS z3,
+      |    xor(z3, z3 // 4294967296) AS z4,
+      |    (z4 * 2246822519) % 18446744073709551616 AS z5,
+      |    xor(z5, z5 // 536870912) AS h
+      |  FROM th),
+      |cnt AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN (h >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS c
+      |  FROM mx, UNNEST(range(0, 64)) AS r(b)
+      |  GROUP BY 1, 2),
+      |fpu AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN c > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+      |                  ELSE CAST(0 AS HUGEINT) END) AS fp
+      |  FROM cnt GROUP BY 1),
+      |fp AS (
+      |  SELECT d.doc_id, coalesce(f.fp, 0) AS ufp,
+      |         CAST(CASE WHEN coalesce(f.fp, 0) >= CAST(1 AS HUGEINT) << 63
+      |                   THEN coalesce(f.fp, 0) - (CAST(1 AS HUGEINT) << 64)
+      |                   ELSE coalesce(f.fp, 0) END AS BIGINT) AS fingerprint
+      |  FROM documents d LEFT JOIN fpu f USING (doc_id))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_udf_scalar" ->
+      s"""WITH $simhashFpSql
+         |SELECT doc_id, fingerprint FROM fp ORDER BY doc_id""".stripMargin,
     "q_dedup_cluster_stats" ->
       """WITH u AS (SELECT text FROM documents
         |           UNION ALL SELECT text FROM documents WHERE doc_id % 97 = 0),

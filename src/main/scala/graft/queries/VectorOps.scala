@@ -235,7 +235,8 @@ object VectorOps {
 
   /** SimHash-banded near-dup over documents: 64-bit fingerprints, 4 bands
     * of 16 bits; candidates from band collisions, kept when Hamming
-    * distance <= 8. NOT oracled (UDF fingerprint); scalatest covers it. */
+    * distance <= 8. Oracled since round 13 via the shared fingerprint
+    * replay CTE ([[Llm.simhashFpSql]]) + band/Hamming re-derivation. */
   def qDedupSimhash(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
       .select(col("doc_id"), SimHash.simhash(col("text")).as("fp"))
@@ -1382,6 +1383,23 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Rides Llm.simhashFpSql (the shared fingerprint replay) so the
+    // dedup's fingerprint definition can never drift from q_udf_scalar's;
+    // banding extracts 16-bit windows from the UNSIGNED image, Hamming is
+    // bit_count(xor) over the signed pair — both engines' two's-complement
+    // bit patterns agree.
+    "q_dedup_simhash" ->
+      s"""WITH ${Llm.simhashFpSql},
+         |bands AS (
+         |  SELECT doc_id, fingerprint, b,
+         |         CAST((ufp >> CAST(16 * b AS INT)) % 65536 AS BIGINT) AS bucket
+         |  FROM fp, UNNEST(range(0, 4)) AS r(b))
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 8
+         |ORDER BY a_id, b_id""".stripMargin,
     "q_degree_dist" ->
       s"""WITH $pairGraphSql
          |SELECT deg, count(*) AS n_nodes
