@@ -236,28 +236,39 @@ object TextOps {
 
   /** Benchmark decontamination — the eval-overlap scan every training-data
     * pipeline runs before a model sees the corpus: a corpus document is
-    * contaminated if it shares ANY 5-word shingle with the benchmark set.
+    * contaminated if it shares ANY n-word shingle with the benchmark set.
+    * Reports BOTH conventions side by side: the aggressive 5-gram width
+    * and the GPT-3/PaLM-standard 13-gram width (n_hits_5 / n_hits_13 per
+    * contaminated doc). Any 13-gram overlap contains 5-gram overlaps
+    * under the same tokenization, so 13-contaminated docs are a SUBSET of
+    * 5-contaminated docs — the 13 column rides a left join from the 5
+    * rows (coalesced to 0), and a doc hot at 5 but clean at 13 reads as
+    * the phrase-level-only overlap the wider convention exists to ignore.
     * The stand-in benchmark is the FIRST 50 docs — a fixed-size eval set,
-    * exactly how real benchmarks behave as the corpus grows, and one whose
-    * overlap with this corpus is verifiably NON-EMPTY at every driver SF
-    * (sf0.01: 9 contaminated docs / 297 shingle hits), so the oracle row
-    * certifies the join, not an always-empty set (the previous every-100th
-    * rule matched zero shingles at sf0.01). Both sides per-doc-distinct
-    * their shingles; the match is an equi-join on the shingle. At 100 TB
-    * the benchmark side stays eval-set-sized (tiny), so the planner
-    * broadcasts it and the scan stays one pass over the corpus — no
+    * exactly how real benchmarks behave as the corpus grows, and one
+    * whose overlap is verifiably NON-EMPTY at every driver SF AT BOTH
+    * WIDTHS (contaminated docs 9/9/29 at width 5, 8/5/5 at width 13
+    * across sf0.001/0.01/0.1). Both sides per-doc-distinct their
+    * shingles; the match is an equi-join on the shingle. At 100 TB the
+    * benchmark side stays eval-set-sized (tiny), so the planner
+    * broadcasts it and each width is one pass over the corpus — no
     * shuffle of the corpus shingles. */
   def qDecontaminate(s: SparkSession, sf: String): DataFrame = {
-    val sh = Tables.documents(s, sf).repartition(col("doc_id"))
-      .select(col("doc_id"), expr("split(text, ' ')").as("t"))
-      .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), explode(expr("sequence(1, size(t) - 4)")).as("i"), col("t"))
-      .select(col("doc_id"), expr("concat_ws(' ', slice(t, i, 5))").as("sh"))
-      .distinct()
-    val bench = sh.filter(col("doc_id") < 50).select("sh").distinct()
-    sh.filter(col("doc_id") >= 50)
-      .join(bench, Seq("sh"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    def hits(w: Int): DataFrame = {
+      val sh = Tables.documents(s, sf).repartition(col("doc_id"))
+        .select(col("doc_id"), expr("split(text, ' ')").as("t"))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), explode(expr(s"sequence(1, size(t) - ${w - 1})")).as("i"), col("t"))
+        .select(col("doc_id"), expr(s"concat_ws(' ', slice(t, i, $w))").as("sh"))
+        .distinct()
+      val bench = sh.filter(col("doc_id") < 50).select("sh").distinct()
+      sh.filter(col("doc_id") >= 50)
+        .join(bench, Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as(s"n_hits_$w"))
+    }
+    hits(5).join(hits(13), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_hits_5"),
+        coalesce(col("n_hits_13"), lit(0L)).as("n_hits_13"))
       .orderBy("doc_id")
   }
 
@@ -1665,13 +1676,19 @@ object TextOps {
         |FROM loc JOIN off USING (lang, shard) ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
-        |       FROM d, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
-        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50)
-        |SELECT s.doc_id, count(*) AS n_hits
-        |FROM sh s JOIN bench b USING (sh)
-        |WHERE s.doc_id >= 50
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |sh5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |        FROM d, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+        |b5 AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id < 50),
+        |h5 AS (SELECT s.doc_id, count(*) AS n_hits_5
+        |       FROM sh5 s JOIN b5 USING (sh) WHERE s.doc_id >= 50 GROUP BY 1),
+        |sh13 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS sh
+        |         FROM d, UNNEST(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13),
+        |b13 AS (SELECT DISTINCT sh FROM sh13 WHERE doc_id < 50),
+        |h13 AS (SELECT s.doc_id, count(*) AS n_hits_13
+        |        FROM sh13 s JOIN b13 USING (sh) WHERE s.doc_id >= 50 GROUP BY 1)
+        |SELECT h5.doc_id, n_hits_5, coalesce(n_hits_13, 0) AS n_hits_13
+        |FROM h5 LEFT JOIN h13 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |bg AS (SELECT doc_id, s[i] || ' ' || s[i+1] AS bg FROM d, UNNEST(range(1, len(s))) AS t(i)),

@@ -28,8 +28,12 @@ class QuerySmokeSpec extends SparkSuite {
     // docs) must keep producing real contamination hits
     val rows = SparkEntry.queries("q_decontaminate")(spark, sf001).collect()
     assert(rows.nonEmpty, "decontamination scan found no contaminated docs")
-    val hits = rows.map(_.getLong(1)).sum
-    assert(hits > 0, "contaminated docs must carry positive shingle-hit counts")
+    assert(rows.map(_.getLong(1)).sum > 0, "5-gram hits must be non-vacuous")
+    // the GPT-3/PaLM-standard width must ALSO really fire on the fixture —
+    // a vacuous 13-gram column would certify an empty join
+    assert(rows.map(_.getLong(2)).sum > 0, "13-gram hits must be non-vacuous")
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)),
+      "13-gram hits are a refinement: never more hits than at width 5")
     assert(rows.forall(_.getLong(0) >= 50L), "eval-set docs must not appear in the corpus side")
   }
 }
