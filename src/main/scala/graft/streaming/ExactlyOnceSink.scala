@@ -45,14 +45,19 @@ import org.apache.spark.sql.DataFrame
   *                            and publishing it without re-racing the
   *                            marker.
   *
-  * The one residual hole needs two simultaneously LIVE drivers on one
-  * checkpoint (forbidden by the streaming checkpoint lock in a real
-  * deployment) where the marker winner dies inside the millisecond
-  * commit→publish window WHILE the zombie is also inside its recovery
-  * check — fencing tokens, not filesystems, are the fix at that point.
-  * In-JVM duplicate attempts (speculative tasks, a second query on the
-  * same checkpoint) never even reach the race: they serialize on a
-  * per-(outDir, batch) lock. For object stores or a real Kafka sink, swap
+  * Two simultaneously LIVE drivers on one checkpoint (forbidden by the
+  * streaming checkpoint lock in a real deployment) can BOTH take the
+  * recovery path when a marker winner died inside the commit→publish
+  * window; the loser's rename then lands INSIDE the just-published
+  * directory (Hadoop rename moves into an existing dst dir). That case
+  * self-heals: the publisher verifies after its rename that its staging
+  * did not nest under the committed dir, rolls the nested copy back, and
+  * reports itself the loser — the committed output is always exactly one
+  * complete copy (raced in ExactlyOnceProtocolSpec). True mutual
+  * exclusion of live drivers still belongs to fencing tokens / the
+  * checkpoint lock, not the filesystem. In-JVM duplicate attempts
+  * (speculative tasks, a second query on the same checkpoint) never even
+  * reach the race: they serialize on a per-(outDir, batch) lock. For object stores or a real Kafka sink, swap
   * the commit step for a transactional producer with transactional.id =
   * (checkpointDir, batchId) — same protocol, not locally testable (no
   * Kafka connector jar, SURVEY.md §0).
@@ -126,10 +131,27 @@ object ExactlyOnceSink {
       if (markerAtEntry) true // recovery mode: the commit already happened, finish the publish
       else if (fs.exists(marker)) false // lost while writing; the live winner publishes
       else tryExclusiveCreate(fs, marker, staging.getName)
-    // only the marker winner (or the recoverer of a dead one) ever renames
-    // to the committed name, so the destination is free and the local-FS
-    // copy-INTO fallback can never fire
-    val placed = won && !fs.exists(committed) && fs.rename(staging, committed)
+    // Only a marker winner or a dead winner's recoverer renames to the
+    // committed name. The normal race admits exactly one winner, but TWO
+    // LIVE recoverers can both see marker-present/data-absent at entry and
+    // both reach here with won=true: the slower one's exists-check can
+    // pass before the faster one's rename lands, and Hadoop rename then
+    // moves the loser's staging INTO the just-published directory (the
+    // local-FS fallback; HDFS renames into existing dirs the same way).
+    // That pollution has an unambiguous signature — the committed dir now
+    // contains a child named exactly like OUR attempt-private staging —
+    // so verify after the rename: if our staging landed nested, roll it
+    // back and report this attempt as the loser. The committed output is
+    // exactly the faster recoverer's complete copy either way (the
+    // round-12 ADVICE dual-recovery TOCTOU, closed by post-rename
+    // verification; raced in ExactlyOnceProtocolSpec).
+    val placed = won && !fs.exists(committed) && {
+      val renamed = fs.rename(staging, committed)
+      val nested = new Path(committed, staging.getName)
+      val polluted = renamed && fs.exists(nested)
+      if (polluted) fs.delete(nested, true)
+      renamed && !polluted
+    }
     if (!placed) fs.delete(staging, true)
     if (fs.exists(committed)) sweepStagings()
     placed

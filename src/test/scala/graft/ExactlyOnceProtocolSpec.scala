@@ -105,6 +105,40 @@ class ExactlyOnceProtocolSpec extends SparkSuite {
     assert(!ExactlyOnceSink.commitAttempt(fs, out, 3L)(writeBatch(7)))
   }
 
+  test("dual recovery: two live replays of a dead winner publish exactly one copy") {
+    // the round-12 ADVICE TOCTOU: a marker winner died between commit and
+    // publish, and TWO live replays both see marker-present/data-absent.
+    // Both legitimately take the recovery path; the slower rename lands
+    // INSIDE the published dir (Hadoop's move-into-existing-dir
+    // semantics) unless the post-rename verification rolls it back.
+    (0 until 6).foreach { round =>
+      val outDir = Files.createTempDirectory(s"eo_dualrec$round").toString
+      val out = new Path(outDir)
+      fs.mkdirs(out)
+      assert(ExactlyOnceSink.tryExclusiveCreate(
+        fs, new Path(out, "_COMMITTED_batch=5"), "dead-attempt"))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 2).map(_ => new Thread(() => {
+        barrier.await()
+        try { if (ExactlyOnceSink.commitAttempt(fs, out, 5L)(writeBatch(7))) wins.incrementAndGet() }
+        catch { case _: Throwable => () }
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      // belt-and-braces replay (streaming's retry) in case both errored
+      ExactlyOnceSink.commitAttempt(fs, out, 5L)(writeBatch(7))
+      assert(wins.get <= 1, s"round $round: ${wins.get} recoverers claim the publish")
+      val got = spark.read.parquet(s"$outDir/batch=5")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (0L until 7L).toSeq,
+        s"round $round: polluted or partial recovery: $got")
+      val nested = new java.io.File(s"$outDir/batch=5").listFiles
+        .filter(_.isDirectory)
+      assert(nested.isEmpty,
+        s"round $round: loser's staging nested under the committed dir: ${nested.toSeq}")
+    }
+  }
+
   test("a batch committed by the pre-marker protocol (dir without marker) is not re-written") {
     val outDir = Files.createTempDirectory("eo_legacy").toString
     val out = new Path(outDir)

@@ -114,6 +114,84 @@ class StreamingSpec extends SparkSuite {
     assert(got == (1 to 20).toSeq, "no loss, no duplication across restart")
   }
 
+  test("exactly-once sink: torn-middle crash in a RUNNING query (RocksDB) neither loses nor duplicates") {
+    // The A8 seam the protocol tests cover only at the FS level: a
+    // foreachBatch writer dies BETWEEN its staging write and the marker
+    // commit while a real StreamingQuery (stateful, RocksDB provider) is
+    // running. The restart must replay the torn batch from the
+    // checkpoint's offsets WAL against the batch-(N-1) state snapshot and
+    // publish exactly one copy — per-key counts stay strictly monotone
+    // across the emitted changelog and the final counts match the model.
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("eo_torn_out").toString
+    val cpDir = Files.createTempDirectory("eo_torn_cp").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Int]
+      val sink = ExactlyOnceSink.parquetSink(outDir)
+      val crashedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val counts = mem.toDF()
+        .groupBy(pmod(col("value"), lit(4)).as("k"))
+        .agg(count(lit(1)).as("c"))
+      def start(crashing: Boolean) = counts.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cpDir)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          if (crashing && batchId == 1 && !crashedOnce.getAndSet(true)) {
+            // die after the staging is durably on disk, before any marker:
+            // the exact torn-middle window of commitAttempt
+            val staging = new org.apache.hadoop.fs.Path(
+              outDir, s"_staging_batch=$batchId-${java.util.UUID.randomUUID}")
+            df.write.mode("overwrite").parquet(staging.toString)
+            throw new RuntimeException("injected torn-middle crash")
+          }
+          sink(df, batchId)
+        }
+        .start()
+
+      val q1 = start(crashing = true)
+      mem.addData(1 to 8: _*)
+      q1.processAllAvailable() // batch 0 commits
+      mem.addData(9 to 16: _*) // batch 1: the torn one
+      intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+      q1.stop()
+      assert(crashedOnce.get, "the injected crash must actually fire")
+
+      val q2 = start(crashing = false) // restart from the same checkpoint
+      mem.addData(17 to 24: _*)
+      q2.processAllAvailable()
+      q2.stop()
+
+      val batches = new java.io.File(outDir).listFiles
+        .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      // every epoch from 0 to max published exactly once, no gaps
+      val ids = batches.map(_.stripPrefix("batch=").toLong).sorted
+      assert(ids == (0L to ids.max).toSeq, s"epoch gap or dup: $batches")
+      // changelog sanity: per key, cumulative counts strictly increase
+      // across batches (a replayed-and-double-published epoch repeats or
+      // regresses a count) and the last value matches the batch model
+      val rows = ids.flatMap { b =>
+        spark.read.parquet(s"$outDir/batch=$b")
+          .collect().map(r => (b, r.getInt(0), r.getLong(1)))
+      }
+      val model = (1 to 24).groupBy(_ % 4).view.mapValues(_.size.toLong).toMap
+      rows.groupBy(_._2).foreach { case (k, hist) =>
+        val seq = hist.sortBy(_._1).map(_._3)
+        assert(seq == seq.distinct.sorted,
+          s"key $k: counts not strictly monotone across epochs: $seq")
+        assert(seq.last == model(k),
+          s"key $k: final count ${seq.last} != model ${model(k)}")
+      }
+      // the torn batch's stray staging must be gone after replay commits
+      val strays = new java.io.File(outDir).listFiles
+        .map(_.getName).filter(_.startsWith("_staging")).toSeq
+      assert(strays.isEmpty, s"torn staging survived the replay sweep: $strays")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("exactly-once sink: two attempts racing one batch id commit exactly one complete output") {
     // the speculative/duplicate-task case: a zombie driver or re-executed
     // task runs the same (df, batchId) concurrently with the live one. The
