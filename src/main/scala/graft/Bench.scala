@@ -84,26 +84,41 @@ object Bench {
         name -> ((t, ok))
       }
 
+    // THREE timed passes with the loadavg sampled after each: identical
+    // code has measured 41-56 s apart on this box purely with co-tenant
+    // load (round-12 bench ran at loadavg 5.5 and read 25% over the
+    // quiet-machine number), so the grading side needs per-pass values to
+    // separate a code regression from a noisy neighbor. `value` stays the
+    // second pass (the historical "warm") for cross-round comparability;
+    // `steady_value` is the per-query min over all three passes.
     val cold = timedPass() // first touch of the bench-SF data: cold page cache
+    val loadAfterCold = osBean.getSystemLoadAverage
     val warm = timedPass() // steady-state plans, I/O cached
+    val loadAfterWarm = osBean.getSystemLoadAverage
+    val warm2 = timedPass() // third pass: co-tenancy probe
+    val loadAfterWarm2 = osBean.getSystemLoadAverage
+    val passes = Seq(cold, warm, warm2)
 
-    // seq concat, NOT map merge: a Map ++ would drop a cold-pass-only
-    // failure (warm entry overwrites the same key) and exit 0 for it
+    // seq concat, NOT map merge: a Map ++ would drop a single-pass-only
+    // failure (a later entry overwrites the same key) and exit 0 for it
     val failedNames =
-      (cold.toSeq ++ warm.toSeq).collect { case (n, (_, false)) => n }.distinct.sorted
+      passes.flatMap(_.toSeq).collect { case (n, (_, false)) => n }.distinct.sorted
     def total(m: Map[String, (Double, Boolean)]): Double = m.values.map(_._1).sum
     val warmTotal = total(warm)
     val coldTotal = total(cold)
-    val loadEnd = osBean.getSystemLoadAverage
-    // per-query min over both timed passes: the cheapest steady-state
-    // estimate this process can produce without a third sweep
-    val steadyTotal = cold.keys.map(k => math.min(cold(k)._1, warm(k)._1)).sum
+    val loadEnd = loadAfterWarm2
+    // per-query min over all timed passes: the cheapest steady-state
+    // estimate this process can produce
+    val steadyTotal = cold.keys.map(k => passes.map(_(k)._1).min).sum
+    val passTotals = passes.map(total).map(t => f"$t%.1f").mkString("[", ",", "]")
+    val passLoads = Seq(loadAfterCold, loadAfterWarm, loadAfterWarm2)
+      .mkString("[", ",", "]")
     def qjson(m: Map[String, (Double, Boolean)]): String =
       m.map { case (k, (v, ok)) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
         .mkString("{", ",", "}")
     val errs = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${qjson(warm)},"cold_value":$coldTotal,"cold_queries":${qjson(cold)},"steady_value":$steadyTotal,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failedNames.size},"errors":$errs,"materialization":"noop-sink (full rows+columns; pre-r12 rounds timed .count(), which let Catalyst prune output work - totals are not comparable across that change)","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${qjson(warm)},"cold_value":$coldTotal,"cold_queries":${qjson(cold)},"steady_value":$steadyTotal,"pass_totals":$passTotals,"pass_loadavg":$passLoads,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failedNames.size},"errors":$errs,"materialization":"noop-sink (full rows+columns; pre-r12 rounds timed .count(), which let Catalyst prune output work - totals are not comparable across that change)","sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
       try w.println(fullJson) finally w.close()
@@ -119,7 +134,7 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"queries_cs","unit":"centisec","queries":$centis}""")
     // compact total LAST: short enough to survive any output-tail capture
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_value":$coldTotal,"steady_value":$steadyTotal,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failedNames.size},"materialization":"noop","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_value":$coldTotal,"steady_value":$steadyTotal,"pass_totals":$passTotals,"pass_loadavg":$passLoads,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failedNames.size},"materialization":"noop","sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }
