@@ -275,7 +275,12 @@ class SessionTimeoutProcessor(gapMs: Long)
       val t = e.ts.getTime
       cur match {
         case Some(s) if t <= s.last_ms + gapMs =>
-          cur = Some(s.copy(last_ms = math.max(s.last_ms, t), n = s.n + 1,
+          // a cross-batch out-of-order event (within watermark + gap) can
+          // precede the open session's start — the session's bounds must
+          // stretch BOTH ways, or start_ms can read later than its
+          // earliest event
+          cur = Some(s.copy(start_ms = math.min(s.start_ms, t),
+            last_ms = math.max(s.last_ms, t), n = s.n + 1,
             sum = s.sum + e.value))
         case Some(s) => // gap exceeded inside the stream: close inline
           out += closed(key, s)

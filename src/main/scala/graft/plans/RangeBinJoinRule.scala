@@ -56,11 +56,28 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.rangeJoin.binWidth"
 
-  private def binWidth: Option[Long] =
-    try {
-      val v = conf.getConfString(ConfKey, "")
-      if (v.isEmpty) None else Some(v.toLong).filter(_ > 0)
-    } catch { case _: Throwable => None }
+  /** Per-row explode guard: an interval spanning more bins than this
+    * means the configured width is implausibly small for the data (4M
+    * bin rows from ONE interval is already pathological, and past
+    * Spark's max array length the synthesized Sequence would throw an
+    * opaque error mid-query). The rewrite cannot silently CAP the bins —
+    * truncation would drop matches — so the guard turns the failure into
+    * an actionable message naming the conf to raise. */
+  private[graft] val MaxBinsPerRow = 4000000L
+
+  private def binWidth: Option[Long] = {
+    val v = try conf.getConfString(ConfKey, "") catch { case _: Throwable => "" }
+    if (v.isEmpty) None
+    else scala.util.Try(v.trim.toLong).toOption.filter(_ > 0) match {
+      case ok @ Some(_) => ok
+      case None =>
+        // a malformed opt-in must be LOUD: silently no-op'ing the rule
+        // hands the user the nested-loop plan they opted out of
+        logWarning(s"$ConfKey='$v' is not a positive long; " +
+          "range-bin join rewrite disabled")
+        None
+    }
+  }
 
   /** floor(expr / w) as LONG — Floor over a double divide is exact for
     * |expr| < 2^52 and, unlike integral division, floors (not truncates)
@@ -123,18 +140,29 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
     // point side: one synthesized bin column
     val binL = Alias(bin(pair.point, w), "graft_bin_p")()
     val pointProj = Project(pointSide.output :+ binL, pointSide)
-    // interval side: explode the covered bin range; empty for lo > hi
+    // interval side: explode the covered bin range; empty for lo > hi.
+    // A span wider than MaxBinsPerRow raises an ACTIONABLE error naming
+    // the conf instead of Sequence's opaque array-length failure (and
+    // never a silent cap — truncated bins would drop matches).
+    val arrTy = ArrayType(LongType, containsNull = false)
+    val spanOk = LessThanOrEqual(
+      Subtract(bin(pair.hi, w), bin(pair.lo, w)), Literal(MaxBinsPerRow))
     val seqExpr = If(
       And(And(IsNotNull(pair.lo), IsNotNull(pair.hi)),
         LessThanOrEqual(pair.lo, pair.hi)),
-      // Sequence is TimeZoneAware: without an explicit zone it reports
-      // unresolved and trips PLAN_VALIDATION (irrelevant for LONG bins,
-      // required for resolution)
-      new Sequence(bin(pair.lo, w), bin(pair.hi, w), Some(Literal(1L)),
-        Some(conf.sessionLocalTimeZone)),
+      If(spanOk,
+        // Sequence is TimeZoneAware: without an explicit zone it reports
+        // unresolved and trips PLAN_VALIDATION (irrelevant for LONG bins,
+        // required for resolution)
+        new Sequence(bin(pair.lo, w), bin(pair.hi, w), Some(Literal(1L)),
+          Some(conf.sessionLocalTimeZone)),
+        Cast(new RaiseError(Literal(
+          s"graft range-bin join: an interval spans more than $MaxBinsPerRow " +
+            s"bins at $ConfKey=$w — raise the bin width toward the typical " +
+            "interval length")), arrTy)),
       // containsNull = false: must match Sequence's return type exactly or
       // the If stays unresolved (caught by PLAN_VALIDATION in tests)
-      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+      Literal.create(Array.empty[Long], arrTy))
     val binR = AttributeReference("graft_bin_i", LongType, nullable = true)()
     val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binR), boundSide)

@@ -66,7 +66,12 @@ object Media {
   def qMediaChunkDedup(s: SparkSession, sf: String): DataFrame = {
     val d = Tables.documents(s, sf)
       .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
+    // empty-blob guard: Spark's (len-1) div 64 truncates toward zero
+    // (-1 div 64 = 0 → one empty chunk) while DuckDB's // floors to -1
+    // (zero chunks) — an empty blob would silently diverge the engines,
+    // so neither side chunks it (it still counts in the blob rollup)
     val chunks = d
+      .filter(length(col("media")) > 0)
       .select(col("source"), col("media"),
         explode(expr("sequence(0, (length(media) - 1) div 64)")).as("i"))
       .select(col("source"), expr("substring(media, i * 64 + 1, 64)").as("chunk"))
@@ -95,7 +100,8 @@ object Media {
       """WITH d AS (SELECT doc_id, source, encode(text) AS media FROM documents),
         |ch AS (SELECT source,
         |              substring(hex(media), CAST(i * 128 + 1 AS BIGINT), 128) AS chunk
-        |       FROM d, UNNEST(range(0, (octet_length(media) - 1) // 64 + 1)) AS u(i)),
+        |       FROM d, UNNEST(range(0, (octet_length(media) - 1) // 64 + 1)) AS u(i)
+        |       WHERE octet_length(media) > 0),
         |a AS (SELECT source, count(*) AS n_chunks,
         |             count(DISTINCT chunk) AS n_distinct_chunks
         |      FROM ch GROUP BY 1),

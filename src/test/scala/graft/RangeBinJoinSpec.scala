@@ -127,4 +127,24 @@ class RangeBinJoinSpec extends SparkSuite {
         "an existing equi-key already hash-joins; binning must not fire")
     }
   }
+
+  test("an interval spanning too many bins fails with an actionable message, not an opaque one") {
+    // width 1 over a ~10^9-second interval would synthesize a Sequence
+    // past Spark's array limit — the guard must name the conf instead
+    // (and never silently cap, which would drop matches)
+    val giant = Seq((1L, 0L, 3000000000L)).toDF("user_id", "lo", "hi")
+    withRule(1L) {
+      val e = intercept[Exception] { rangeJoin(points, giant).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains(RangeBinJoinRule.ConfKey) ||
+          m.contains("raise the bin width")),
+        s"error must point at the bin-width conf: ${msgs(e)}")
+    }
+    // the same data succeeds once the width is plausible
+    withRule(3600L) {
+      val n = rangeJoin(points, giant).count()
+      assert(n == points.count(), "every point falls in the giant interval")
+    }
+  }
 }

@@ -104,6 +104,42 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("session-timeout processor stretches start_ms for an out-of-order cross-batch event") {
+    // the round-12 ADVICE seam: an event in a LATER batch that is OLDER
+    // than the open session's start (but within watermark and gap) merges
+    // into the session — its start_ms must move DOWN to the earliest
+    // event, never stay at the first-seen one
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[SessEvent]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Pipeline.sessionTimeoutTws(mem.toDS(), gapMs = 5 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("sess_ooo_cp").toString)
+      .format("memory").queryName("sess_ooo_out").start()
+    try {
+      mem.addData(SessEvent(1L, t("2024-01-01 10:10:00"), 1.0))
+      q.processAllAvailable() // watermark trails at ~10:09
+      // older than the open session's start, within watermark AND gap
+      mem.addData(SessEvent(1L, t("2024-01-01 10:09:30"), 2.0))
+      q.processAllAvailable()
+      // advance the watermark past the session's 10:15 timer to close it
+      mem.addData(SessEvent(9L, t("2024-01-01 10:30:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .filter(_._1 == 1L).toSeq
+      assert(got == Seq((1L, 2L, 3.0,
+        t("2024-01-01 10:09:30").getTime, t("2024-01-01 10:10:00").getTime)),
+        s"start_ms must stretch down to the out-of-order event: $got")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session-timeout processor splits an over-gap run inside one batch") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)
