@@ -117,6 +117,13 @@ class PlanSpec extends SparkSuite {
       // and have LEFT this allowlist — only pagerank's own nDocs attach
       // remains. containment/edit dedup also left it in round 11: the
       // constant rare-df cap removed their corpus-count scalar attach.
+      // round-13 additions: q_sql_q11's two 1-row scalar attaches (the
+      // supplier count feeding the derived-partsupp arithmetic and the
+      // global total the HAVING correlates against — Q11's signature
+      // shape); q_semdedup's nearest-centroid fan-out against the
+      // broadcast ≤4096-row quantizer table (bounded by semK's clamp;
+      // its own plan lock pins the count at exactly one)
+      "q_sql_q11", "q_semdedup",
       "q_dedup_embcos", "q_join_cross", "q_sim_topk",
       "q_hard_negatives") // declared pair joins (hard negatives = the
                           // label-filtered sim_topk probe broadcast)
