@@ -234,6 +234,43 @@ object Behavior {
       .select("event_type", "n_a", "n_b", "mean_a", "mean_b", "t_stat")
       .orderBy("event_type")
 
+  /** GRPO/RLOO-style per-group advantage normalization — the batch shape
+    * group-relative policy optimization feeds the trainer: each sample's
+    * reward is centered and scaled WITHIN its prompt group,
+    * adv = (r − mean_g) / std_g (population σ), with the degenerate
+    * groups (n < 2 or constant reward) pinned to advantage 0 — the GRPO
+    * convention, since a group with no spread carries no preference
+    * signal. Determinism: rewards are exact cents
+    * (CAST(round(value·100) AS BIGINT), the Det cents-recovery rule), the
+    * group moments are exact integer window sums, and the advantage is
+    * ONE shared-text double expression from exact operands:
+    * (n·x − S)/√(n·Q − S²) — algebraically (x − S/n)/σ_pop without any
+    * intermediate float mean. The constant-group test is min = max on
+    * exact ints (an n·Q = S² probe would near the 2⁶³ line at scale).
+    * One shuffle: all five moments ride one user-partitioned window, and
+    * the deterministic user-slice filter (user_id % 7 — a verify-output
+    * size bound, the ProbeCap convention) pushes BELOW the window
+    * because it is group-aligned. At 100 TB: prompt groups are
+    * high-cardinality keys — no funnel. */
+  def qGroupAdvantage(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sv", sum(col("cents")).over(w))
+      .withColumn("qv", sum(col("cents") * col("cents")).over(w))
+      .withColumn("mn", min(col("cents")).over(w))
+      .withColumn("mx", max(col("cents")).over(w))
+      .withColumn("adv", expr(
+        "CASE WHEN n < 2 OR mn = mx THEN 0.0 ELSE " +
+          "CAST(n * cents - sv AS DOUBLE) / " +
+          "sqrt(CAST(n AS DOUBLE) * CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) END"))
+      .filter(col("user_id") % 7 === 0)
+      .select("user_id", "event_id", "cents", "adv")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Survivorship / golden-record merge — the entity-resolution step after
     * dedup clusters records: one surviving row per user assembled by
     * per-attribute rules (latest NON-NULL measurement — error events
@@ -782,6 +819,7 @@ object Behavior {
     "q_rolling_active" -> qRollingActive _,
     "q_share_of_total" -> qShareOfTotal _,
     "q_ab_ttest" -> qAbTtest _,
+    "q_group_advantage" -> qGroupAdvantage _,
     "q_anomaly_days" -> qAnomalyDays _,
     "q_retention" -> qRetention _,
     "q_event_transitions" -> qEventTransitions _,
@@ -1068,6 +1106,22 @@ object Behavior {
         |       CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
         |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS share
         |FROM daily ORDER BY day, event_type""".stripMargin,
+    "q_group_advantage" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE user_id % 7 = 0),
+        |w AS (SELECT user_id, event_id, cents,
+        |             count(*) OVER (PARTITION BY user_id) AS n,
+        |             sum(cents) OVER (PARTITION BY user_id) AS sv,
+        |             sum(cents * cents) OVER (PARTITION BY user_id) AS qv,
+        |             min(cents) OVER (PARTITION BY user_id) AS mn,
+        |             max(cents) OVER (PARTITION BY user_id) AS mx
+        |      FROM e)
+        |SELECT user_id, event_id, cents,
+        |       CASE WHEN n < 2 OR mn = mx THEN 0.0 ELSE
+        |         CAST(n * cents - sv AS DOUBLE) /
+        |         sqrt(CAST(n AS DOUBLE) * CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) END AS adv
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
     "q_ab_ttest" ->
       s"""WITH g AS (
          |  SELECT event_type,

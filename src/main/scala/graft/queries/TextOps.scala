@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{SessionConfs, Tables}
+import graft.{Caches, SessionConfs, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -343,6 +343,64 @@ object TextOps {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
       .select("doc_id", "rnk", "term", "tf", "df", "score")
       .orderBy("doc_id", "rnk")
+  }
+
+  /** BM25-shaped lexical retrieval over a word-TRIGRAM phrase index —
+    * the full-text search twin of the embedding ANN family (q_sim_*):
+    * bounded probes (the q_sim_topk doc-id convention) query the corpus
+    * with their 8 RAREST trigrams (df ≤ 50 posting-list cap — the
+    * inverted-index rule the dedup family uses) and candidates are
+    * scored with the BM25 term shape, k1 = 1.2, b = 0.75:
+    * idf_surrogate · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * The idf is the RATIONAL surrogate (N − df + 0.5)/(df + 0.5) — the
+    * argument of BM25's ln, kept un-logged for the same reason
+    * q_text_tfidf uses N/df: basic IEEE ops are exactly rounded and
+    * bit-identical across engines while ln is libm-dependent; the
+    * rarity ordering per term is identical. Trigram terms (not
+    * unigrams): this corpus' unigram/bigram vocabulary is dense enough
+    * that no term clears a sane posting cap at sf0.1 — trigram df
+    * medians single digits, so every probe carries real query terms at
+    * every SF (10/10/50 probes, self-retrieval@1 = 9/10/50).
+    *
+    * Determinism: tf/df/dl/N are exact ints; each term score is ONE
+    * shared-text double expression; the per-(probe, doc) score SUM is
+    * order-fixed by folding the term-sorted score list (Spark
+    * aggregate-over-array_sort ≡ DuckDB list_reduce over
+    * list(ORDER BY term)) — the dim-ordered-fold rule for float sums.
+    * At 100 TB: the posting cap bounds candidates at probes·8·50; the
+    * trigram tf table is the only corpus-sized frame and it shuffles
+    * once on (doc, term); the 1-row (N, Σdl) stats attach broadcasts. */
+  def qBm25Topk(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val tf = Caches.registered(docs.repartition(col("doc_id"))
+      .select(col("doc_id"), expr("split(text, ' ')").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(t, i, 3))").as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("bigint").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").cast("bigint").as("sum_dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy("probe_id").orderBy(col("df").asc, col("term").asc)
+    val qt = tf.filter(col("doc_id") % 50 === 0 && col("doc_id") < Llm.ProbeCap)
+      .select(col("doc_id").as("probe_id"), col("term"))
+      .join(dfreq.filter(col("df") <= 50), Seq("term"))
+      .withColumn("tr", row_number().over(wq)).filter(col("tr") <= 8)
+      .select("probe_id", "term", "df")
+    val cand = qt.join(tf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("ts", expr(
+        "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+          "(CAST(tf AS DOUBLE) * 2.2) / " +
+          "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))"))
+    val sc = cand.groupBy("probe_id", "doc_id")
+      .agg(expr("aggregate(array_sort(collect_list(struct(term, ts))), " +
+        "CAST(0 AS DOUBLE), (a, x) -> a + x.ts)").as("score"))
+    val wr = Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id").asc)
+    sc.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 5)
+      .select("probe_id", "rnk", "doc_id", "score")
+      .orderBy("probe_id", "rnk")
   }
 
   /** Length-outlier filtering: keep docs at or below the corpus' exact
@@ -1253,6 +1311,7 @@ object TextOps {
     "q_embedding_coverage" -> qEmbeddingCoverage _,
     "q_filter_outliers" -> qFilterOutliers _,
     "q_text_tfidf" -> qTextTfidf _,
+    "q_bm25_topk" -> qBm25Topk _,
     "q_pack_sequences" -> qPackSequences _,
     "q_decontaminate" -> qDecontaminate _,
     "q_text_repetition" -> qTextRepetition _,
@@ -1641,6 +1700,33 @@ object TextOps {
         |c AS (SELECT quantile_cont(n_tokens, 0.99) AS p99 FROM d)
         |SELECT doc_id, n_tokens, p99 FROM d, c
         |WHERE n_tokens <= p99 ORDER BY doc_id""".stripMargin,
+    "q_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |toks AS (SELECT doc_id, s[i] || ' ' || s[i+1] || ' ' || s[i+2] AS term
+        |         FROM d, UNNEST(range(1, len(s) - 1)) AS u(i)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT * FROM (
+        |         SELECT p.doc_id AS probe_id, p.term, d.df,
+        |                row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df ASC, p.term ASC) AS tr
+        |         FROM tf p JOIN dfreq d USING (term)
+        |         WHERE p.doc_id % 50 = 0 AND p.doc_id < 2500 AND d.df <= 50)
+        |       WHERE tr <= 8),
+        |cand AS (SELECT q.probe_id, c.doc_id, q.term,
+        |                ((CAST(s.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5)) *
+        |                (CAST(c.tf AS DOUBLE) * 2.2) /
+        |                (CAST(c.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE)))) AS ts
+        |         FROM qt q JOIN tf c USING (term) JOIN dl l ON l.doc_id = c.doc_id, st s),
+        |sc AS (SELECT probe_id, doc_id,
+        |              list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ts ORDER BY term)), (a, x) -> a + x) AS score
+        |       FROM cand GROUP BY 1, 2),
+        |top AS (SELECT probe_id, doc_id, score,
+        |               row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id ASC) AS rnk
+        |        FROM sc)
+        |SELECT probe_id, rnk, doc_id, score FROM top WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

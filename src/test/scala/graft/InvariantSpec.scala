@@ -941,6 +941,78 @@ class InvariantSpec extends SparkSuite {
       "the HAVING must be selective but non-vacuous")
   }
 
+  test("group_advantage: per-group z-scores match an exact-integer Scala replay") {
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val model = ev.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val n = g.length.toLong
+      val sv = g.map(_._3).sum
+      val qv = g.map(x => x._3 * x._3).sum
+      val const = g.map(_._3).min == g.map(_._3).max
+      g.map { case (_, eid, x) =>
+        val adv = if (n < 2 || const) 0.0
+          else (n * x - sv).toDouble /
+            math.sqrt(n.toDouble * qv.toDouble - sv.toDouble * sv.toDouble)
+        (u, eid) -> ((x, adv))
+      }
+    }.toMap
+    val out = Behavior.qGroupAdvantage(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty && out.keys.forall(_._1 % 7 == 0))
+    out.foreach { case (k, v) =>
+      assert(model(k) == v, s"advantage diverges at $k: got $v want ${model(k)}")
+    }
+    assert(out.keySet == model.keySet.filter(_._1 % 7 == 0), "slice must be exact")
+    // per-group advantages must center: sum ≈ 0 within float tolerance
+    out.toSeq.groupBy(_._1._1).foreach { case (u, rows) =>
+      assert(math.abs(rows.map(_._2._2).sum) < 1e-9, s"group $u advantages must center")
+    }
+  }
+
+  test("bm25_topk: scores and ranking match a term-sorted-fold Scala replay") {
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val tf = docs.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      (0 until math.max(0, w.length - 2)).map(i => (id, s"${w(i)} ${w(i + 1)} ${w(i + 2)}"))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dl = tf.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val nDocs = dl.size.toLong // every fixture doc has >= 3 tokens
+    val sumDl = dl.values.sum
+    val dfm = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val probes = docs.map(_._1).filter(id => id % 50 == 0 && id < 2500)
+    val model = probes.flatMap { p =>
+      val qterms = tf.keys.toSeq.filter(_._1 == p).map(_._2)
+        .map(t => (t, dfm(t))).filter(_._2 <= 50)
+        .sortBy { case (t, d) => (d, t) }.take(8)
+      val scores = qterms.flatMap { case (term, df) =>
+        tf.keys.toSeq.filter(_._2 == term).map(_._1).map { d =>
+          val ts = ((nDocs.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)) *
+            (tf((d, term)).toDouble * 2.2) /
+            (tf((d, term)).toDouble + 1.2 * (0.25 + 0.75 *
+              (dl(d).toDouble * nDocs.toDouble / sumDl.toDouble)))
+          (d, term, ts)
+        }
+      }.groupBy(_._1).map { case (d, g) =>
+        d -> g.sortBy(_._2).map(_._3).foldLeft(0.0)(_ + _)
+      }
+      scores.toSeq.sortBy { case (d, sc) => (-sc, d) }.take(5).zipWithIndex
+        .map { case ((d, sc), i) => (p, i + 1, d, sc) }
+    }
+    val got = TextOps.qBm25Topk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty, "bm25 probes must retrieve at every SF")
+    assert(got.toSet == model.toSet,
+      s"bm25 diverges from the replay: got ${got.take(5)} want ${model.take(5)}")
+    // self-retrieval: most probes must rank themselves first
+    val self1 = got.count(r => r._2 == 1 && r._1 == r._3)
+    assert(self1 * 10 >= got.count(_._2 == 1) * 8,
+      "at least 80% of probes must self-retrieve at rank 1")
+  }
+
   test("outlier_mad: med/mad/outlier counts match an interpolating Scala model") {
     val ev = Tables.events(spark, sf001)
       .select("event_type", "value").collect()

@@ -117,6 +117,9 @@ class PlanSpec extends SparkSuite {
       // and have LEFT this allowlist — only pagerank's own nDocs attach
       // remains. containment/edit dedup also left it in round 11: the
       // constant rare-df cap removed their corpus-count scalar attach.
+      // round-13: q_bm25_topk's 1-row (N, Σdl) stats attach onto the
+      // candidate frame (same bounded shape as tfidf's N attach)
+      "q_bm25_topk",
       // round-13 additions: q_sql_q11's two 1-row scalar attaches (the
       // supplier count feeding the derived-partsupp arithmetic and the
       // global total the HAVING correlates against — Q11's signature
