@@ -941,6 +941,21 @@ class InvariantSpec extends SparkSuite {
       "the HAVING must be selective but non-vacuous")
   }
 
+  test("win_rank_scaled: the two-phase twin is row-identical to the flat windows") {
+    // the whole contract: same rows, same rn/rnk/drnk values, same order
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    val flat = rows(Windows.qWinRank(spark, sf001))
+    val scaled = rows(Windows.qWinRankScaled(spark, sf001))
+    assert(scaled == flat, "two-phase ranking diverges from the flat windows")
+    // and the twin must genuinely run at bucket parallelism: its window
+    // partition keys include the bucket column
+    val p = Windows.qWinRankScaled(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bkt"), "the twin must window on (priority, bucket)")
+  }
+
   test("group_advantage: per-group z-scores match an exact-integer Scala replay") {
     val ev = Tables.events(spark, sf001)
       .select(col("user_id"), col("event_id"),
