@@ -370,8 +370,14 @@ object TextOps {
     * At 100 TB: the posting cap bounds candidates at probes·8·50; the
     * trigram tf table is the only corpus-sized frame and it shuffles
     * once on (doc, term); the 1-row (N, Σdl) stats attach broadcasts. */
-  def qBm25Topk(s: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(s, sf)
+  def qBm25Topk(s: SparkSession, sf: String): DataFrame =
+    bm25Topk(Tables.documents(s, sf))
+
+  /** Core BM25 pipeline over any (doc_id, text) frame — driven directly
+    * on a planted near-copy fixture in ExtraOpsSpec (retrieval-quality
+    * floor), mirroring how [[graft.queries.Llm.nearDupPairs]] exposes the
+    * near-dup kernel. */
+  private[graft] def bm25Topk(docs: DataFrame): DataFrame = {
     val tf = Caches.registered(docs.repartition(col("doc_id"))
       .select(col("doc_id"), expr("split(text, ' ')").as("t"))
       .filter(size(col("t")) >= 3)

@@ -953,6 +953,32 @@ class ExtraOpsSpec extends SparkSuite {
     }
   }
 
+  test("bm25: a planted near-copy outranks unrelated docs for its source probe") {
+    import spark.implicits._
+    // probe doc 0 (id % 50 == 0) carries a distinctive phrase; doc 1 is a
+    // near-copy sharing the phrase; docs 2..41 are unrelated filler built
+    // from a disjoint vocabulary. The copy must be retrieved at rank <= 2
+    // (the probe itself may take rank 1 — self-retrieval).
+    val phrase = "zephyr quantum lattice harmonics converge swiftly tonight"
+    val copy = phrase + " indeed they converge swiftly tonight again"
+    val filler = (2L until 42L).map { i =>
+      val w = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      (i, (0 until 30).map(j => w(((i + j) % w.length).toInt)).mkString(" "))
+    }
+    val docs = (Seq((0L, phrase + " and some trailing context words here"),
+      (1L, copy)) ++ filler).toDF("doc_id", "text")
+    val out = graft.queries.TextOps.bm25Topk(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    graft.Caches.drain(spark)
+    val probe0 = out.filter(_._1 == 0L)
+    assert(probe0.nonEmpty, "probe 0 must retrieve")
+    val copyRank = probe0.find(_._3 == 1L).map(_._2)
+    assert(copyRank.exists(_ <= 2),
+      s"the planted near-copy must rank in the top 2, got $copyRank (results: ${probe0.toSeq})")
+    assert(!probe0.exists(r => r._3 >= 2L && r._2 <= 2),
+      s"no unrelated filler doc may outrank the copy: ${probe0.toSeq}")
+  }
+
   test("ngram LM: per-head top-3 is ordered, probabilities are exact ratios <= 1") {
     val rows = graft.queries.TextOps.qNgramLm(spark, sf001).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
