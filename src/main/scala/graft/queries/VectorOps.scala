@@ -888,6 +888,39 @@ object VectorOps {
       .orderBy("cluster_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-space twin of the lexical
+    * `q_decontaminate` (TextOps): a corpus vector is contaminated when
+    * its cosine to ANY eval-set vector clears τ = 0.35, catching the
+    * paraphrase/translation overlap that no shingle width can see (the
+    * reason modern eval-hygiene pipelines run BOTH passes). The eval set
+    * is the first 50 vectors (the fixed-size stand-in convention shared
+    * with the lexical pass; verifiably non-empty overlap at every driver
+    * SF — 47/47/205 contaminated corpus vectors). The threshold is
+    * evaluated entirely in quantized-integer space (floor(x·128) lanes,
+    * 400·dot² ≥ 49·‖a‖²·‖b‖² ∧ dot > 0 — [[qSemdedup]]'s predicate), so
+    * the row is a full-replay oracle, and the per-pair kernel is the
+    * codegen'd [[graft.functions.VectorExpressions.dot]]. At 100 TB:
+    * the eval side is eval-set-sized and BROADCAST (the one sanctioned
+    * non-equi BNLJ shape — bounded build side), the corpus streams one
+    * pass, O(n·|eval|) dots, no shuffle of the corpus vectors; the
+    * report aggregates on the corpus id with map-side combine. */
+  def qDecontaminateSem(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.VectorExpressions.dot
+    val q = Tables.embeddings(s, sf).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT) AS FLOAT))")
+        .as("qv"))
+      .withColumn("nn", dot(col("qv"), col("qv")))
+    val eval = q.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("eval_id"), col("qv").as("ev"), col("nn").as("ne"))
+    val d = dot(col("qv"), col("ev"))
+    q.filter(col("vec_id") >= 50)
+      .join(broadcast(eval),
+        d > lit(0d) && d * d * lit(400d) >= col("nn") * col("ne") * lit(49d))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), min("eval_id").as("first_eval_id"))
+      .orderBy("vec_id")
+  }
+
   /** One PageRank power-iteration step over the near-dup similarity graph
     * (edges: n-gram Jaccard ≥ 0.5 pairs, symmetrized) — centrality in the
     * duplication graph ranks BOILERPLATE HUBS: a template shared by many
@@ -1346,6 +1379,7 @@ object VectorOps {
     "q_pagerank_step" -> qPagerankStep _,
     "q_cluster_assign" -> qClusterAssign _,
     "q_semdedup" -> qSemdedup _,
+    "q_decontaminate_sem" -> qDecontaminateSem _,
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_edit" -> qDedupEdit _,
@@ -1383,6 +1417,24 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate_sem" ->
+      """WITH q AS (
+        |  SELECT vec_id, i - 1 AS pos,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT) AS qx
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
+        |norms AS (SELECT vec_id, sum(qx * qx) AS nn FROM q GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS eval_id, b.vec_id AS corpus_id,
+        |                sum(a.qx * b.qx) AS dot
+        |         FROM q a JOIN q b ON a.pos = b.pos
+        |                           AND a.vec_id < 50 AND b.vec_id >= 50
+        |         GROUP BY 1, 2)
+        |SELECT corpus_id AS vec_id, count(*) AS n_eval_hits,
+        |       min(eval_id) AS first_eval_id
+        |FROM dots
+        |JOIN norms na ON na.vec_id = eval_id
+        |JOIN norms nb ON nb.vec_id = corpus_id
+        |WHERE dot > 0 AND 400 * dot * dot >= 49 * na.nn * nb.nn
+        |GROUP BY corpus_id ORDER BY vec_id""".stripMargin,
     // Rides Llm.simhashFpSql (the shared fingerprint replay) so the
     // dedup's fingerprint definition can never drift from q_udf_scalar's;
     // banding extracts 16-bit windows from the UNSIGNED image, Hamming is

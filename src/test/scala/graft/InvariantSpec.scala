@@ -956,6 +956,27 @@ class InvariantSpec extends SparkSuite {
     assert(p.contains("bkt"), "the twin must window on (priority, bucket)")
   }
 
+  test("decontaminate_sem: hit counts match a brute-force integer replay") {
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 128).toLong)))
+    def near(a: Array[Long], b: Array[Long]): Boolean = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      dot > 0 && 400L * dot * dot >= 49L * na * nb
+    }
+    val eval = vecs.filter(_._1 < 50)
+    val model = vecs.filter(_._1 >= 50).flatMap { case (id, v) =>
+      val hits = eval.filter(e => near(e._2, v)).map(_._1)
+      if (hits.isEmpty) None else Some(id -> ((hits.length.toLong, hits.min)))
+    }.toMap
+    val out = VectorOps.qDecontaminateSem(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == model, s"semantic decon diverges: got ${out.size} want ${model.size}")
+    assert(out.nonEmpty, "the eval set must really overlap the corpus semantically")
+  }
+
   test("group_advantage: per-group z-scores match an exact-integer Scala replay") {
     val ev = Tables.events(spark, sf001)
       .select(col("user_id"), col("event_id"),

@@ -118,8 +118,10 @@ class PlanSpec extends SparkSuite {
       // remains. containment/edit dedup also left it in round 11: the
       // constant rare-df cap removed their corpus-count scalar attach.
       // round-13: q_bm25_topk's 1-row (N, Σdl) stats attach onto the
-      // candidate frame (same bounded shape as tfidf's N attach)
-      "q_bm25_topk",
+      // candidate frame (same bounded shape as tfidf's N attach);
+      // q_decontaminate_sem's broadcast eval-set probe (≤50 rows by the
+      // eval-slice rule — the declared bounded non-equi join)
+      "q_bm25_topk", "q_decontaminate_sem",
       // round-13 additions: q_sql_q11's two 1-row scalar attaches (the
       // supplier count feeding the derived-partsupp arithmetic and the
       // global total the HAVING correlates against — Q11's signature
