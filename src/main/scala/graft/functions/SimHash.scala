@@ -31,13 +31,22 @@ import org.apache.spark.sql.functions.udf
   */
 object SimHash {
 
-  /** Token hash: rollhash (mod 1e9+7) → 64-bit xorshift-multiply mix. */
+  /** Token hash: rollhash (mod 1e9+7) → 64-bit xorshift-multiply mix.
+    *
+    * Iterates Unicode CODE POINTS, not UTF-16 code units: the DuckDB
+    * replay CTE walks characters (`substring`/`length`/`ascii` are
+    * code-point-semantics there), so a surrogate-pair character must
+    * contribute ONE step with its full code point on the JVM too, or a
+    * non-ASCII fixture would silently diverge the two engines. For ASCII
+    * and all BMP text the two iterations are identical.
+    */
   private[graft] def tokenHash64(tok: String): Long = {
     var acc = 0L
     var i = 0
     while (i < tok.length) {
-      acc = (acc * 31 + tok.charAt(i).toLong) % 1000000007L
-      i += 1
+      val cp = tok.codePointAt(i)
+      acc = (acc * 31 + cp.toLong) % 1000000007L
+      i += Character.charCount(cp)
     }
     var z = acc * 2654435761L // < 2^30 * 2^32: no Long overflow before mixing
     z ^= (z >>> 29)

@@ -263,7 +263,14 @@ object Behavior {
       .withColumn("mn", min(col("cents")).over(w))
       .withColumn("mx", max(col("cents")).over(w))
       .withColumn("adv", expr(
-        "CASE WHEN n < 2 OR mn = mx THEN 0.0 ELSE " +
+        // Third guard arm: the float variance n·Q − S² can catastrophically
+        // cancel to ≤ 0 for huge near-constant (but not constant) groups
+        // where S² approaches 2⁶³ — the exact-int mn=mx test doesn't catch
+        // those, and dividing by sqrt(≤0) would emit Infinity/NaN. Pin the
+        // no-spread-at-double-precision case to advantage 0 IN THE SHARED
+        // TEXT so both engines agree bit-for-bit.
+        "CASE WHEN n < 2 OR mn = mx OR " +
+          "CAST(n AS DOUBLE) * CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) <= 0.0 THEN 0.0 ELSE " +
           "CAST(n * cents - sv AS DOUBLE) / " +
           "sqrt(CAST(n AS DOUBLE) * CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) END"))
       .filter(col("user_id") % 7 === 0)
@@ -1118,7 +1125,7 @@ object Behavior {
         |             max(cents) OVER (PARTITION BY user_id) AS mx
         |      FROM e)
         |SELECT user_id, event_id, cents,
-        |       CASE WHEN n < 2 OR mn = mx THEN 0.0 ELSE
+        |       CASE WHEN n < 2 OR mn = mx OR CAST(n AS DOUBLE) * CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) <= 0.0 THEN 0.0 ELSE
         |         CAST(n * cents - sv AS DOUBLE) /
         |         sqrt(CAST(n AS DOUBLE) * CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) END AS adv
         |FROM w ORDER BY user_id, event_id""".stripMargin,

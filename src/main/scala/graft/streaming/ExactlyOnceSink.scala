@@ -110,6 +110,16 @@ object ExactlyOnceSink {
     def sweepStagings(): Unit = {
       val stale = fs.globStatus(new Path(out, s"_staging_batch=$batchId-*"))
       if (stale != null) stale.foreach(st => fs.delete(st.getPath, true))
+      // Crash window of the dual-recovery rollback: a losing recoverer
+      // that dies AFTER its rename nested into the committed dir but
+      // BEFORE its fs.delete(nested) leaves batch=N/_staging_batch=N-UUID
+      // — a full duplicate copy that the top-level glob above never sees.
+      // Readers are already safe (the '_' prefix hides it from Spark/Hive
+      // listings), but sweep it too so the committed dir converges to
+      // exactly one physical copy on the next attempt/replay.
+      val nested =
+        fs.globStatus(new Path(committed, s"_staging_batch=$batchId-*"))
+      if (nested != null) nested.foreach(st => fs.delete(st.getPath, true))
     }
 
     val markerAtEntry = fs.exists(marker)
@@ -174,6 +184,12 @@ object ExactlyOnceSink {
       else {
         val stale = fs.globStatus(new Path(out, s"_staging_batch=$batchId-*"))
         if (stale != null) stale.foreach(st => fs.delete(st.getPath, true))
+        // same nested-leftover sweep as commitAttempt's sweepStagings: a
+        // replay that finds the batch already committed is exactly the
+        // "next attempt" that must converge a crashed loser's nested copy
+        val nested = fs.globStatus(
+          new Path(out, s"batch=$batchId/_staging_batch=$batchId-*"))
+        if (nested != null) nested.foreach(st => fs.delete(st.getPath, true))
       }
     }
   }

@@ -32,8 +32,15 @@ class QuerySmokeSpec extends SparkSuite {
     // the GPT-3/PaLM-standard width must ALSO really fire on the fixture —
     // a vacuous 13-gram column would certify an empty join
     assert(rows.map(_.getLong(2)).sum > 0, "13-gram hits must be non-vacuous")
-    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)),
-      "13-gram hits are a refinement: never more hits than at width 5")
+    // Doc-level subset is the mathematically guaranteed property (every
+    // 13-gram contains a 5-gram, so a doc with any 13-gram overlap has
+    // 5-gram overlap). The stronger per-doc COUNT inequality
+    // n_hits_13 <= n_hits_5 is NOT guaranteed — repetitive text can share
+    // more distinct 13-grams than distinct 5-grams (e.g. 'a'*13+'b'+'a'*13
+    // shares 14 distinct 13-grams but only 6 distinct 5-grams) — so assert
+    // only the membership implication, which no fixture can break.
+    assert(rows.forall(r => r.getLong(2) == 0L || r.getLong(1) > 0L),
+      "subset: any doc with 13-gram hits must also have 5-gram hits")
     assert(rows.forall(_.getLong(0) >= 50L), "eval-set docs must not appear in the corpus side")
   }
 }
