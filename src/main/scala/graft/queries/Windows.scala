@@ -77,8 +77,17 @@ object Windows {
             floor((col("mx") - col("o_totalprice")) * B / (col("mx") - col("mn"))).cast("int")))))
     val wOff = Window.partitionBy("o_orderpriority").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = b.groupBy("o_orderpriority", "bkt")
-      .agg(count(lit(1)).as("cnt"), countDistinct("o_totalprice").as("dcnt"))
+    // Explicit two-phase in place of count(1) + countDistinct(price):
+    // Catalyst rewrites a MIXED distinct/non-distinct aggregate through an
+    // Expand that duplicates every input row ×2 before the partial agg.
+    // Grouping by price first gives both figures from single-purpose
+    // aggregates — sum of per-price counts is the row count, count of
+    // per-price groups is the distinct count — with the per-price partial
+    // collapsing map-side (prices repeat), no Expand anywhere.
+    val offs = b.groupBy("o_orderpriority", "bkt", "o_totalprice")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("o_orderpriority", "bkt")
+      .agg(sum("c").as("cnt"), count(lit(1)).as("dcnt"))
       .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
       .withColumn("doff", coalesce(sum("dcnt").over(wOff), lit(0L)))
       .select("o_orderpriority", "bkt", "off", "doff")
@@ -261,6 +270,11 @@ object Windows {
     "q_win_cume_dist" -> qWinCumeDist _,
     "q_win_firstlast" -> qWinFirstLast _,
     "q_sessionize" -> qSessionize _,
+    // EXHIBIT/RECIPE PAIR: q_win_rank pins the raw flat-window semantics
+    // (5-reducer funnel by construction — NOT the 100 TB recipe);
+    // q_win_rank_scaled is its bit-identical two-phase bucketed twin and
+    // is the form to copy at scale. Identity asserted in InvariantSpec at
+    // sf0.001 AND the derived 10x frame; they share one oracle text.
     "q_win_rank" -> qWinRank _,
     "q_win_rank_scaled" -> qWinRankScaled _,
     "q_win_running" -> qWinRunning _,

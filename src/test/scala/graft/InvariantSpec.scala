@@ -954,6 +954,24 @@ class InvariantSpec extends SparkSuite {
     val p = Windows.qWinRankScaled(spark, sf001)
       .queryExecution.executedPlan.toString
     assert(p.contains("bkt"), "the twin must window on (priority, bucket)")
+    // 10× frame (round-13 verdict ask #6): the identity must HOLD AS THE
+    // FIXTURE GROWS — more rows per priority means more tie groups and
+    // more bucket boundaries for a monotonicity bug to straddle. Checked
+    // distributed (bag equality via two exceptAll's + a count), not by
+    // collecting 1.5 M ranked rows to the driver; bag equality implies
+    // the ordered outputs match because the sort key (priority, rn) is
+    // embedded in every row.
+    val tenx = "/root/repo/benchdata/sf1x"
+    if (new java.io.File(s"$tenx/orders.parquet").exists) {
+      val flat10 = Windows.qWinRank(spark, tenx)
+      val scaled10 = Windows.qWinRankScaled(spark, tenx)
+      assert(scaled10.exceptAll(flat10).isEmpty &&
+        flat10.exceptAll(scaled10).isEmpty,
+        "10x: two-phase ranking diverges from the flat windows")
+      assert(flat10.count() == Tables.orders(spark, tenx).count(),
+        "10x: rank output must cover every order exactly once")
+      Caches.drain(spark)
+    } else info("10x derived corpus absent; sf0.001 identity only")
   }
 
   test("decontaminate_sem: hit counts match a brute-force integer replay") {
