@@ -53,6 +53,17 @@ object Llm {
     * not corpus-relative: per-bucket join work is then bounded at cap²/2
     * pairs at any scale. */
   private[graft] val BucketCap = 500
+  /** Signature-estimate sieve threshold: candidate pairs whose estimated
+    * Jaccard (fraction of agreeing minhashes) falls below this skip exact
+    * verification. 0.55 (≥ 17/32 agreeing hashes) against a 0.8 output
+    * target: exact binomial P(true J = 0.8 estimating < 17/32) ≈ 1.4e-4,
+    * falling to 3.5e-6 at J = 0.85. Swept in r14 (PERF.md,
+    * `tools.NearSweep`, cap × sieve grid at 10× and 100×): output pairs
+    * were IDENTICAL at every grid point (2,560 / 25,598), and at 100× the
+    * 0.55 → 0.65 move buys only ~6% wall (the pipeline is signature-scan
+    * bound there, not verification-bound), so the default keeps the
+    * ~40× tighter boundary-recall guarantee. */
+  private[graft] val SieveFrac = 0.55
   /** Fixed hash family seeds, bounded to 31 bits so a*h + b stays well
     * under 2^63 (Spark 4 ANSI mode makes long overflow an error, not a
     * wrap). Deterministic across runs/JVMs. */
@@ -112,9 +123,19 @@ object Llm {
   private[graft] def sigOf(docs: DataFrame): DataFrame =
     sigFromShingles(shingles(docs.repartition(col("doc_id"))))
 
+  /** Raw repartitioned shingle frame — exposed for tools.NearStage's
+    * stage-split probe so it times the pipeline's exact stage shapes. */
+  private[graft] def sigShingles(docs: DataFrame): DataFrame =
+    shingles(docs.repartition(col("doc_id")))
+
   /** Core near-dup pipeline over any (doc_id, text) frame (tested directly
-    * on hand-built frames in LlmSpec). */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
+    * on hand-built frames in LlmSpec). `bucketCap`/`sieveFrac` default to
+    * the production constants; `tools.NearSweep` threads alternatives
+    * through to measure the recall/wall frontier — every emitted pair is
+    * exact-verified regardless, so the knobs can only affect RECALL
+    * (which pairs are discovered), never precision. */
+  def nearDupPairs(docs: DataFrame,
+      bucketCap: Int = BucketCap, sieveFrac: Double = SieveFrac): DataFrame = {
     // MinHash mins are invariant under shingle multiplicity, so the
     // signature path streams raw (non-distinct) shingles — no global
     // 2M-row distinct shuffle; exact sets are materialized only for the
@@ -143,7 +164,7 @@ object Llm {
     // all 8 of its buckets are oversized — meaning thousands of docs with
     // the full signature, i.e. the pair is boilerplate, not signal).
     val okBuckets = bandsOfSig(sig).groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= BucketCap)
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= bucketCap)
       .select("band_idx", "band_hash")
     val bands = bandsOfSig(sig).join(okBuckets, Seq("band_idx", "band_hash"))
     val left = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
@@ -159,16 +180,31 @@ object Llm {
     // thousands of low-similarity band collisions that would otherwise all
     // pay the exact shingle-join price. P(true j>=0.8 estimated < 0.55 over
     // 32 hashes) ~ 7e-5, and exact duplicates always estimate 1.0.
-    val sigA = sig.select(col("doc_id").as("a_id") +:
-      (0 until NumHashes).map(i => col(s"m$i").as(s"a_m$i")): _*)
-    val sigB = sig.select(col("doc_id").as("b_id") +:
-      (0 until NumHashes).map(i => col(s"m$i").as(s"b_m$i")): _*)
-    val estMatches = (0 until NumHashes)
-      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    // The sieve joins are the pipeline's largest shuffle (candidate pairs
+    // × two signature sides; 9.7M pairs at the 100× probe), so the join
+    // sides carry the signature PACKED two-hashes-per-long: every minhash
+    // is < 2³¹ (mod a 31-bit Mersenne prime), so (m₂ⱼ | m₂ⱼ₊₁ << 32) is
+    // lossless in 16 columns — half the shuffled bytes, identical
+    // per-hash agreement arithmetic recovered by shift/mask (all codegen;
+    // 100× sieve stage ~18.5 → ~10 s, tools.NearStage).
+    val packs = NumHashes / 2
+    def packed(idCol: String, p: String) =
+      sig.select(col("doc_id").as(idCol) +:
+        (0 until packs).map(j =>
+          (col(s"m${2 * j}").bitwiseOR(shiftleft(col(s"m${2 * j + 1}"), 32)))
+            .as(s"$p$j")): _*)
+    val sigA = packed("a_id", "a_p")
+    val sigB = packed("b_id", "b_p")
+    val estMatches = (0 until NumHashes).map { i =>
+      val (a, b) = (col(s"a_p${i / 2}"), col(s"b_p${i / 2}"))
+      val (ha, hb) =
+        if (i % 2 == 0) (a.bitwiseAND(lit(0xffffffffL)), b.bitwiseAND(lit(0xffffffffL)))
+        else (shiftrightunsigned(a, 32), shiftrightunsigned(b, 32))
+      when(ha === hb, 1).otherwise(0)
+    }.reduce(_ + _)
     val strong = Caches.registered(
       candidates.join(sigA, Seq("a_id")).join(sigB, Seq("b_id"))
-        .filter(estMatches >= (NumHashes * 0.55).toInt)
+        .filter(estMatches >= (NumHashes * sieveFrac).toInt)
         .select("a_id", "b_id"))
     // exact verification on the sieved candidates only
     val candDocs = strong.select(col("a_id").as("doc_id"))
