@@ -39,6 +39,20 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "benchdata/sf1x"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // Optional 4th arg: comma-separated table subset. The text/embedding
+    // bijection families bound the copy count (312 letter maps, 2·dim
+    // vector maps) while the key-shift tables replicate cleanly at ANY
+    // multiplier — a subset derivation can therefore push the relational
+    // tables a full decade further than the text tables without composing
+    // colliding maps (deriving documents 10× FROM sf10x would compose
+    // 1000 affine maps into the 312-element group: ~3 copies per composed
+    // map = manufactured cross-copy exact dups, the artifact class the
+    // substitution exists to prevent). Excluded tables are not written
+    // and their copy-count bounds are not enforced.
+    val include: String => Boolean = {
+      if (args.length > 3) { val ts = args(3).split(",").toSet; ts.contains }
+      else _ => true
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -66,7 +80,7 @@ object ScaleUp {
         d.withColumn(c, col(c) + col("__c") * stride)
       }
     }
-    def write(df: DataFrame, n: String, parts: Int): Unit = {
+    def write(df: => DataFrame, n: String, parts: Int): Unit = if (include(n)) {
       df.drop("__c").repartition(parts).write.mode("overwrite")
         .parquet(s"$dst/$n.parquet")
       println(s"wrote $n")
@@ -99,7 +113,8 @@ object ScaleUp {
     // cap the derivation below 100 copies. Copy 0 is (a=1, b=0) =
     // identity. Length-preserving, so n_chars stays valid as-is.
     val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    require(copies <= units.length * 26, s"only ${units.length * 26} distinct copy bijections")
+    require(!include("documents") || copies <= units.length * 26,
+      s"only ${units.length * 26} distinct copy bijections")
     val alphaL = ('a' to 'z').mkString
     val alphaU = ('A' to 'Z').mkString
     def perm(s: String, c: Int): String = {
@@ -124,6 +139,7 @@ object ScaleUp {
     // byte-identical to copy 0 (cosine +1 twins), silently reintroducing
     // the quadratic manufactured-near-dup artifact — so the bound is
     // ENFORCED against the table's actual dimension, not assumed.
+    if (include("embeddings")) {
     val embDim = tbl("embeddings")
       .selectExpr("size(embedding)").head.getInt(0)
     require(copies <= 2 * embDim,
@@ -137,6 +153,7 @@ object ScaleUp {
           "slice(embedding, 1, __k)) END, x -> x * __s)"))
       .drop("__k", "__s")
     write(emb, "embeddings", 8)
+    }
     spark.stop()
     println(s"scaled $src x$copies -> $dst")
   }

@@ -139,6 +139,28 @@ class ExactlyOnceProtocolSpec extends SparkSuite {
     }
   }
 
+  test("a loser's nested staging leftover (crash before rollback delete) is swept by the next replay") {
+    // the round-13 ADVICE crash window: a dual-recovery loser renamed its
+    // staging INTO the committed dir and died before the rollback delete.
+    // Readers were always safe (the '_' prefix hides it), but the next
+    // attempt must converge the dir back to exactly one physical copy.
+    val outDir = Files.createTempDirectory("eo_nested").toString
+    val out = new Path(outDir)
+    fs.mkdirs(out)
+    assert(ExactlyOnceSink.commitAttempt(fs, out, 9L)(writeBatch(7)))
+    // plant the crashed loser's leftover: a full duplicate copy nested
+    // under the committed dir with the attempt-private staging name
+    val nested = new Path(out, s"batch=9/_staging_batch=9-${java.util.UUID.randomUUID}")
+    writeBatch(7)(nested)
+    assert(fs.exists(nested))
+    // a replay of the committed batch is a no-op skip — but it must sweep
+    assert(!ExactlyOnceSink.commitAttempt(fs, out, 9L)(writeBatch(7)))
+    assert(!fs.exists(nested), "nested staging leftover must be swept on replay")
+    val dirs = new java.io.File(s"$outDir/batch=9").listFiles.filter(_.isDirectory)
+    assert(dirs.isEmpty, s"committed dir must hold exactly one copy: ${dirs.toSeq}")
+    assert(spark.read.parquet(s"$outDir/batch=9").count() == 7)
+  }
+
   test("a batch committed by the pre-marker protocol (dir without marker) is not re-written") {
     val outDir = Files.createTempDirectory("eo_legacy").toString
     val out = new Path(outDir)

@@ -1006,9 +1006,11 @@ class InvariantSpec extends SparkSuite {
       val qv = g.map(x => x._3 * x._3).sum
       val const = g.map(_._3).min == g.map(_._3).max
       g.map { case (_, eid, x) =>
-        val adv = if (n < 2 || const) 0.0
-          else (n * x - sv).toDouble /
-            math.sqrt(n.toDouble * qv.toDouble - sv.toDouble * sv.toDouble)
+        // mirrors the shared CASE text, including the r14 cancellation
+        // guard: a float variance that rounds to <= 0 pins advantage 0
+        val fvar = n.toDouble * qv.toDouble - sv.toDouble * sv.toDouble
+        val adv = if (n < 2 || const || fvar <= 0.0) 0.0
+          else (n * x - sv).toDouble / math.sqrt(fvar)
         (u, eid) -> ((x, adv))
       }
     }.toMap
@@ -1023,6 +1025,10 @@ class InvariantSpec extends SparkSuite {
     out.toSeq.groupBy(_._1._1).foreach { case (u, rows) =>
       assert(math.abs(rows.map(_._2._2).sum) < 1e-9, s"group $u advantages must center")
     }
+    // the r14 cancellation guard's contract: NO input can produce a
+    // non-finite advantage (Infinity/NaN would poison a downstream mean)
+    assert(out.values.forall(v => java.lang.Double.isFinite(v._2)),
+      "advantages must be finite for every group shape")
   }
 
   test("bm25_topk: scores and ranking match a term-sorted-fold Scala replay") {

