@@ -884,7 +884,50 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Id-sequence integrity audit: every gap (missing run) in the purchase
+    * event-id stream — the completeness check a CDC / ingestion pipeline
+    * runs against an upstream sequence (dropped batches show up as id
+    * holes). The naive form is lead(id) over ONE global ordering — a
+    * single-reducer sort at scale. This is the two-phase shape: ids
+    * bucket by a width derived in-plan from the id range (broadcast 1-row
+    * bounds, never a driver collect), within-bucket gaps come from a
+    * bucket-partitioned lead at full parallelism, and cross-bucket gaps
+    * from the per-bucket (min, max) frame — ≤4096 rows by construction of
+    * the width, so ITS single-partition window is bounded at any scale.
+    * Consecutive ids in different buckets are provably their buckets'
+    * max/min (nothing lies between them), so the union of the two stages
+    * is exactly the global gap set — the oracle computes the naive global
+    * form and agreement proves the decomposition.
+    *
+    * Scale: one shuffle on bucket for the window + one tiny bounds agg;
+    * gap output is result-sized. The width rule keeps bucket count in
+    * [1, 4096] for any id range, and each bucket's sort is range/4096. */
+  def qIdGaps(s: SparkSession, sf: String): DataFrame = {
+    val ids = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"))
+    val bounds = ids.agg(min("id").as("mn"), max("id").as("mx"))
+    val bucketed = Caches.registered(ids.crossJoin(broadcast(bounds))
+      .withColumn("w", expr("greatest(256L, (mx - mn + 1) div 4096)"))
+      .select(col("id"), expr("id div w").as("bkt")))
+    val wB = Window.partitionBy("bkt").orderBy(col("id").asc)
+    val within = bucketed
+      .withColumn("nx", lead("id", 1).over(wB))
+      .filter(col("nx") > col("id") + 1)
+      .select((col("id") + 1).as("gap_start"), (col("nx") - 1).as("gap_end"))
+    val wSeq = Window.orderBy(col("bkt").asc) // ≤4096 rows: bounded by width rule
+    val across = bucketed.groupBy("bkt")
+      .agg(min("id").as("bmn"), max("id").as("bmx"))
+      .withColumn("prev_max", lag("bmx", 1).over(wSeq))
+      .filter(col("prev_max").isNotNull && col("bmn") > col("prev_max") + 1)
+      .select((col("prev_max") + 1).as("gap_start"), (col("bmn") - 1).as("gap_end"))
+    within.unionAll(across)
+      .withColumn("gap_len", col("gap_end") - col("gap_start") + 1)
+      .orderBy("gap_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_id_gaps" -> qIdGaps _,
     "q_outlier_mad" -> qOutlierMad _,
     "q_key_skew_audit" -> qKeySkewAudit _,
     "q_table_diff" -> qTableDiff _,
@@ -916,6 +959,11 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_id_gaps" ->
+      """WITH p AS (SELECT event_id AS id FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT id, lead(id) OVER (ORDER BY id) AS nx FROM p)
+        |SELECT id + 1 AS gap_start, nx - 1 AS gap_end, nx - 1 - id AS gap_len
+        |FROM g WHERE nx > id + 1 ORDER BY gap_start""".stripMargin,
     "q_outlier_mad" ->
       """WITH e AS (SELECT event_type, value FROM events),
         |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),

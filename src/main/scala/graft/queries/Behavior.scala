@@ -805,7 +805,187 @@ object Behavior {
       .orderBy("decile")
   }
 
+  /** MATCH_RECOGNIZE-style pattern spans — PATTERN (CLICK+ PURCHASE): per
+    * user, over (ts, event_id)-ordered events, every MAXIMAL run of
+    * consecutive 'click' rows whose immediately-following event is a
+    * 'purchase'. Spark has no native MATCH_RECOGNIZE; this is the
+    * gaps-and-islands encoding of the contiguous-run pattern class (the
+    * complement of q_seq_pattern's subsequence-regex class): a global
+    * per-user row number, a second row number over the click subsequence
+    * (their difference is constant exactly on a consecutive-click run),
+    * one aggregate per run, and one equi-join probing the run's successor
+    * row for the terminal symbol. Maximality is structural — the row
+    * AFTER the run is never a click (it either matched 'purchase' or the
+    * run is dropped) and the row before the run's first click broke the
+    * island. All ids/counts are exact longs; purchase_value is a per-row
+    * double passthrough.
+    *
+    * Scale: one repartition(user_id) feeds both row-number windows, the
+    * run aggregate, and the successor self-join (all keyed on user_id) —
+    * a single shuffle end-to-end, no per-user state beyond the window
+    * sort, runs never materialize more than one row each. */
+  def qMatchSpans(s: SparkSession, sf: String): DataFrame = {
+    val wAll = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wClick = Window.partitionBy("user_id").orderBy(col("rn").asc)
+    val o = Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(wAll))
+    val runs = o.filter(col("event_type") === "click")
+      .withColumn("grp", col("rn") - row_number().over(wClick))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("n_clicks"),
+        expr("min_by(event_id, rn)").as("start_id"),
+        expr("max_by(event_id, rn)").as("end_id"),
+        max("rn").as("r1"))
+    // successor probe: renamed projection (not an alias self-join of the
+    // same lineage — Spark's ambiguous-self-join detection would trip on
+    // runs ⨝ o when runs derives from o)
+    val succ = o.select(col("user_id").as("u2"), col("rn").as("rn2"),
+      col("event_type").as("t2"), col("event_id").as("purchase_id"),
+      col("value").as("purchase_value"))
+    runs.join(succ,
+        col("user_id") === col("u2") && col("rn2") === col("r1") + 1 &&
+          col("t2") === "purchase")
+      .select(col("user_id"), col("start_id"), col("end_id"), col("n_clicks"),
+        col("purchase_id"), col("purchase_value"))
+      .orderBy("user_id", "start_id")
+  }
+
+  // shared EWMA fragment: weights are exact powers of two, so every term
+  // is rounding-free and the whole expression is per-row IEEE arithmetic
+  // with identical shape on both engines (Det rule 1)
+  private val ewmaWeights =
+    Seq("0.5", "0.25", "0.125", "0.0625", "0.03125", "0.015625", "0.0078125")
+  private[graft] val ewmaExpr: String = {
+    val num = ewmaWeights.zipWithIndex.map { case (w, i) =>
+      s" + (CASE WHEN l${i + 1} IS NULL THEN 0.0 ELSE $w * l${i + 1} END)"
+    }.mkString
+    val den = ewmaWeights.zipWithIndex.map { case (w, i) =>
+      s" + (CASE WHEN l${i + 1} IS NULL THEN 0.0 ELSE $w END)"
+    }.mkString
+    s"(v$num) / (1.0$den)"
+  }
+
+  /** Exponentially weighted moving average of the per-type daily mean
+    * value — the smoothing primitive of anomaly/trend dashboards. The
+    * textbook recursive EWMA is not expressible as a window aggregate
+    * (each output feeds the next); the production form at scale is the
+    * TRUNCATED KERNEL: alpha = 1/2 over the last 8 series points, weights
+    * renormalized over the points actually present (series heads don't
+    * dilute toward zero). Weights are exact powers of two and the daily
+    * means come off an exact decimal sum, so the whole kernel is
+    * bit-identical cross-engine with no decimal machinery in the window.
+    * The 1/2^7 truncation tail is below 1% of the kernel mass.
+    *
+    * Scale: the heavy pass is the daily pre-aggregation (partial+final
+    * on (event_type, day)); the lag chain then runs over series rows —
+    * #series × #days, partitioned per series. Series count scales with
+    * the key domain, so no single-partition window at production key
+    * cardinalities. */
+  def qEwma(s: SparkSession, sf: String): DataFrame = {
+    val wSeries = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(expr(Det.avgDec2("value")).as("v"))
+    ewmaWeights.indices
+      .foldLeft(daily) { (d, i) =>
+        d.withColumn(s"l${i + 1}", lag(col("v"), i + 1).over(wSeries))
+      }
+      .withColumn("ewma", expr(ewmaExpr))
+      .select("event_type", "day", "v", "ewma")
+      .orderBy("event_type", "day")
+  }
+
+  /** Entity-resolution candidate generation with multi-pass blocking —
+    * the record-linkage front end (find likely-duplicate customer
+    * accounts without an all-pairs scan). Records are blocked on
+    * (segment, balance bin) under TWO offset binnings (width $500, the
+    * second shifted by half a bin), so a close-balance pair can never
+    * straddle both binnings — the standard multi-pass fix for blocking's
+    * boundary-miss problem. Candidate pairs are scored (name edit
+    * distance, exact balance-cents gap) and flagged when both features
+    * agree. Oversized blocks are PURGED before the self-join (cap 256,
+    * the q_dedup_near BucketCap discipline, mirrored in the oracle): a
+    * block that big has lost its discriminating power and would go
+    * quadratic — production ER purges or re-blocks it with a finer key.
+    * Balances shift by +100000 cents before binning so floor-division
+    * semantics never see a negative operand (Spark div truncates toward
+    * zero; DuckDB // floors).
+    *
+    * Scale: pair fanout is Σ|block|² bounded by cap²·#blocks; everything
+    * else is hash-partitioned map work. The blocked self-join shuffles
+    * on the block key — never a cross join. */
+  def qErBlocking(s: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.customer(s, sf).select(
+      col("c_custkey").as("k"), col("c_name").as("n"), col("c_mktsegment").as("seg"),
+      (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + lit(100000L)).as("cents"))
+    val blocks = cust.withColumn("bin", expr("cents div 50000")).withColumn("pass", lit(0))
+      .unionAll(
+        cust.withColumn("bin", expr("(cents + 25000) div 50000")).withColumn("pass", lit(1)))
+    val kept = blocks.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("seg", "bin", "pass")))
+      .filter(col("bsz") <= 256).drop("bsz")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.seg") === col("b.seg") && col("a.bin") === col("b.bin") &&
+          col("a.pass") === col("b.pass") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("k_a"), col("b.k").as("k_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.cents").as("c_a"), col("b.cents").as("c_b"))
+      .distinct()
+    pairs.select(col("k_a"), col("k_b"),
+        levenshtein(col("n_a"), col("n_b")).cast("long").as("name_dist"),
+        abs(col("c_a") - col("c_b")).as("bal_diff_cents"))
+      .withColumn("is_match",
+        (col("bal_diff_cents") <= 2500 && col("name_dist") <= 4).cast("int"))
+      .orderBy("k_a", "k_b")
+  }
+
+  /** Interval-to-bin overlap allocation join: per-user activity sessions
+    * (30-minute inactivity gap) allocated to every UTC day they overlap,
+    * with the exact µs of overlap credited to each day — the
+    * time-in-period allocation behind usage metering and capacity
+    * reports. A session spanning midnight contributes to BOTH days,
+    * which a naive date_trunc(start) single-bin groupBy gets wrong.
+    * Sessionization is the brk-flag + prefix-sum window (q_sessionize's
+    * idiom); the overlap join explodes each interval to the days it
+    * spans (bounded by span length — sessions are gap-bounded and short)
+    * and clips with greatest/least on exact epoch-µs longs (never NULL,
+    * so the engines' greatest-NULL split is moot).
+    *
+    * Scale: one repartition(user_id) covers the sessionize window and
+    * the session aggregate; the day explode is O(session days); the
+    * final groupBy(day) shuffles session-count-sized data, not events. */
+  def qIntervalAlloc(s: SparkSession, sf: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy(col("us").asc)
+    val dayUs = 86400000000L
+    val sessions = Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag("us", 1).over(wU) > lit(1800000000L) ||
+          lag("us", 1).over(wU).isNull, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum("brk").over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("a"), max("us").as("b"))
+    sessions
+      .withColumn("day", explode(sequence(
+        expr(s"a div $dayUs"), expr(s"b div $dayUs"))))
+      .select(col("day"),
+        (least(col("b"), (col("day") + 1) * dayUs) -
+          greatest(col("a"), col("day") * dayUs)).as("ov_us"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"), sum("ov_us").as("covered_us"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_match_spans" -> qMatchSpans _,
+    "q_ewma" -> qEwma _,
+    "q_er_blocking" -> qErBlocking _,
+    "q_interval_alloc" -> qIntervalAlloc _,
     "q_qq_plot" -> qQqPlot _,
     "q_conversion_lag" -> qConversionLag _,
     "q_autocorr" -> qAutocorr _,
@@ -837,6 +1017,69 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_match_spans" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |c AS (SELECT user_id, event_id, rn,
+        |             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM o WHERE event_type = 'click'),
+        |runs AS (SELECT user_id, grp, count(*) AS n_clicks,
+        |                min_by(event_id, rn) AS start_id, max_by(event_id, rn) AS end_id,
+        |                max(rn) AS r1
+        |         FROM c GROUP BY 1, 2)
+        |SELECT r.user_id, start_id, end_id, n_clicks,
+        |       o.event_id AS purchase_id, o.value AS purchase_value
+        |FROM runs r JOIN o ON o.user_id = r.user_id AND o.rn = r.r1 + 1
+        |WHERE o.event_type = 'purchase'
+        |ORDER BY r.user_id, start_id""".stripMargin,
+    "q_ewma" ->
+      s"""WITH daily AS (
+        |  SELECT event_type,
+        |         date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400 AS day,
+        |         ${Det.avgDec2("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, v,
+        |${(1 to 7).map(i => s"             lag(v, $i) OVER (PARTITION BY event_type ORDER BY day) AS l$i").mkString(",\n")}
+        |      FROM daily)
+        |SELECT event_type, day, v, $ewmaExpr AS ewma
+        |FROM l ORDER BY event_type, day""".stripMargin,
+    "q_er_blocking" ->
+      """WITH cust AS (SELECT c_custkey AS k, c_name AS n, c_mktsegment AS seg,
+        |                     CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS cents
+        |              FROM customer),
+        |blocks AS (SELECT k, n, seg, cents, cents // 50000 AS bin, 0 AS pass FROM cust
+        |           UNION ALL
+        |           SELECT k, n, seg, cents, (cents + 25000) // 50000 AS bin, 1 AS pass FROM cust),
+        |kept AS (SELECT * FROM
+        |           (SELECT *, count(*) OVER (PARTITION BY seg, bin, pass) AS bsz FROM blocks)
+        |         WHERE bsz <= 256),
+        |pairs AS (SELECT DISTINCT a.k AS k_a, b.k AS k_b, a.n AS n_a, b.n AS n_b,
+        |                 a.cents AS c_a, b.cents AS c_b
+        |          FROM kept a JOIN kept b ON a.seg = b.seg AND a.bin = b.bin
+        |               AND a.pass = b.pass AND a.k < b.k)
+        |SELECT k_a, k_b, CAST(levenshtein(n_a, n_b) AS BIGINT) AS name_dist,
+        |       abs(c_a - c_b) AS bal_diff_cents,
+        |       CAST(CASE WHEN abs(c_a - c_b) <= 2500 AND levenshtein(n_a, n_b) <= 4
+        |                 THEN 1 ELSE 0 END AS INT) AS is_match
+        |FROM pairs ORDER BY k_a, k_b""".stripMargin,
+    "q_interval_alloc" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, us,
+        |             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |                    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s2 AS (SELECT user_id, us,
+        |              sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |       FROM s),
+        |iv AS (SELECT user_id, sid, min(us) AS a, max(us) AS b FROM s2 GROUP BY 1, 2),
+        |alloc AS (SELECT unnest(generate_series(a // 86400000000, b // 86400000000)) AS day, a, b
+        |          FROM iv)
+        |SELECT day, count(*) AS n_sessions,
+        |       CAST(sum(least(b, (day + 1) * 86400000000) - greatest(a, day * 86400000000)) AS BIGINT) AS covered_us
+        |FROM alloc GROUP BY day ORDER BY day""".stripMargin,
     "q_qq_plot" ->
       """WITH a0 AS (SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
         |            FROM events WHERE event_type = 'click'),

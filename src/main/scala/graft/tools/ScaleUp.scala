@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *  - dimension tables (region, nation) stay fixed — as at real scale;
   *  - document TEXT goes through a per-copy BIJECTIVE letter substitution
   *    (an affine permutation of the alphabet per copy, upper and lower
-  *    case; copy 0 is identity; 312 distinct maps support up to a 312-copy
-  *    derivation), so overlap across copies is ZERO at EVERY granularity —
+  *    case; copy 0 is identity; affine maps for the first 312 copies,
+  *    seeded Fisher–Yates shuffles beyond — unbounded copy count), so
+  *    overlap across copies is ZERO at EVERY granularity —
   *    word bigrams AND character shingles — and near-dup pair mass grows
   *    LINEARLY like a real corpus. (The previous word-suffix scheme only
   *    de-overlapped word n-grams: character 5-gram MinHash still saw
@@ -39,16 +40,18 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "benchdata/sf1x"
     val copies = if (args.length > 2) args(2).toInt else 10
-    // Optional 4th arg: comma-separated table subset. The text/embedding
-    // bijection families bound the copy count (312 letter maps, 2·dim
-    // vector maps) while the key-shift tables replicate cleanly at ANY
-    // multiplier — a subset derivation can therefore push the relational
-    // tables a full decade further than the text tables without composing
-    // colliding maps (deriving documents 10× FROM sf10x would compose
-    // 1000 affine maps into the 312-element group: ~3 copies per composed
-    // map = manufactured cross-copy exact dups, the artifact class the
-    // substitution exists to prevent). Excluded tables are not written
-    // and their copy-count bounds are not enforced.
+    // Optional 4th arg: comma-separated table subset. The embedding
+    // rotation family bounds that table's copy count (2·dim orthogonal
+    // maps) while every other table replicates cleanly at ANY multiplier
+    // (documents since the Fisher–Yates extension below) — a subset
+    // derivation skips tables a probe doesn't read, so a 1000× lineitem
+    // needn't pay a 1000× embeddings write or trip its injectivity bound.
+    // Excluded tables are not written and their bounds are not enforced.
+    // Always derive from the DRIVER SF dir, never from a derived dir:
+    // re-deriving documents from a derived corpus would compose letter
+    // maps into a small group (~copies²/312 coincidences = manufactured
+    // cross-copy exact dups, the artifact class the substitution exists
+    // to prevent).
     val include: String => Boolean = {
       if (args.length > 3) { val ts = args(3).split(",").toSet; ts.contains }
       else _ => true
@@ -98,38 +101,65 @@ object ScaleUp {
         "l_suppkey" -> suppStride)), "lineitem", 16)
     write(replicate(tbl("events"),
       Map("event_id" -> eventStride, "user_id" -> userStride)), "events", 8)
-    // Per-copy bijective letter substitution: the affine permutation
-    // π_c(i) = (a·i + b) mod 26 over alphabet positions, with a coprime
-    // to 26 — 12 units × 26 shifts = 312 distinct bijections, enough for
-    // a 100-copy (100×) derivation. Two DISTINCT affine maps agree on
-    // the solution set of (a1-a2)·i ≡ b2-b1 (mod 26), which has size
-    // gcd(a1-a2, 26) ∈ {0, 2} when solvable (both units are odd, so the
-    // difference is even) — e.g. (a=1,b=0) and (a=3,b=0) both fix 'a'
-    // and 'n'. Tokens drawn ONLY from a copy pair's ≤2 fixed letters
-    // ("an", "nana") can therefore collide across copies: a measured-zero
-    // overlap in practice (no such all-fixed-letter word survives the
-    // fixture's vocabulary) and a negligible dup-mass perturbation if one
-    // ever did — accepted rather than shrinking the unit set, which would
-    // cap the derivation below 100 copies. Copy 0 is (a=1, b=0) =
-    // identity. Length-preserving, so n_chars stays valid as-is.
+    // Per-copy bijective letter substitution. Copies 0..311 use the
+    // affine permutation π_c(i) = (a·i + b) mod 26 over alphabet
+    // positions, a coprime to 26 (12 units × 26 shifts = 312 distinct
+    // bijections; copy 0 = identity), UNCHANGED from earlier rounds so a
+    // re-derived 100× corpus stays value-identical to the recorded
+    // boards. Two DISTINCT affine maps agree on the solution set of
+    // (a1-a2)·i ≡ b2-b1 (mod 26), size gcd(a1-a2, 26) ∈ {0, 2} when
+    // solvable — tokens drawn only from a pair's ≤2 fixed letters could
+    // collide across copies (measured zero in the fixture vocabulary).
+    // Copies ≥ 312 extend the family with a seeded Fisher–Yates shuffle
+    // of the alphabet (splitmix64 stream keyed on the copy index —
+    // deterministic, no RNG state), unlocking 1000×+ derivations: two
+    // independent random permutations agree on k letters with
+    // P(k) ≈ e⁻¹/k! (P(≥5) ≈ 0.3%), and a cross-copy shared shingle
+    // additionally needs a fixture token drawn ONLY from that agreement
+    // set — the same vanishing-overlap argument as the affine family,
+    // slightly weaker in the tail and accepted for derivation tooling.
+    // All maps are length-preserving, so n_chars stays valid as-is.
     val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    require(!include("documents") || copies <= units.length * 26,
-      s"only ${units.length * 26} distinct copy bijections")
     val alphaL = ('a' to 'z').mkString
     val alphaU = ('A' to 'Z').mkString
-    def perm(s: String, c: Int): String = {
-      val a = units(c / 26); val b = c % 26
-      s.indices.map(i => s((a * i + b) % 26)).mkString
-    }
-    val textCol = (1 until copies)
-      .foldLeft(when(col("__c") === 0, col("text"))) { (acc, c) =>
-        acc.when(col("__c") === c,
-          translate(col("text"), alphaL + alphaU, perm(alphaL, c) + perm(alphaU, c)))
+    def perm(c: Int): String = {
+      if (c < units.length * 26) {
+        val a = units(c / 26); val b = c % 26
+        alphaL.indices.map(i => alphaL((a * i + b) % 26)).mkString
+      } else {
+        val arr = ('a' to 'z').toArray
+        var x = 0L
+        def next(): Long = {
+          x += 0x9E3779B97F4A7C15L + c.toLong * 0xC2B2AE3D27D4EB4FL
+          var z = x
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        var i = arr.length - 1
+        while (i > 0) {
+          val j = java.lang.Long.remainderUnsigned(next(), i + 1L).toInt
+          val t = arr(i); arr(i) = arr(j); arr(j) = t; i -= 1
+        }
+        new String(arr)
       }
-      .otherwise(col("text")) // unreachable: __c ∈ [0, copies) is enumerated
-    val docs = replicate(tbl("documents"), Map("doc_id" -> docStride))
-      .withColumn("text", textCol)
-    write(docs, "documents", 8)
+    }
+    if (include("documents")) {
+      // the per-copy (from, to) pairs ride a broadcast map table instead
+      // of a copies-arm CASE chain: StringTranslate accepts non-foldable
+      // match/replace expressions (rebuilding its 52-entry dict when they
+      // change), and a join keeps the plan size flat at any copy count
+      val maps = spark.createDataFrame(
+        (0 until copies).map { c =>
+          val p = perm(c)
+          (c.toLong, alphaL + alphaU, p + p.toUpperCase)
+        }).toDF("__mc", "__from", "__to")
+      val docs = replicate(tbl("documents"), Map("doc_id" -> docStride))
+        .join(broadcast(maps), col("__c") === col("__mc"))
+        .withColumn("text", expr("translate(text, __from, __to)"))
+        .drop("__mc", "__from", "__to")
+      write(docs, "documents", 8)
+    }
     // Lane rotation by (copy mod dim), composed with a whole-vector sign
     // flip once the rotations wrap (copy >= dim) — both orthogonal maps,
     // so norms and within-copy geometry are untouched, and a wrapped copy
