@@ -926,7 +926,112 @@ object Analytics {
       .orderBy("gap_start")
   }
 
+  // Benford first-digit expectations log10(1 + 1/d), precomputed once in
+  // Scala and embedded as the SAME decimal literals in the Spark
+  // expression and the DuckDB oracle — the transcendental never runs
+  // inside either engine, so cross-engine last-ulp drift is impossible.
+  private val benfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  private val benfordCase: String =
+    "CASE digit " +
+      benfordP.map { case (d, p) => s"WHEN $d THEN CAST($p AS DOUBLE)" }
+        .mkString(" ") + " END"
+
+  /** Benford's-law audit of order totals: observed first-significant-digit
+    * counts vs the log10(1+1/d) expectation, with per-digit chi-square
+    * contributions — the fraud/data-entry screen auditors run over
+    * amount columns. The first digit is taken from exact CENTS (scaling
+    * by 10² preserves the leading significant digit), via bigint→string,
+    * identical on both engines; min(o_totalprice) = 1320.51 keeps cents
+    * strictly positive. One map-side-combinable rollup to ≤9 rows; the
+    * grand total attaches by a window over that rollup. Expected
+    * proportions are shared decimal literals (see [[benfordP]]), so the
+    * only float work is exact-integer-derived multiplies/divides. */
+  def qBenford(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .groupBy(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("n_total", sum("n_obs").over(Window.partitionBy()))
+      .withColumn("expected_p", expr(benfordCase))
+      .select(col("digit"), col("n_obs"),
+        col("expected_p"),
+        expr("CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)").as("observed_p"),
+        expr("round((CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p) *" +
+          " (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p) /" +
+          " (CAST(n_total AS DOUBLE) * expected_p), 6)").as("chi2_term"))
+      .orderBy("digit")
+
+  /** Mutual information between market segment and order priority — the
+    * dependence screen feature-selection and drift pipelines run over
+    * categorical column pairs. The corpus pass is the custkey equi-join
+    * plus ONE rollup to the 5×5 cell domain; marginals come from windows
+    * over that ≤25-row rollup, never a second corpus pass. Counts are
+    * exact; each cell's MI term (p·ln(p/(px·py))) is the one
+    * transcendental, computed from identical exact-integer-derived
+    * operands on both engines and rounded to 6 decimals (the
+    * [[Funcs]] ln_price precedent — ln is not IEEE-correctly-rounded, so
+    * raw ulps may differ; 1e-6 is far coarser than the drift). */
+  def qMutualInfo(s: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.orders(s, sf)
+      .join(Tables.customer(s, sf).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n_pair"))
+    cells
+      .withColumn("n_seg", sum("n_pair").over(Window.partitionBy("seg")))
+      .withColumn("n_prio", sum("n_pair").over(Window.partitionBy("prio")))
+      .withColumn("n", sum("n_pair").over(Window.partitionBy()))
+      .select(col("seg"), col("prio"), col("n_pair"), col("n_seg"), col("n_prio"),
+        expr("round((CAST(n_pair AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+          "ln(CAST(n_pair AS DOUBLE) * CAST(n AS DOUBLE) / " +
+          "(CAST(n_seg AS DOUBLE) * CAST(n_prio AS DOUBLE))), 6)").as("mi_term"))
+      .orderBy("seg", "prio")
+  }
+
+  /** Min/max file-stats pruning audit — the footer-stats question behind
+    * every 100 TB layout decision: under layout A (files by arrival /
+    * key order: orderkey mod 64) vs layout B (files clustered by ship
+    * month), what fraction of files does a 3-month shipdate predicate
+    * skip? Per (layout, file): row count + day min/max — ONE
+    * map-side-combinable rollup per layout over a single corpus scan
+    * each; skippability is a per-file flag against the predicate bounds
+    * and the verdict a ≤100-row re-aggregate. Clustered layout should
+    * skip nearly everything, arrival layout nothing — the measured gap
+    * IS the value of clustering, the same arithmetic a table optimizer
+    * runs before rewriting layout (complements [[qZorderLayout]], which
+    * audits occupancy of an interleaved key). */
+  def qStatsPrune(s: SparkSession, sf: String): DataFrame = {
+    val (lo, hi) = (9648L, 9740L) // [1996-06-01, 1996-09-01) as epoch days
+    val li = Tables.lineitem(s, sf)
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(to_date(l_shipdate), DATE '1970-01-01') AS BIGINT)").as("day"))
+    val files = li.select(lit("arrival").as("layout"),
+        expr("l_orderkey % 64").as("file_id"), col("day"))
+      .unionAll(li.select(lit("clustered").as("layout"),
+        expr("(day div 30) % 100").as("file_id"), col("day")))
+      .groupBy("layout", "file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("day").as("min_day"), max("day").as("max_day"))
+    files
+      .withColumn("skippable",
+        (col("max_day") < lo || col("min_day") >= hi).cast("int"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum("skippable").as("n_skipped"),
+        sum("n_rows").as("rows_total"),
+        sum(expr("skippable * n_rows")).as("rows_skipped"))
+      .withColumn("skip_frac",
+        expr("CAST(n_skipped AS DOUBLE) / CAST(n_files AS DOUBLE)"))
+      .orderBy("layout")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> qBenford _,
+    "q_mutual_info" -> qMutualInfo _,
+    "q_stats_prune" -> qStatsPrune _,
     "q_id_gaps" -> qIdGaps _,
     "q_outlier_mad" -> qOutlierMad _,
     "q_key_skew_audit" -> qKeySkewAudit _,
@@ -959,6 +1064,57 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_benford" ->
+      s"""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |           FROM orders),
+         |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         |             count(*) AS n_obs
+         |      FROM c GROUP BY 1),
+         |t AS (SELECT digit, n_obs,
+         |             CAST(sum(n_obs) OVER () AS BIGINT) AS n_total,
+         |             $benfordCase AS expected_p
+         |      FROM d)
+         |SELECT digit, n_obs, expected_p,
+         |       CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS observed_p,
+         |       round((CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p) *
+         |             (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p) /
+         |             (CAST(n_total AS DOUBLE) * expected_p), 6) AS chi2_term
+         |FROM t ORDER BY digit""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS prio, count(*) AS n_pair
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT seg, prio, n_pair,
+        |             CAST(sum(n_pair) OVER (PARTITION BY seg) AS BIGINT) AS n_seg,
+        |             CAST(sum(n_pair) OVER (PARTITION BY prio) AS BIGINT) AS n_prio,
+        |             CAST(sum(n_pair) OVER () AS BIGINT) AS n
+        |      FROM cells)
+        |SELECT seg, prio, n_pair, n_seg, n_prio,
+        |       round((CAST(n_pair AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |             ln(CAST(n_pair AS DOUBLE) * CAST(n AS DOUBLE) /
+        |                (CAST(n_seg AS DOUBLE) * CAST(n_prio AS DOUBLE))), 6) AS mi_term
+        |FROM m ORDER BY seg, prio""".stripMargin,
+    "q_stats_prune" ->
+      """WITH li AS (SELECT l_orderkey,
+        |                   CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day
+        |            FROM lineitem),
+        |files AS (
+        |  SELECT layout, file_id, count(*) AS n_rows,
+        |         min(day) AS min_day, max(day) AS max_day
+        |  FROM (SELECT 'arrival' AS layout, l_orderkey % 64 AS file_id, day FROM li
+        |        UNION ALL
+        |        SELECT 'clustered' AS layout, (day // 30) % 100 AS file_id, day FROM li)
+        |  GROUP BY 1, 2),
+        |f AS (SELECT *, CAST(CASE WHEN max_day < 9648 OR min_day >= 9740
+        |                          THEN 1 ELSE 0 END AS INT) AS skippable
+        |      FROM files)
+        |SELECT layout, count(*) AS n_files,
+        |       CAST(sum(skippable) AS BIGINT) AS n_skipped,
+        |       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |       CAST(sum(skippable * n_rows) AS BIGINT) AS rows_skipped,
+        |       CAST(sum(skippable) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS skip_frac
+        |FROM f GROUP BY layout ORDER BY layout""".stripMargin,
     "q_id_gaps" ->
       """WITH p AS (SELECT event_id AS id FROM events WHERE event_type = 'purchase'),
         |g AS (SELECT id, lead(id) OVER (ORDER BY id) AS nx FROM p)

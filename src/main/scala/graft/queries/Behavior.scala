@@ -981,7 +981,79 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** Offline changepoint detection per event-type series: the day whose
+    * prefix/suffix split maximizes |mean(daily count before) −
+    * mean(daily count after)| — the single-changepoint reduction of
+    * CUSUM-style level-shift scans over operational metrics. The corpus
+    * pass is ONE map-side-combinable rollup to (type, day) — bounded by
+    * the DOMAIN (types × days, ~150 rows here, ~thousands at any scale)
+    * — and every window/argmax below runs on that rollup, so the scan
+    * stays corpus-linear and the quadratic candidate-split enumeration
+    * touches only domain-sized data. Means are exact-integer ratios
+    * (one IEEE division each, identical operand values on both
+    * engines); |Δ| compares exactly; argmax ties break on earliest day.
+    * Splits are prefix-nonempty AND suffix-nonempty by construction
+    * (the last day is excluded as a boundary). */
+  def qChangepoint(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wPre = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("pre_n", sum("n").over(wPre))
+      .withColumn("pre_d", count(lit(1)).over(wPre))
+      .withColumn("tot_n", sum("n").over(wAll))
+      .withColumn("tot_d", count(lit(1)).over(wAll))
+      .filter(col("pre_d") < col("tot_d"))
+      .withColumn("mean_before",
+        expr("CAST(pre_n AS DOUBLE) / CAST(pre_d AS DOUBLE)"))
+      .withColumn("mean_after",
+        expr("CAST(tot_n - pre_n AS DOUBLE) / CAST(tot_d - pre_d AS DOUBLE)"))
+      .withColumn("delta", expr("abs(mean_before - mean_after)"))
+    val wBest = Window.partitionBy("event_type")
+      .orderBy(col("delta").desc, col("day").asc)
+    scored.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("mean_before"), col("mean_after"), col("delta"))
+      .orderBy("event_type")
+  }
+
+  /** Top-10 user journey prefixes: each user's first three event types
+    * (by ts, event_id tiebreak) joined into a '>'-path, counted across
+    * users, global top-10 by (count desc, path asc) — the entry-path
+    * mining behind onboarding analytics. The row_number window and the
+    * per-user pivot share ONE user_id hash partitioning (repartition
+    * before the window, groupBy reuses it — the q_sessionize idiom); the
+    * path rollup is domain-bounded (≤ 5³ + shorter prefixes) and the
+    * top-10 is a TakeOrderedAndProject, never a global sort. Users with
+    * fewer than three events keep their short path (concat_ws skips the
+    * NULL slots on both engines — DuckDB's concat_ws has the same
+    * NULL-skipping contract). */
+  def qPathTopk(s: SparkSession, sf: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val first3 = Tables.events(s, sf)
+      .repartition(col("user_id"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(wU))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("e1"),
+        max(when(col("rn") === 2, col("event_type"))).as("e2"),
+        max(when(col("rn") === 3, col("event_type"))).as("e3"))
+    first3
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint" -> qChangepoint _,
+    "q_path_topk" -> qPathTopk _,
     "q_match_spans" -> qMatchSpans _,
     "q_ewma" -> qEwma _,
     "q_er_blocking" -> qErBlocking _,
@@ -1017,6 +1089,44 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, day,
+        |         sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre_n,
+        |         count(*) OVER (PARTITION BY event_type ORDER BY day
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre_d,
+        |         sum(n) OVER (PARTITION BY event_type) AS tot_n,
+        |         count(*) OVER (PARTITION BY event_type) AS tot_d
+        |  FROM daily),
+        |deltas AS (
+        |  SELECT event_type, day,
+        |         CAST(pre_n AS DOUBLE) / CAST(pre_d AS DOUBLE) AS mean_before,
+        |         CAST(tot_n - pre_n AS DOUBLE) / CAST(tot_d - pre_d AS DOUBLE) AS mean_after
+        |  FROM scored WHERE pre_d < tot_d),
+        |ranked AS (
+        |  SELECT *, abs(mean_before - mean_after) AS delta,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY abs(mean_before - mean_after) DESC, day) AS rn
+        |  FROM deltas)
+        |SELECT event_type, day AS change_day, mean_before, mean_after, delta
+        |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q_path_topk" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |f AS (SELECT user_id,
+        |             max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |             max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |             max(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |      FROM o WHERE rn <= 3 GROUP BY 1)
+        |SELECT concat_ws('>', e1, e2, e3) AS path, count(*) AS n_users
+        |FROM f GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
     "q_match_spans" ->
       """WITH o AS (SELECT user_id, event_id, event_type, value,
         |                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

@@ -1289,7 +1289,52 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Exact repeated-substring detection — the suffix-array dedup class
+    * (find long verbatim spans shared across documents, the contamination
+    * and boilerplate signal exact-doc and near-dup hashing both miss)
+    * approximated the way it actually scales: CONTENT-DEFINED anchoring
+    * (the winnowing / CDC idiom). A position anchors an 8-token window
+    * iff a cheap hash of ITS OWN token ≡ 0 (mod 4) — fixed-stride
+    * sampling would never fire when the two copies of a run sit at
+    * different offsets mod stride, while content-defined anchors land on
+    * the SAME run-relative positions in every copy, so a shared run of
+    * L ≥ 8 tokens is detected unless none of its first L−7 tokens
+    * anchors (miss probability ~(3/4)^(L−7), position-independent).
+    * Windows dedup per doc, inverted-index on the window, stop-windows
+    * (> 64 docs, boilerplate) purged BEFORE the posting-list self-join —
+    * the cap-before-join discipline of q_dedup_near. Emits doc pairs
+    * with shared-window counts. Window generation is one linear explode
+    * (≈ n_tokens/4 windows per doc); at 100 TB the window key would be
+    * a 64-bit hash with an exact-verify pass behind it (the q_dedup_near
+    * sieve shape) — at any SF here the ≤60-byte window string IS the
+    * key, keeping the oracle exact. */
+  /** Content-defined anchored 8-token windows over a (doc_id, text) frame
+    * — factored so the offset-independence property (the reason anchoring
+    * beats fixed-stride sampling) is testable on hand-built docs. */
+  private[graft] def anchoredWindows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("s"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(s) < 8 THEN array() " +
+          "ELSE transform(filter(sequence(1, size(s) - 7), " +
+          "i -> (length(element_at(s, i)) * 31 + ascii(substring(element_at(s, i), 1, 1))) % 4 = 0), " +
+          "i -> array_join(slice(s, i, 8), ' ')) END")).as("w"))
+      .distinct()
+
+  def qDedupSubstring(s: SparkSession, sf: String): DataFrame = {
+    val wins = anchoredWindows(Tables.documents(s, sf))
+    val kept = wins
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("w")))
+      .filter(col("n_docs") <= 64)
+    kept.select(col("doc_id").as("a_id"), col("w"))
+      .join(kept.select(col("doc_id").as("b_id"), col("w")), Seq("w"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substring" -> qDedupSubstring _,
     "q_pref_pairs" -> qPrefPairs _,
     "q_span_mask" -> qSpanMask _,
     "q_filter_funnel" -> qFilterFunnel _,
@@ -1388,6 +1433,18 @@ object TextOps {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_substring" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |w AS (SELECT DISTINCT doc_id, array_to_string(s[i:i+7], ' ') AS w
+        |      FROM d, UNNEST(range(1, len(s) - 6)) AS t(i)
+        |      WHERE len(s) >= 8
+        |        AND (length(s[i]) * 31 + ascii(substring(s[i], 1, 1))) % 4 = 0),
+        |kept AS (SELECT * FROM
+        |           (SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS n_docs FROM w)
+        |         WHERE n_docs <= 64)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin,
     "q_pref_pairs" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, source,

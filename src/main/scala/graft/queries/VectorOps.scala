@@ -1367,7 +1367,41 @@ object VectorOps {
       .orderBy("deg")
   }
 
+  /** Degree assortativity of the near-dup graph — the Pearson correlation
+    * of endpoint degrees over (symmetrized) edges, the one-number answer
+    * to "do heavy duplicators cluster with each other?" (positive ⇒
+    * dup-farms, negative ⇒ hub-and-spoke boilerplate). Consumes the
+    * memoized [[ngramEdges]] like every graph query; the degree table is
+    * node-sized and attaches to both endpoints by equi-join; the moment
+    * sums use the [[qGini]]-style DECIMAL(18,0)-factor lanes (product
+    * width legal on BOTH engines, one scale-0 cast to DOUBLE at the
+    * end), so the only float work is the final closed-form r — identical
+    * expression text both sides, with the zero-variance denominator
+    * guarded. Symmetry makes Σx=Σy and Σx²=Σy², so r reduces to
+    * (nΣxy−(Σx)²)/(nΣx²−(Σx)²). */
+  def qAssortativity(s: SparkSession, sf: String): DataFrame = {
+    val e = ngramEdges(s, sf).select("a_id", "b_id")
+    val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(expr("CAST(x AS DECIMAL(18,0))")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))")).as("sxy"))
+      .select(col("n_edges"),
+        expr("CAST(sx AS DOUBLE)").as("sum_deg"),
+        expr("CAST(sxx AS DOUBLE)").as("sum_deg2"),
+        expr("CAST(sxy AS DOUBLE)").as("sum_xy"),
+        expr("CASE WHEN CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0 THEN 0.0 " +
+          "ELSE (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+          "(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END").as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> qAssortativity _,
     "q_degree_dist" -> qDegreeDist _,
     "q_embedding_cov_diag" -> qEmbeddingCovDiag _,
     "q_embedding_drift" -> qEmbeddingDrift _,
@@ -1417,6 +1451,22 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_assortativity" ->
+      s"""WITH $pairGraphSql,
+         |j AS (SELECT da.deg AS x, db.deg AS y
+         |      FROM sym JOIN deg da ON da.src = sym.src
+         |               JOIN deg db ON db.src = sym.dst),
+         |a AS (SELECT count(*) AS n_edges,
+         |             sum(CAST(x AS DECIMAL(18,0))) AS sx,
+         |             sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx,
+         |             sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy
+         |      FROM j)
+         |SELECT n_edges,
+         |       CAST(sx AS DOUBLE) AS sum_deg,
+         |       CAST(sxx AS DOUBLE) AS sum_deg2,
+         |       CAST(sxy AS DOUBLE) AS sum_xy,
+         |       CASE WHEN CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0 THEN 0.0 ELSE (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS assortativity
+         |FROM a""".stripMargin,
     "q_decontaminate_sem" ->
       """WITH q AS (
         |  SELECT vec_id, i - 1 AS pos,

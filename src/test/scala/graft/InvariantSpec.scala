@@ -1280,4 +1280,61 @@ class InvariantSpec extends SparkSuite {
     assert(out.forall { case (_, src, _, _) => !target(src) },
       "only raw-pool documents may be scored")
   }
+
+  test("q_dedup_substring: content-defined anchors detect shared runs at ANY offset pair") {
+    // The reason anchoring beats fixed-stride sampling: a run embedded at
+    // offsets 1 and 3 (different residues mod the stride) is INVISIBLE to
+    // stride-4 windows but must share an anchored window, because anchors
+    // are a function of the token itself. "data" anchors (4·31 + 100 ≡ 0
+    // mod 4) and sits early in the run, so the same run-relative window
+    // exists in both docs regardless of absolute position.
+    import spark.implicits._
+    val run = "data alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val docs = Seq(
+      (1L, s"x $run pad pad pad"),
+      (2L, s"y1 y2 y3 $run q q q")).toDF("doc_id", "text")
+    val wins = TextOps.anchoredWindows(docs)
+    val shared = wins.filter(col("doc_id") === 1L).select("w")
+      .intersect(wins.filter(col("doc_id") === 2L).select("w")).count()
+    assert(shared >= 1, "shared run not detected across offsets 1 vs 3")
+    // and a doc under 8 tokens contributes no windows (the div-vs-floor
+    // guard: Spark `div` truncates toward zero, DuckDB `//` floors)
+    val short = TextOps.anchoredWindows(Seq((3L, "a b c d e f g")).toDF("doc_id", "text"))
+    assert(short.count() == 0, "sub-window doc must produce no windows")
+  }
+
+  test("q_benford: digits partition the orders corpus and probabilities close") {
+    val rows = Analytics.qBenford(spark, sf001).collect()
+    val nOrders = Tables.orders(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders, "digit counts must partition orders")
+    assert(rows.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 9))
+    val obsSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(obsSum - 1.0) < 1e-9, s"observed_p must sum to 1, got $obsSum")
+    val expSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(expSum - 1.0) < 1e-4, s"Benford table must close, got $expSum")
+  }
+
+  test("q_changepoint: the reported split is the true argmax of the daily-count model") {
+    // independent replay: daily counts per type from raw rows, every split
+    // scored, argmax with earliest-day tie-break — must equal the query.
+    val daily = Tables.events(spark, sf001)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(x => (x._2, x._3)).sortBy(_._1) }
+    val model = daily.map { case (t, series) =>
+      val best = series.indices.dropRight(1).map { k =>
+        val (pre, post) = series.splitAt(k + 1)
+        val mb = pre.map(_._2).sum.toDouble / pre.length
+        val ma = post.map(_._2).sum.toDouble / post.length
+        (series(k)._1, math.abs(mb - ma))
+      }.maxBy { case (d, delta) => (delta, -d) }
+      t -> best
+    }
+    Behavior.qChangepoint(spark, sf001).collect().foreach { r =>
+      val (d, delta) = model(r.getString(0))
+      assert(r.getLong(1) == d && math.abs(r.getDouble(4) - delta) < 1e-12,
+        s"${r.getString(0)}: got (${r.getLong(1)}, ${r.getDouble(4)}), model ($d, $delta)")
+    }
+  }
 }
