@@ -76,31 +76,41 @@ object ScaleUp {
     val docStride = maxOf(tbl("documents"), "doc_id")
 
     // union of `copies` shifted replicas: one explode drives all copies in
-    // a single pass over the source
-    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
-      val withC = df.withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
+    // a single pass over the source. The source repartitions BEFORE the
+    // explode (a source-sized shuffle, megabytes) and the exploded frame
+    // writes straight out of each task — repartitioning AFTER the explode
+    // shuffles the DERIVED corpus (measured: the 1000× lineitem exchange
+    // wrote 46 GB of shuffle blocks and ran the sandbox out of disk; the
+    // pre-explode shape shuffles 11 MB for the same output). The sf0.1
+    // parquet reads as ONE split (small files), so without the source
+    // shuffle a single task would emit every derived row anyway.
+    def replicate(df: DataFrame, shifts: Map[String, Long], parts: Int): DataFrame = {
+      val withC = df.repartition(parts)
+        .withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
       shifts.foldLeft(withC) { case (d, (c, stride)) =>
         d.withColumn(c, col(c) + col("__c") * stride)
       }
     }
-    def write(df: => DataFrame, n: String, parts: Int): Unit = if (include(n)) {
-      df.drop("__c").repartition(parts).write.mode("overwrite")
-        .parquet(s"$dst/$n.parquet")
+    // output parallelism (= file count) grows with the multiplier so a
+    // 1000× table still writes data-parallel without 1000-file litter
+    def np(parts: Int): Int = math.min(32, math.max(parts, copies / 8))
+    def write(df: => DataFrame, n: String): Unit = if (include(n)) {
+      df.drop("__c").write.mode("overwrite").parquet(s"$dst/$n.parquet")
       println(s"wrote $n")
     }
 
-    write(tbl("region"), "region", 1)
-    write(tbl("nation"), "nation", 1)
-    write(replicate(tbl("customer"), Map("c_custkey" -> custStride)), "customer", 4)
-    write(replicate(tbl("supplier"), Map("s_suppkey" -> suppStride)), "supplier", 1)
-    write(replicate(tbl("part"), Map("p_partkey" -> partStride)), "part", 4)
+    write(tbl("region").repartition(1), "region")
+    write(tbl("nation").repartition(1), "nation")
+    write(replicate(tbl("customer"), Map("c_custkey" -> custStride), np(4)), "customer")
+    write(replicate(tbl("supplier"), Map("s_suppkey" -> suppStride), np(1)), "supplier")
+    write(replicate(tbl("part"), Map("p_partkey" -> partStride), np(4)), "part")
     write(replicate(tbl("orders"),
-      Map("o_orderkey" -> orderStride, "o_custkey" -> custStride)), "orders", 8)
+      Map("o_orderkey" -> orderStride, "o_custkey" -> custStride), np(8)), "orders")
     write(replicate(tbl("lineitem"),
       Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
-        "l_suppkey" -> suppStride)), "lineitem", 16)
+        "l_suppkey" -> suppStride), np(16)), "lineitem")
     write(replicate(tbl("events"),
-      Map("event_id" -> eventStride, "user_id" -> userStride)), "events", 8)
+      Map("event_id" -> eventStride, "user_id" -> userStride), np(8)), "events")
     // Per-copy bijective letter substitution. Copies 0..311 use the
     // affine permutation π_c(i) = (a·i + b) mod 26 over alphabet
     // positions, a coprime to 26 (12 units × 26 shifts = 312 distinct
@@ -154,11 +164,11 @@ object ScaleUp {
           val p = perm(c)
           (c.toLong, alphaL + alphaU, p + p.toUpperCase)
         }).toDF("__mc", "__from", "__to")
-      val docs = replicate(tbl("documents"), Map("doc_id" -> docStride))
+      val docs = replicate(tbl("documents"), Map("doc_id" -> docStride), np(8))
         .join(broadcast(maps), col("__c") === col("__mc"))
         .withColumn("text", expr("translate(text, __from, __to)"))
         .drop("__mc", "__from", "__to")
-      write(docs, "documents", 8)
+      write(docs, "documents")
     }
     // Lane rotation by (copy mod dim), composed with a whole-vector sign
     // flip once the rotations wrap (copy >= dim) — both orthogonal maps,
@@ -174,7 +184,7 @@ object ScaleUp {
       .selectExpr("size(embedding)").head.getInt(0)
     require(copies <= 2 * embDim,
       s"embedding map is injective only up to ${2 * embDim} copies (dim $embDim)")
-    val emb = replicate(tbl("embeddings"), Map("vec_id" -> docStride))
+    val emb = replicate(tbl("embeddings"), Map("vec_id" -> docStride), np(8))
       .withColumn("__k", expr("CAST(pmod(__c, size(embedding)) AS INT)"))
       .withColumn("__s", expr("CASE WHEN (__c div size(embedding)) % 2 = 0 THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END"))
       .withColumn("embedding", expr(
@@ -182,7 +192,7 @@ object ScaleUp {
           "concat(slice(embedding, __k + 1, size(embedding) - __k), " +
           "slice(embedding, 1, __k)) END, x -> x * __s)"))
       .drop("__k", "__s")
-    write(emb, "embeddings", 8)
+    write(emb, "embeddings")
     }
     spark.stop()
     println(s"scaled $src x$copies -> $dst")
