@@ -1028,7 +1028,87 @@ object Analytics {
       .orderBy("layout")
   }
 
+  /** Exact weighted median — order quantity weighted by revenue cents per
+    * return flag (the "median item by dollar volume" statistic). The
+    * corpus pass is ONE map-side-combinable rollup to the VALUE DOMAIN
+    * (flag × integral quantity, ≤150 rows at any corpus size); the
+    * prefix-sum window and the 2·cum ≥ tot threshold run on that bounded
+    * frame in exact decimal lanes — no percentile sort, no float
+    * comparison at the boundary. Lower weighted median (the smallest
+    * value whose cumulative weight reaches half). */
+  def qWeightedMedian(s: SparkSession, sf: String): DataFrame = {
+    val dom = Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag").as("flag"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0))")).as("w"))
+    val wCum = Window.partitionBy("flag").orderBy(col("qty").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dom
+      .withColumn("cum", sum("w").over(wCum))
+      .withColumn("tot", sum("w").over(Window.partitionBy("flag")))
+      .filter(expr("CAST(cum AS DECIMAL(38,0)) * 2 >= CAST(tot AS DECIMAL(38,0))"))
+      .groupBy("flag")
+      .agg(min("qty").as("w_median"),
+        expr("CAST(max(tot) AS DOUBLE)").as("w_total_cents"))
+      .orderBy("flag")
+  }
+
+  /** ABC / Pareto classification — customers per nation bucketed into
+    * A (first 80% of cumulative spend, richest first), B (to 95%), C
+    * (tail): the inventory-analysis shape behind "which 20% of keys
+    * carry 80% of mass". The naive form is a per-nation window over
+    * every customer ordered by spend — the low-cardinality-partition
+    * funnel q_win_rank exhibits (dead at 100 TB). Here the cumulative
+    * sum is TWO-PHASE (the q_win_rank_scaled / q_id_gaps recipe): spend
+    * buckets from an in-plan width off the broadcast 1-row spend range
+    * (≤4096 buckets), per-(nation, bucket) offsets from a window over
+    * that bounded rollup, within-bucket cumsums at full (nation, bucket)
+    * parallelism. Same cents → same bucket, so (cents desc, custkey asc)
+    * within buckets + bucket desc across IS the exact global order. The
+    * oracle replays the naive global window — agreement proves the
+    * decomposition. Class thresholds are exact integer cross-multiplies
+    * (cum·100 ≤ tot·80) in DECIMAL(38,0) lanes (HUGEINT on the DuckDB
+    * side) — no float at the boundary. */
+  def qAbcPareto(s: SparkSession, sf: String): DataFrame = {
+    val spend = Tables.orders(s, sf)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0))")).as("sp"))
+      .withColumn("cents", expr("CAST(sp AS BIGINT)")).drop("sp")
+      .join(Tables.customer(s, sf).select(col("c_custkey").as("k"),
+        col("c_nationkey").as("nation")), Seq("k"))
+    val bounds = spend.agg(min("cents").as("mn"), max("cents").as("mx"))
+    val b = spend.crossJoin(broadcast(bounds))
+      .withColumn("bkt", expr("cents div greatest(1L, (mx - mn + 1) div 4096)"))
+      .select("k", "nation", "cents", "bkt")
+    val per = b.groupBy("nation", "bkt")
+      .agg(sum(expr("CAST(cents AS DECIMAL(18,0))")).as("bc"))
+    val wOff = Window.partitionBy("nation").orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = per
+      .withColumn("off", coalesce(sum("bc").over(wOff), expr("CAST(0 AS DECIMAL(28,0))")))
+      .withColumn("tot", sum("bc").over(Window.partitionBy("nation")))
+      .select("nation", "bkt", "off", "tot")
+    val wLoc = Window.partitionBy("nation", "bkt")
+      .orderBy(col("cents").desc, col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offs), Seq("nation", "bkt"))
+      .withColumn("loc", sum(expr("CAST(cents AS DECIMAL(18,0))")).over(wLoc))
+      .withColumn("cum", expr("CAST(off AS DECIMAL(38,0)) + CAST(loc AS DECIMAL(38,0))"))
+      .withColumn("cls", expr(
+        "CASE WHEN cum * 100 <= CAST(tot AS DECIMAL(38,0)) * 80 THEN 'A' " +
+          "WHEN cum * 100 <= CAST(tot AS DECIMAL(38,0)) * 95 THEN 'B' ELSE 'C' END"))
+      .groupBy("nation", "cls")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("cents_class"))
+      .withColumn("nation_tot",
+        sum("cents_class").over(Window.partitionBy("nation")))
+      .select(col("nation"), col("cls"), col("n_cust"), col("cents_class"),
+        expr("CAST(cents_class AS DOUBLE) / CAST(nation_tot AS DOUBLE)").as("share"))
+      .orderBy("nation", "cls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_median" -> qWeightedMedian _,
+    "q_abc_pareto" -> qAbcPareto _,
     "q_benford" -> qBenford _,
     "q_mutual_info" -> qMutualInfo _,
     "q_stats_prune" -> qStatsPrune _,
@@ -1064,6 +1144,42 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_median" ->
+      """WITH dom AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+        |         sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, qty,
+        |             sum(w) OVER (PARTITION BY flag ORDER BY qty
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             sum(w) OVER (PARTITION BY flag) AS tot
+        |      FROM dom)
+        |SELECT flag, min(qty) AS w_median, CAST(max(tot) AS DOUBLE) AS w_total_cents
+        |FROM c WHERE CAST(cum AS DECIMAL(38,0)) * 2 >= CAST(tot AS DECIMAL(38,0))
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+    "q_abc_pareto" ->
+      """WITH sp AS (
+        |  SELECT o_custkey AS k,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey AS nation, k, cents
+        |      FROM sp JOIN customer ON k = c_custkey),
+        |c AS (SELECT nation, cents,
+        |             sum(cents) OVER (PARTITION BY nation ORDER BY cents DESC, k
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             sum(cents) OVER (PARTITION BY nation) AS tot
+        |      FROM j),
+        |cl AS (SELECT nation, cents,
+        |              CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |                   WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS cls
+        |       FROM c),
+        |g AS (SELECT nation, cls, count(*) AS n_cust,
+        |             CAST(sum(cents) AS BIGINT) AS cents_class
+        |      FROM cl GROUP BY 1, 2)
+        |SELECT nation, cls, n_cust, cents_class,
+        |       CAST(cents_class AS DOUBLE) /
+        |       CAST(CAST(sum(cents_class) OVER (PARTITION BY nation) AS BIGINT) AS DOUBLE) AS share
+        |FROM g ORDER BY nation, cls""".stripMargin,
     "q_benford" ->
       s"""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
          |           FROM orders),

@@ -1400,7 +1400,39 @@ object VectorOps {
           "(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END").as("assortativity"))
   }
 
+  /** Two-hop reach distribution over the near-dup graph: for each node,
+    * the number of DISTINCT nodes exactly two hops away (reachable via a
+    * neighbor, not a neighbor itself, not self) — the friends-of-friends
+    * audience statistic, and for dup graphs the size of the "transitive
+    * contamination front" one verification round away. Fanout is Σdeg²
+    * (the q_triangle_count bound — posting-list-shaped, never all-pairs);
+    * the candidate pairs dedup by shuffle on the pair key, direct edges
+    * are removed with a LEFT ANTI join on the same key, and the output
+    * collapses to the reach histogram (bounded by the degree domain).
+    * Zero-reach nodes are INCLUDED (in a clique every two-hop candidate
+    * is already a neighbor — reach 0 is the signal that a dup cluster is
+    * transitively closed, and it keeps the histogram non-vacuous on
+    * clique-shaped fixtures). */
+  def qTwoHopReach(s: SparkSession, sf: String): DataFrame = {
+    val e = ngramEdges(s, sf).select("a_id", "b_id")
+    val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val hop2 = sym.select(col("src"), col("dst").as("mid"))
+      .join(sym.select(col("src").as("mid"), col("dst").as("dst2")), Seq("mid"))
+      .filter(col("src") =!= col("dst2"))
+      .select(col("src"), col("dst2")).distinct()
+    val reach = hop2
+      .join(sym.select(col("src"), col("dst").as("dst2")), Seq("src", "dst2"), "left_anti")
+      .groupBy("src").agg(count(lit(1)).as("n"))
+    sym.select("src").distinct()
+      .join(reach, Seq("src"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("n_two_hop"))
+      .groupBy("n_two_hop").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("n_two_hop")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_two_hop_reach" -> qTwoHopReach _,
     "q_assortativity" -> qAssortativity _,
     "q_degree_dist" -> qDegreeDist _,
     "q_embedding_cov_diag" -> qEmbeddingCovDiag _,
@@ -1451,6 +1483,20 @@ object VectorOps {
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_two_hop_reach" ->
+      s"""WITH $pairGraphSql,
+         |h AS (SELECT DISTINCT x.src AS src, y.dst AS dst2
+         |      FROM sym x JOIN sym y ON x.dst = y.src
+         |      WHERE x.src <> y.dst),
+         |r AS (SELECT src, count(*) AS n
+         |      FROM h
+         |      WHERE NOT EXISTS (SELECT 1 FROM sym s
+         |                        WHERE s.src = h.src AND s.dst = h.dst2)
+         |      GROUP BY 1),
+         |n AS (SELECT d.src, coalesce(r.n, 0) AS n_two_hop
+         |      FROM (SELECT DISTINCT src FROM sym) d LEFT JOIN r USING (src))
+         |SELECT n_two_hop, count(*) AS n_nodes
+         |FROM n GROUP BY 1 ORDER BY n_two_hop""".stripMargin,
     "q_assortativity" ->
       s"""WITH $pairGraphSql,
          |j AS (SELECT da.deg AS x, db.deg AS y

@@ -8,8 +8,16 @@ object Perf {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions default to the core count (the bench shape), but
+    // order-of-magnitude probes size them to the DATA so per-partition
+    // bytes stay inside execution memory — the knob the 100 TB posture
+    // prescribes ("size spark.sql.shuffle.partitions so partitions fit in
+    // executor memory at the target SF"); a 32-partition sort over a
+    // 1000× corpus is ~600 MB/partition and measures the spill path, not
+    // the operator
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -92,8 +92,12 @@ object ScaleUp {
       }
     }
     // output parallelism (= file count) grows with the multiplier so a
-    // 1000× table still writes data-parallel without 1000-file litter
-    def np(parts: Int): Int = math.min(32, math.max(parts, copies / 8))
+    // 1000× table still writes data-parallel without 1000-file litter —
+    // and saturates at local[32] as soon as the multiplier allows, so
+    // probe ratios across derived dirs compare equal read parallelism
+    // (an 8-file 100× dir reads 8-way while a 32-file 1000× dir reads
+    // 32-way, which confounds any scaling ratio taken between them)
+    def np(parts: Int): Int = math.max(parts, math.min(32, copies))
     def write(df: => DataFrame, n: String): Unit = if (include(n)) {
       df.drop("__c").write.mode("overwrite").parquet(s"$dst/$n.parquet")
       println(s"wrote $n")

@@ -129,10 +129,10 @@ class PlanSpec extends SparkSuite {
       // broadcast ≤4096-row quantizer table (bounded by semK's clamp;
       // its own plan lock pins the count at exactly one)
       "q_sql_q11", "q_semdedup",
-      // round-14 addition: q_id_gaps' 1-row (min, max) id-bounds attach
-      // feeding the in-plan bucket-width rule (the broadcast-bounds
-      // alternative to a driver collect)
-      "q_id_gaps",
+      // round-14 additions: q_id_gaps' and q_abc_pareto's 1-row
+      // (min, max) bounds attaches feeding their in-plan bucket-width
+      // rules (the broadcast-bounds alternative to a driver collect)
+      "q_id_gaps", "q_abc_pareto",
       "q_dedup_embcos", "q_join_cross", "q_sim_topk",
       "q_hard_negatives") // declared pair joins (hard negatives = the
                           // label-filtered sim_topk probe broadcast)
