@@ -924,17 +924,27 @@ object Behavior {
     val blocks = cust.withColumn("bin", expr("cents div 50000")).withColumn("pass", lit(0))
       .unionAll(
         cust.withColumn("bin", expr("(cents + 25000) div 50000")).withColumn("pass", lit(1)))
-    val kept = blocks.withColumn("bsz",
+    // the self-join and the cross-pass DISTINCT carry ONLY the key pair —
+    // names and cents are functions of the key, so deduping the full
+    // payload shuffles ~6× the bytes for the same pair set; attributes
+    // re-attach AFTER the dedup by two customer-domain equi-joins (the
+    // planner broadcasts them at small SFs, shuffles on k at scale), and
+    // levenshtein runs once per DISTINCT pair either way
+    val kept = blocks.select("seg", "bin", "pass", "k")
+      .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy("seg", "bin", "pass")))
       .filter(col("bsz") <= 256).drop("bsz")
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.seg") === col("b.seg") && col("a.bin") === col("b.bin") &&
           col("a.pass") === col("b.pass") && col("a.k") < col("b.k"))
-      .select(col("a.k").as("k_a"), col("b.k").as("k_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"),
-        col("a.cents").as("c_a"), col("b.cents").as("c_b"))
+      .select(col("a.k").as("k_a"), col("b.k").as("k_b"))
       .distinct()
-    pairs.select(col("k_a"), col("k_b"),
+    pairs
+      .join(cust.select(col("k").as("k_a"), col("n").as("n_a"),
+        col("cents").as("c_a")), Seq("k_a"))
+      .join(cust.select(col("k").as("k_b"), col("n").as("n_b"),
+        col("cents").as("c_b")), Seq("k_b"))
+      .select(col("k_a"), col("k_b"),
         levenshtein(col("n_a"), col("n_b")).cast("long").as("name_dist"),
         abs(col("c_a") - col("c_b")).as("bal_diff_cents"))
       .withColumn("is_match",
