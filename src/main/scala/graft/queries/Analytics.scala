@@ -1078,7 +1078,12 @@ object Analytics {
         col("c_nationkey").as("nation")), Seq("k"))
     val bounds = spend.agg(min("cents").as("mn"), max("cents").as("mx"))
     val b = spend.crossJoin(broadcast(bounds))
-      .withColumn("bkt", expr("cents div greatest(1L, (mx - mn + 1) div 4096)"))
+      // ceil division ((range + 4095) div 4096, via +4096 on range+1) so
+      // the bucket count is ≤4096 for EVERY range — floor width admits up
+      // to ~2× that (range+1 = 2·4096−1 gives width 1 over ~8191 values);
+      // any width yields the same output (same cents → same bucket), the
+      // bound only sizes the broadcast offsets frame
+      .withColumn("bkt", expr("cents div greatest(1L, (mx - mn + 4096) div 4096)"))
       .select("k", "nation", "cents", "bkt")
     val per = b.groupBy("nation", "bkt")
       .agg(sum(expr("CAST(cents AS DECIMAL(18,0))")).as("bc"))

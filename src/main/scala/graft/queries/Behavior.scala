@@ -898,32 +898,73 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** Block-size cap for [[qErBlocking]] — a (segment, bin, pass) block
+    * bigger than this has lost its discriminating power and is purged
+    * before the self-join (the q_dedup_near BucketCap discipline,
+    * mirrored in the oracle). */
+  private[graft] val ErBlockCap = 256L
+
+  /** Floor for [[qErBlocking]]'s adaptive bin width, in cents. The
+    * half-bin-offset second pass guarantees any pair within width/2 of
+    * each other shares a bin in SOME pass, so the floor pins the
+    * GUARANTEED recall radius at ErMinWidth/2 = 50 cents — the
+    * near-identical-balance band real duplicate records (copies with
+    * name typos) live in — at every corpus size. */
+  private[graft] val ErMinWidth = 100L
+
   /** Entity-resolution candidate generation with multi-pass blocking —
     * the record-linkage front end (find likely-duplicate customer
     * accounts without an all-pairs scan). Records are blocked on
-    * (segment, balance bin) under TWO offset binnings (width $500, the
-    * second shifted by half a bin), so a close-balance pair can never
-    * straddle both binnings — the standard multi-pass fix for blocking's
+    * (segment, balance bin) under TWO offset binnings (the second
+    * shifted by half a bin), so a close-balance pair can never straddle
+    * both binnings — the standard multi-pass fix for blocking's
     * boundary-miss problem. Candidate pairs are scored (name edit
     * distance, exact balance-cents gap) and flagged when both features
-    * agree. Oversized blocks are PURGED before the self-join (cap 256,
-    * the q_dedup_near BucketCap discipline, mirrored in the oracle): a
-    * block that big has lost its discriminating power and would go
-    * quadratic — production ER purges or re-blocks it with a finer key.
-    * Balances shift by +100000 cents before binning so floor-division
-    * semantics never see a negative operand (Spark div truncates toward
-    * zero; DuckDB // floors).
+    * agree. Oversized blocks are PURGED before the self-join (cap
+    * [[ErBlockCap]]): a block that big has lost its discriminating power
+    * and would go quadratic — production ER purges or re-blocks it with
+    * a finer key. Balances shift by +100000 cents before binning so
+    * floor-division semantics never see a negative operand (Spark div
+    * truncates toward zero; DuckDB // floors).
     *
-    * Scale: pair fanout is Σ|block|² bounded by cap²·#blocks; everything
-    * else is hash-partitioned map work. The blocked self-join shuffles
-    * on the block key — never a cross join. */
-  def qErBlocking(s: SparkSession, sf: String): DataFrame = {
-    val cust = Tables.customer(s, sf).select(
+    * The bin width is CORPUS-ADAPTIVE, derived in-plan from a broadcast
+    * 1-row (count, min, max) aggregate — the semK/ivfNlist clamped-sizing
+    * discipline applied to blocking: width = span·cap/(2n) targets an
+    * expected per-bin occupancy of cap/2 across segments, so purges stay
+    * the exception and recall stays FLAT as the corpus grows. A fixed
+    * width does the opposite: at 100× nearly every block exceeds the cap,
+    * is purged, and recall collapses monotonically with corpus size (the
+    * round-14 defect this replaces). The width is floored at
+    * [[ErMinWidth]] so near-identical-balance pairs (diff ≤ width/2 = 50
+    * cents) are ALWAYS candidates; the floor re-binds the cap around
+    * n ≈ cap·span/(2·ErMinWidth) ≈ 1.4e9/100 rows (≈1000× here) — past
+    * that, balance alone is exhausted as a blocking feature and a second
+    * key (e.g. PassJoin name segments) must join the block key; purges
+    * resume there BY DESIGN rather than silently going quadratic.
+    *
+    * Scale: pair fanout is Σ|block|² ≈ #blocks·(cap/2)² with #blocks ∝ n
+    * — LINEAR pair mass per corpus row (measured flat across
+    * sf0.1/10×/100× in PERF.md; recall floor in ScaleSpec). The blocked
+    * self-join shuffles on the block key — never a cross join. */
+  def qErBlocking(s: SparkSession, sf: String): DataFrame =
+    erCandidates(Tables.customer(s, sf))
+
+  /** The blocking + scoring core over a raw customer frame — factored so
+    * ScaleSpec can plant duplicate records and assert the recall floor
+    * at several corpus sizes. */
+  private[graft] def erCandidates(customer: DataFrame): DataFrame = {
+    val cust = customer.select(
       col("c_custkey").as("k"), col("c_name").as("n"), col("c_mktsegment").as("seg"),
       (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + lit(100000L)).as("cents"))
-    val blocks = cust.withColumn("bin", expr("cents div 50000")).withColumn("pass", lit(0))
+    val stats = cust.agg(count(lit(1)).as("n_c"),
+      min("cents").as("mn"), max("cents").as("mx"))
+    val cw = cust.crossJoin(broadcast(stats))
+      .withColumn("bw", expr(
+        s"greatest(${ErMinWidth}L, ((mx - mn + 1L) * ${ErBlockCap}L) div (2L * n_c))"))
+      .select("k", "n", "seg", "cents", "bw")
+    val blocks = cw.withColumn("bin", expr("cents div bw")).withColumn("pass", lit(0))
       .unionAll(
-        cust.withColumn("bin", expr("(cents + 25000) div 50000")).withColumn("pass", lit(1)))
+        cw.withColumn("bin", expr("(cents + bw div 2) div bw")).withColumn("pass", lit(1)))
     // the self-join and the cross-pass DISTINCT carry ONLY the key pair —
     // names and cents are functions of the key, so deduping the full
     // payload shuffles ~6× the bytes for the same pair set; attributes
@@ -933,7 +974,7 @@ object Behavior {
     val kept = blocks.select("seg", "bin", "pass", "k")
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy("seg", "bin", "pass")))
-      .filter(col("bsz") <= 256).drop("bsz")
+      .filter(col("bsz") <= ErBlockCap).drop("bsz")
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.seg") === col("b.seg") && col("a.bin") === col("b.bin") &&
           col("a.pass") === col("b.pass") && col("a.k") < col("b.k"))
@@ -1165,15 +1206,19 @@ object Behavior {
         |SELECT event_type, day, v, $ewmaExpr AS ewma
         |FROM l ORDER BY event_type, day""".stripMargin,
     "q_er_blocking" ->
-      """WITH cust AS (SELECT c_custkey AS k, c_name AS n, c_mktsegment AS seg,
+      s"""WITH cust AS (SELECT c_custkey AS k, c_name AS n, c_mktsegment AS seg,
         |                     CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS cents
         |              FROM customer),
-        |blocks AS (SELECT k, n, seg, cents, cents // 50000 AS bin, 0 AS pass FROM cust
+        |st AS (SELECT count(*) AS n_c, min(cents) AS mn, max(cents) AS mx FROM cust),
+        |cw AS (SELECT k, n, seg, cents,
+        |              greatest($ErMinWidth, ((mx - mn + 1) * $ErBlockCap) // (2 * n_c)) AS bw
+        |       FROM cust, st),
+        |blocks AS (SELECT k, n, seg, cents, cents // bw AS bin, 0 AS pass FROM cw
         |           UNION ALL
-        |           SELECT k, n, seg, cents, (cents + 25000) // 50000 AS bin, 1 AS pass FROM cust),
+        |           SELECT k, n, seg, cents, (cents + bw // 2) // bw AS bin, 1 AS pass FROM cw),
         |kept AS (SELECT * FROM
         |           (SELECT *, count(*) OVER (PARTITION BY seg, bin, pass) AS bsz FROM blocks)
-        |         WHERE bsz <= 256),
+        |         WHERE bsz <= $ErBlockCap),
         |pairs AS (SELECT DISTINCT a.k AS k_a, b.k AS k_b, a.n AS n_a, b.n AS n_b,
         |                 a.cents AS c_a, b.cents AS c_b
         |          FROM kept a JOIN kept b ON a.seg = b.seg AND a.bin = b.bin

@@ -623,14 +623,14 @@ object TextOps {
     * round's rewrite expression). Each round is two partial-agg groupBys +
     * TakeOrderedAndProject over vocab-sized state; state re-caches per
     * round and the previous round unpersists — the connectedComponents
-    * loop posture on a vocabulary-bounded frame. The merge-table FRAME is
-    * not directly oracled (its rows are driver-loop artifacts), but the
-    * recurrence is verified three ways: bit-exact plain-Scala replay
-    * (ExtraOpsSpec), structural properties, and TRANSITIVELY by
-    * [[qBpeEncode]]'s DuckDB oracle, whose 10-stage SQL replay recomputes
-    * these exact merges from the raw corpus and must produce the same
-    * encode. Emits the learned merge table (rank, left, right, n) — the
-    * artifact a tokenizer trainer ships. */
+    * loop posture on a vocabulary-bounded frame. DIRECTLY oracled since
+    * round 15: the q_bpe_encode oracle's 10-stage CTE replay already
+    * re-derives every merge selection from the raw corpus, and each
+    * stage's 1-row top-pair CTE IS a merge-table row — the train oracle
+    * unions those stages with their rank, so the driver hash-checks the
+    * trained artifact itself (plus the bit-exact plain-Scala replay and
+    * structure props in ExtraOpsSpec). Emits the learned merge table
+    * (rank, left, right, n) — the artifact a tokenizer trainer ships. */
   def qBpeTrain(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
     bpeMerges(s, sf).toDF("rank", "left", "right", "n").orderBy("rank")
@@ -1316,8 +1316,13 @@ object TextOps {
       .select(col("doc_id"), split(col("text"), " ").as("s"))
       .select(col("doc_id"), explode(expr(
         "CASE WHEN size(s) < 8 THEN array() " +
+          // empty tokens (consecutive/leading delimiters) are excluded
+          // from anchoring: length('')·31 + ascii('') = 0 ≡ 0 (mod 4)
+          // would make EVERY empty token an anchor, silently breaking the
+          // ~1/4 anchor density whitespace-heavy text relies on
           "ELSE transform(filter(sequence(1, size(s) - 7), " +
-          "i -> (length(element_at(s, i)) * 31 + ascii(substring(element_at(s, i), 1, 1))) % 4 = 0), " +
+          "i -> length(element_at(s, i)) >= 1 AND " +
+          "(length(element_at(s, i)) * 31 + ascii(substring(element_at(s, i), 1, 1))) % 4 = 0), " +
           "i -> array_join(slice(s, i, 8), ' ')) END")).as("w"))
       .distinct()
 
@@ -1400,7 +1405,7 @@ object TextOps {
       s"""p$k AS (SELECT toks[i] AS l, toks[i+1] AS r, f
          |  FROM (SELECT f, string_split(trim(tokstr), '  ') AS toks FROM st${k - 1}),
          |       UNNEST(range(1, len(toks))) AS u(i)),
-         |t$k AS (SELECT l, r FROM p$k GROUP BY l, r
+         |t$k AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS n FROM p$k GROUP BY l, r
          |        ORDER BY sum(f) DESC, l ASC, r ASC LIMIT 1),
          |st$k AS (SELECT s.w, s.f,
          |  coalesce(replace(s.tokstr, ' ' || t.l || '  ' || t.r || ' ',
@@ -1422,6 +1427,19 @@ object TextOps {
        |       UNNEST(range(1, len(e.toks) + 1)) AS u(i))""".stripMargin
   }
 
+  /** q_bpe_train's oracle: the SAME CTE chain re-derives every merge
+    * selection from the raw corpus; each stage's 1-row top-pair CTE
+    * (t1..tN) IS a merge-table row, so unioning them with their stage
+    * index replays the trainer's emitted artifact exactly — rank, pair,
+    * and weighted count. A stage whose pair table is empty (exhausted
+    * vocabulary) contributes no row, matching the trainer's early stop. */
+  private val bpeTrainOracle: String =
+    s"""WITH $bpeDoctoksCtes,
+       |m AS (${(1 to BpeMerges).map(k =>
+             s"""SELECT CAST($k AS INT) AS rank, l AS "left", r AS "right", n FROM t$k""")
+             .mkString("\n       UNION ALL ")})
+       |SELECT rank, "left", "right", n FROM m ORDER BY rank""".stripMargin
+
   private val bpeEncodeOracle: String =
     s"""WITH $bpeDoctoksCtes,
        |vocab AS (SELECT tok,
@@ -1438,6 +1456,7 @@ object TextOps {
         |w AS (SELECT DISTINCT doc_id, array_to_string(s[i:i+7], ' ') AS w
         |      FROM d, UNNEST(range(1, len(s) - 6)) AS t(i)
         |      WHERE len(s) >= 8
+        |        AND length(s[i]) >= 1
         |        AND (length(s[i]) * 31 + ascii(substring(s[i], 1, 1))) % 4 = 0),
         |kept AS (SELECT * FROM
         |           (SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS n_docs FROM w)
@@ -1699,6 +1718,7 @@ object TextOps {
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_bpe_train" -> bpeTrainOracle,
     "q_text_colloc" ->
       """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT unnest(t) AS w FROM d),

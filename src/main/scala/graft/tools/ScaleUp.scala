@@ -103,29 +103,18 @@ object ScaleUp {
       println(s"wrote $n")
     }
 
-    write(tbl("region").repartition(1), "region")
-    write(tbl("nation").repartition(1), "nation")
-    write(replicate(tbl("customer"), Map("c_custkey" -> custStride), np(4)), "customer")
-    write(replicate(tbl("supplier"), Map("s_suppkey" -> suppStride), np(1)), "supplier")
-    write(replicate(tbl("part"), Map("p_partkey" -> partStride), np(4)), "part")
-    write(replicate(tbl("orders"),
-      Map("o_orderkey" -> orderStride, "o_custkey" -> custStride), np(8)), "orders")
-    write(replicate(tbl("lineitem"),
-      Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
-        "l_suppkey" -> suppStride), np(16)), "lineitem")
-    write(replicate(tbl("events"),
-      Map("event_id" -> eventStride, "user_id" -> userStride), np(8)), "events")
-    // Per-copy bijective letter substitution. Copies 0..311 use the
-    // affine permutation π_c(i) = (a·i + b) mod 26 over alphabet
-    // positions, a coprime to 26 (12 units × 26 shifts = 312 distinct
-    // bijections; copy 0 = identity), UNCHANGED from earlier rounds so a
-    // re-derived 100× corpus stays value-identical to the recorded
-    // boards. Two DISTINCT affine maps agree on the solution set of
-    // (a1-a2)·i ≡ b2-b1 (mod 26), size gcd(a1-a2, 26) ∈ {0, 2} when
-    // solvable — tokens drawn only from a pair's ≤2 fixed letters could
-    // collide across copies (measured zero in the fixture vocabulary).
-    // Copies ≥ 312 extend the family with a seeded Fisher–Yates shuffle
-    // of the alphabet (splitmix64 stream keyed on the copy index —
+    // Per-copy bijective letter substitution (shared by documents text
+    // and customer names). Copies 0..311 use the affine permutation
+    // π_c(i) = (a·i + b) mod 26 over alphabet positions, a coprime to 26
+    // (12 units × 26 shifts = 312 distinct bijections; copy 0 =
+    // identity), UNCHANGED from earlier rounds so a re-derived 100×
+    // corpus stays value-identical to the recorded boards. Two DISTINCT
+    // affine maps agree on the solution set of (a1-a2)·i ≡ b2-b1
+    // (mod 26), size gcd(a1-a2, 26) ∈ {0, 2} when solvable — tokens
+    // drawn only from a pair's ≤2 fixed letters could collide across
+    // copies (measured zero in the fixture vocabulary). Copies ≥ 312
+    // extend the family with a seeded Fisher–Yates shuffle of the
+    // alphabet (splitmix64 stream keyed on the copy index —
     // deterministic, no RNG state), unlocking 1000×+ derivations: two
     // independent random permutations agree on k letters with
     // P(k) ≈ e⁻¹/k! (P(≥5) ≈ 0.3%), and a cross-copy shared shingle
@@ -158,18 +147,57 @@ object ScaleUp {
         new String(arr)
       }
     }
+    // the per-copy (from, to) pairs ride a broadcast map table instead
+    // of a copies-arm CASE chain: StringTranslate accepts non-foldable
+    // match/replace expressions (rebuilding its 52-entry dict when they
+    // change), and a join keeps the plan size flat at any copy count
+    def letterMaps: DataFrame = spark.createDataFrame(
+      (0 until copies).map { c =>
+        val p = perm(c)
+        (c.toLong, alphaL + alphaU, p + p.toUpperCase)
+      }).toDF("__mc", "__from", "__to")
+
+    write(tbl("region").repartition(1), "region")
+    write(tbl("nation").repartition(1), "nation")
+    // Customer gets the same cross-copy de-duplication the documents
+    // table has always had: a raw key-shifted replica repeats every
+    // c_name and c_acctbal VERBATIM per copy, which manufactures
+    // `copies`-sized identical-record atoms — at 100× the ER blocking
+    // probe would measure C(100,2) duplicate pairs per original (a
+    // derivation artifact; a real 100× corpus has ~100× the entities,
+    // not 100 exact clones of each) and atom-dense balance bins that
+    // purge. So per copy: letters of c_name go through the same
+    // bijective substitution as document text (digits untouched —
+    // within-copy name structure and lengths are preserved exactly), and
+    // balance cents shift by copy·9973 (prime) cyclically inside the
+    // source's own [min, max] span — distribution support and
+    // within-copy diffs preserved (mod wrap), cross-copy atoms gone.
+    // Copy 0 is the identity for both, as everywhere in this derivation.
+    if (include("customer")) {
+      val balBounds = tbl("customer")
+        .agg(min(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("mn"),
+          max(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("mx")).head
+      val (balMn, balSpan) = (balBounds.getLong(0), balBounds.getLong(1) - balBounds.getLong(0) + 1)
+      val cust = replicate(tbl("customer"), Map("c_custkey" -> custStride), np(4))
+        .join(broadcast(letterMaps), col("__c") === col("__mc"))
+        .withColumn("c_name", expr("translate(c_name, __from, __to)"))
+        .withColumn("c_acctbal", expr(
+          s"CAST(pmod(CAST(round(c_acctbal * 100) AS BIGINT) - ${balMn}L + __c * 9973L, ${balSpan}L) + ${balMn}L AS DOUBLE) / 100.0"))
+        .drop("__mc", "__from", "__to")
+      write(cust, "customer")
+    }
+    write(replicate(tbl("supplier"), Map("s_suppkey" -> suppStride), np(1)), "supplier")
+    write(replicate(tbl("part"), Map("p_partkey" -> partStride), np(4)), "part")
+    write(replicate(tbl("orders"),
+      Map("o_orderkey" -> orderStride, "o_custkey" -> custStride), np(8)), "orders")
+    write(replicate(tbl("lineitem"),
+      Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
+        "l_suppkey" -> suppStride), np(16)), "lineitem")
+    write(replicate(tbl("events"),
+      Map("event_id" -> eventStride, "user_id" -> userStride), np(8)), "events")
     if (include("documents")) {
-      // the per-copy (from, to) pairs ride a broadcast map table instead
-      // of a copies-arm CASE chain: StringTranslate accepts non-foldable
-      // match/replace expressions (rebuilding its 52-entry dict when they
-      // change), and a join keeps the plan size flat at any copy count
-      val maps = spark.createDataFrame(
-        (0 until copies).map { c =>
-          val p = perm(c)
-          (c.toLong, alphaL + alphaU, p + p.toUpperCase)
-        }).toDF("__mc", "__from", "__to")
       val docs = replicate(tbl("documents"), Map("doc_id" -> docStride), np(8))
-        .join(broadcast(maps), col("__c") === col("__mc"))
+        .join(broadcast(letterMaps), col("__c") === col("__mc"))
         .withColumn("text", expr("translate(text, __from, __to)"))
         .drop("__mc", "__from", "__to")
       write(docs, "documents")

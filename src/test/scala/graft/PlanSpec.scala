@@ -133,6 +133,10 @@ class PlanSpec extends SparkSuite {
       // (min, max) bounds attaches feeding their in-plan bucket-width
       // rules (the broadcast-bounds alternative to a driver collect)
       "q_id_gaps", "q_abc_pareto",
+      // round-15 addition: q_er_blocking's 1-row (count, min, max) stats
+      // attach feeding the corpus-adaptive blocking-bin width (the same
+      // broadcast-bounds shape as q_id_gaps/q_abc_pareto)
+      "q_er_blocking",
       "q_dedup_embcos", "q_join_cross", "q_sim_topk",
       "q_hard_negatives") // declared pair joins (hard negatives = the
                           // label-filtered sim_topk probe broadcast)

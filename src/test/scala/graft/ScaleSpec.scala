@@ -316,6 +316,49 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("ER blocking recall floor: planted near-duplicates always survive the corpus-adaptive key (sf0.1 / 10x / 100x)") {
+    // The round-14 fixed-width key failed this floor: at 100x nearly every
+    // (segment, bin) block exceeded the 256 cap and was purged, so recall
+    // collapsed monotonically with corpus growth. The corpus-adaptive width
+    // (span*cap/(2n), floored at ErMinWidth) keeps expected block occupancy
+    // ~cap/2 at every scale, and the ErMinWidth floor pins the GUARANTEED
+    // radius: a planted pair within ErMinWidth/2 = 50 cents shares a bin in
+    // one of the two offset passes at ANY corpus size. Plant one duplicate
+    // per ~101 customers (same segment, <=2-edit name, <=40-cent balance
+    // gap — the near-identical-balance band real duplicate records live in)
+    // and assert EVERY planted pair emerges as an is_match=1 candidate.
+    def recallAt(dir: String, tag: String): Unit = {
+      val cust = Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val maxK = cust.agg(max("c_custkey")).head.getLong(0)
+      val planted = cust.filter(col("c_custkey") % 101 === 0)
+        .select(
+          (col("c_custkey") + lit(maxK + 1)).as("c_custkey"),
+          concat(expr("substring(c_name, 1, length(c_name) - 2)"), lit("QZ")).as("c_name"),
+          col("c_mktsegment"),
+          // exact-cents perturbation in [-40, 40]: integer-valued doubles
+          // round-trip /100*100 exactly under round()
+          expr("(round(c_acctbal * 100) + pmod(c_custkey, 81) - 40) / 100.0").as("c_acctbal"))
+      val nPlanted = planted.count()
+      assert(nPlanted > 0, s"$tag: fixture must plant at least one duplicate")
+      val expected = cust.filter(col("c_custkey") % 101 === 0)
+        .select(col("c_custkey").as("k_a"), (col("c_custkey") + lit(maxK + 1)).as("k_b"))
+      val found = graft.queries.Behavior.erCandidates(cust.unionAll(planted))
+        .join(expected, Seq("k_a", "k_b"))
+        .agg(count(lit(1)).as("n"), min("is_match").as("m")).head
+      assert(found.getLong(0) == nPlanted,
+        s"$tag: recall floor broken — ${found.getLong(0)} of $nPlanted planted pairs survived blocking")
+      assert(found.getInt(1) == 1, s"$tag: a planted pair scored is_match=0")
+    }
+    recallAt("/root/testdata/sf0.1", "sf0.1")
+    val tenx = "/root/repo/benchdata/sf1x"
+    val hundredx = "/root/repo/benchdata/sf10x"
+    if (new java.io.File(s"$tenx/customer.parquet").exists()) recallAt(tenx, "10x")
+    else info("10x derived corpus absent; sf0.1 floor only")
+    if (new java.io.File(s"$hundredx/customer.parquet").exists()) recallAt(hundredx, "100x")
+    else info("100x derived corpus absent")
+  }
+
   test("ngramEdges memoizes: the second request serves the SAME materialized frame") {
     val a = graft.queries.VectorOps.ngramEdges(spark, sf001)
     val b = graft.queries.VectorOps.ngramEdges(spark, sf001)
