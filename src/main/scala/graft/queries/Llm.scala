@@ -99,9 +99,10 @@ object Llm {
   /** (band_idx, band_hash) rows per doc from a cached signature frame —
     * shared by the pipeline and the `tools.NearDbg` bucket-distribution
     * probe. */
-  private[graft] def bandsOfSig(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map { b =>
-      val rows = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
+  private[graft] def bandsOfSig(sig: DataFrame, nBands: Int = Bands): DataFrame = {
+    val rowsPer = NumHashes / nBands
+    val bandStructs = (0 until nBands).map { b =>
+      val rows = (b * rowsPer until (b + 1) * rowsPer).map(i => col(s"m$i"))
       struct(lit(b).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
@@ -135,7 +136,8 @@ object Llm {
     * exact-verified regardless, so the knobs can only affect RECALL
     * (which pairs are discovered), never precision. */
   def nearDupPairs(docs: DataFrame,
-      bucketCap: Int = BucketCap, sieveFrac: Double = SieveFrac): DataFrame = {
+      bucketCap: Int = BucketCap, sieveFrac: Double = SieveFrac,
+      nBands: Int = Bands): DataFrame = {
     // MinHash mins are invariant under shingle multiplicity, so the
     // signature path streams raw (non-distinct) shingles — no global
     // 2M-row distinct shuffle; exact sets are materialized only for the
@@ -163,10 +165,10 @@ object Llm {
     // and an exact duplicate collides in EVERY band, so it is only lost if
     // all 8 of its buckets are oversized — meaning thousands of docs with
     // the full signature, i.e. the pair is boilerplate, not signal).
-    val okBuckets = bandsOfSig(sig).groupBy("band_idx", "band_hash")
+    val okBuckets = bandsOfSig(sig, nBands).groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= bucketCap)
       .select("band_idx", "band_hash")
-    val bands = bandsOfSig(sig).join(okBuckets, Seq("band_idx", "band_hash"))
+    val bands = bandsOfSig(sig, nBands).join(okBuckets, Seq("band_idx", "band_hash"))
     val left = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
     val right = bands.select(col("band_idx").as("band_idx_r"), col("band_hash").as("band_hash_r"),
       col("doc_id").as("b_id"))

@@ -25,22 +25,28 @@ object NearSweep {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.Tables.documents(spark, sfDir)
+    // round-15 sweep axis: the band layout over the fixed 32-hash
+    // signature — (4 bands × 8 rows) / (8 × 4, the default) / (16 × 2).
+    // More bands = higher boundary recall (per-band collision p = J^rows,
+    // 1-(1-J^rows)^bands overall) but more raw candidates to sieve; the
+    // cap/sieve axes were swept in r14 (output-identical across the grid).
     val grid = for {
+      bands <- Seq(4, 8, 16)
       cap <- Seq(500)
-      sieve <- Seq(0.55, 0.60, 0.65)
-    } yield (cap, sieve)
-    println(f"${"cap"}%6s ${"sieve"}%6s ${"wall_s"}%8s ${"pairs"}%8s")
-    grid.foreach { case (cap, sieve) =>
+      sieve <- Seq(0.55)
+    } yield (bands, cap, sieve)
+    println(f"${"bands"}%6s ${"cap"}%6s ${"sieve"}%6s ${"wall_s"}%8s ${"pairs"}%8s")
+    grid.foreach { case (bands, cap, sieve) =>
       var pairs = -1L
       val walls = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val out = graft.queries.Llm.nearDupPairs(docs, cap, sieve)
+        val out = graft.queries.Llm.nearDupPairs(docs, cap, sieve, bands)
         pairs = out.count()
         val t = (System.nanoTime() - t0) / 1e9
         graft.Caches.drain(spark)
         t
       }
-      println(f"$cap%6d $sieve%6.2f ${walls.min}%8.2f $pairs%8d")
+      println(f"$bands%6d $cap%6d $sieve%6.2f ${walls.min}%8.2f $pairs%8d")
     }
     spark.stop()
   }

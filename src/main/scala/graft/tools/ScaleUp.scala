@@ -202,28 +202,58 @@ object ScaleUp {
         .drop("__mc", "__from", "__to")
       write(docs, "documents")
     }
-    // Lane rotation by (copy mod dim), composed with a whole-vector sign
-    // flip once the rotations wrap (copy >= dim) — both orthogonal maps,
-    // so norms and within-copy geometry are untouched, and a wrapped copy
-    // lands at cosine -1 from its un-flipped twin instead of +1 (no
-    // manufactured cross-copy near-dups for any positive-cosine
-    // threshold). Injective only up to 2*dim copies: copy 2*dim would be
-    // byte-identical to copy 0 (cosine +1 twins), silently reintroducing
-    // the quadratic manufactured-near-dup artifact — so the bound is
-    // ENFORCED against the table's actual dimension, not assumed.
+    // Lane rotation by (copy mod dim), composed with a per-GROUP sign
+    // vector (group = copy div dim) — both orthogonal maps, so norms and
+    // within-copy geometry are untouched. Groups 0 and 1 are all-(+1) and
+    // all-(−1), UNCHANGED from earlier rounds (re-derived ≤2·dim corpora
+    // stay byte-identical to the recorded boards); groups ≥ 2 use a
+    // splitmix64-keyed per-lane sign mask, unlocking 1000×+ embedding
+    // derivations. Cross-copy cosine between two copies sharing a
+    // rotation is (agree − disagree)/dim over their sign masks, so the
+    // no-manufactured-near-dups property needs every mask PAIR to
+    // disagree on a healthy lane fraction — which is not assumed from
+    // randomness but CHECKED at derivation time below (pairwise Hamming
+    // distance ≥ dim/4 across all groups including the two constant
+    // masks; LARGE Hamming is fine — it means cosine near −1, the
+    // designed whole-flip direction, and every consumer gates on
+    // positive cosine); a violating copy count fails loudly instead of
+    // silently re-introducing the quadratic near-dup artifact.
     if (include("embeddings")) {
     val embDim = tbl("embeddings")
       .selectExpr("size(embedding)").head.getInt(0)
-    require(copies <= 2 * embDim,
-      s"embedding map is injective only up to ${2 * embDim} copies (dim $embDim)")
+    val nGroups = (copies + embDim - 1) / embDim
+    def signMask(g: Int): Array[Float] = g match {
+      case 0 => Array.fill(embDim)(1.0f)
+      case 1 => Array.fill(embDim)(-1.0f)
+      case _ =>
+        var x = 0L
+        def next(): Long = {
+          x += 0x9E3779B97F4A7C15L + g.toLong * 0x94D049BB133111EBL
+          var z = x
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        Array.tabulate(embDim)(i => if (((next() >>> (i % 63)) & 1L) == 0L) 1.0f else -1.0f)
+    }
+    val masks = (0 until nGroups).map(signMask)
+    for (i <- masks.indices; j <- 0 until i) {
+      val ham = masks(i).zip(masks(j)).count { case (a, b) => a != b }
+      require(ham >= embDim / 4,
+        s"sign masks $j/$i too close (Hamming $ham of $embDim): cross-copy " +
+          "cosine would not vanish — pick a different copy count")
+    }
+    val signMaps = spark.createDataFrame(
+      masks.zipWithIndex.map { case (m, g) => (g.toLong, m.toSeq) })
+      .toDF("__mg", "__sv")
     val emb = replicate(tbl("embeddings"), Map("vec_id" -> docStride), np(8))
       .withColumn("__k", expr("CAST(pmod(__c, size(embedding)) AS INT)"))
-      .withColumn("__s", expr("CASE WHEN (__c div size(embedding)) % 2 = 0 THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END"))
+      .join(broadcast(signMaps), expr("__c div size(embedding)") === col("__mg"))
       .withColumn("embedding", expr(
-        "transform(CASE WHEN __k = 0 THEN embedding ELSE " +
+        "zip_with(CASE WHEN __k = 0 THEN embedding ELSE " +
           "concat(slice(embedding, __k + 1, size(embedding) - __k), " +
-          "slice(embedding, 1, __k)) END, x -> x * __s)"))
-      .drop("__k", "__s")
+          "slice(embedding, 1, __k)) END, __sv, (x, s) -> x * s)"))
+      .drop("__k", "__mg", "__sv")
     write(emb, "embeddings")
     }
     spark.stop()
