@@ -29,6 +29,24 @@ class LlmSpec extends SparkSuite {
       "unrelated docs must not pass the jaccard filter")
   }
 
+  test("near-dup band layouts: every swept layout keeps exact-duplicate recall 1.0") {
+    // the round-15 frontier sweep (tools.NearSweep) threads nBands through
+    // nearDupPairs; whatever the layout, an exact duplicate shares EVERY
+    // minhash, so it collides in every band of any layout — the recall
+    // floor the knob must never be able to break (only boundary-J recall
+    // is layout-dependent, quantified in PERF.md)
+    val base = "the fast key order sort table scan merge batch value spark " * 5
+    val docs = Seq(Doc(1L, base), Doc(2L, base),
+      Doc(4L, "completely different words about nothing at all here now")).toDF()
+    Seq(4, 8, 16).foreach { b =>
+      val keys = Llm.nearDupPairs(docs, nBands = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(keys.contains((1L, 2L)), s"$b bands: exact duplicate pair lost")
+      assert(!keys.exists(p => p._1 == 4L || p._2 == 4L),
+        s"$b bands: unrelated doc passed the jaccard filter")
+    }
+  }
+
   test("near-dup on real data finds the planted sf0.001 exact dup (12, 360)") {
     val pairs = Llm.qDedupNear(spark, sf001)
       .filter(col("a_id") === 12 && col("b_id") === 360).collect()
