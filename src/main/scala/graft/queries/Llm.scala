@@ -100,6 +100,13 @@ object Llm {
     * shared by the pipeline and the `tools.NearDbg` bucket-distribution
     * probe. */
   private[graft] def bandsOfSig(sig: DataFrame, nBands: Int = Bands): DataFrame = {
+    // public-API guard (nearDupPairs threads nBands through here): a band
+    // count that doesn't divide NumHashes would silently drop the trailing
+    // minhash columns from every band, and nBands > NumHashes would give
+    // rowsPer = 0 (a zero-arg xxhash64 per band) — both degenerate the LSH
+    // layout without any error, so reject them loudly instead
+    require(nBands > 0 && NumHashes % nBands == 0,
+      s"bandsOfSig: nBands must be a positive divisor of NumHashes=$NumHashes, got $nBands")
     val rowsPer = NumHashes / nBands
     val bandStructs = (0 until nBands).map { b =>
       val rows = (b * rowsPer until (b + 1) * rowsPer).map(i => col(s"m$i"))
@@ -163,8 +170,8 @@ object Llm {
     // Recall cost is negligible for the target band (J >= 0.8 collides per
     // band with p = 0.8⁴ ≈ 0.41; missing all 7 remaining bands ≈ 2.5%,
     // and an exact duplicate collides in EVERY band, so it is only lost if
-    // all 8 of its buckets are oversized — meaning thousands of docs with
-    // the full signature, i.e. the pair is boilerplate, not signal).
+    // all nBands of its buckets are oversized — meaning thousands of docs
+    // with the full signature, i.e. the pair is boilerplate, not signal).
     val okBuckets = bandsOfSig(sig, nBands).groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= bucketCap)
       .select("band_idx", "band_hash")

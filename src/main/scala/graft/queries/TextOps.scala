@@ -1301,8 +1301,9 @@ object TextOps {
     * L ≥ 8 tokens is detected unless none of its first L−7 tokens
     * anchors (miss probability ~(3/4)^(L−7), position-independent).
     * Windows dedup per doc, inverted-index on the window, stop-windows
-    * (> 64 docs, boilerplate) purged BEFORE the posting-list self-join —
-    * the cap-before-join discipline of q_dedup_near. Emits doc pairs
+    * (> [[SubstringStopCap]] docs, boilerplate) purged BEFORE the
+    * posting-list self-join — the cap-before-join discipline of
+    * q_dedup_near. Emits doc pairs
     * with shared-window counts. Window generation is one linear explode
     * (≈ n_tokens/4 windows per doc); at 100 TB the window key would be
     * a 64-bit hash with an exact-verify pass behind it (the q_dedup_near
@@ -1326,11 +1327,26 @@ object TextOps {
           "i -> array_join(slice(s, i, 8), ' ')) END")).as("w"))
       .distinct()
 
+  /** Stop-window purge threshold: an anchored window shared by more docs
+    * than this is boilerplate and leaves the posting index before the
+    * self-join. ONE definition, read by the query, its oracle string, and
+    * tools.CapProbe — so tuning the cap can never silently leave the probe
+    * measuring a different cut than the query applies. */
+  private[graft] val SubstringStopCap = 64
+
   def qDedupSubstring(s: SparkSession, sf: String): DataFrame = {
     val wins = anchoredWindows(Tables.documents(s, sf))
-    val kept = wins
-      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("w")))
-      .filter(col("n_docs") <= 64)
+    // Posting counts as a map-side-combinable groupBy + LEFT-SEMI join
+    // back on the surviving keys — NOT count().over(Window.partitionBy) :
+    // the cap exists precisely for real boilerplate (a license header
+    // shared by millions of docs), and a window would funnel exactly that
+    // hot key's whole posting list through ONE task (full shuffle +
+    // per-partition sort, no map-side combine) just to compute the count
+    // that purges it. The q_text_line_dedup winner-selection idiom.
+    val keptKeys = wins.groupBy("w").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= SubstringStopCap)
+      .select("w")
+    val kept = wins.join(keptKeys, Seq("w"), "left_semi")
     kept.select(col("doc_id").as("a_id"), col("w"))
       .join(kept.select(col("doc_id").as("b_id"), col("w")), Seq("w"))
       .filter(col("a_id") < col("b_id"))
@@ -1452,7 +1468,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_substring" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |w AS (SELECT DISTINCT doc_id, array_to_string(s[i:i+7], ' ') AS w
         |      FROM d, UNNEST(range(1, len(s) - 6)) AS t(i)
         |      WHERE len(s) >= 8
@@ -1460,7 +1476,7 @@ object TextOps {
         |        AND (length(s[i]) * 31 + ascii(substring(s[i], 1, 1))) % 4 = 0),
         |kept AS (SELECT * FROM
         |           (SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS n_docs FROM w)
-        |         WHERE n_docs <= 64)
+        |         WHERE n_docs <= $SubstringStopCap)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
         |FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin,

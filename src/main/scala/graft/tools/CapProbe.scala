@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * boilerplate — a ~flat FRACTION of postings — not corpus size.)
   *
   *  - q_dedup_substring's stop-window purge: anchored 8-token windows
-  *    shared by > 64 docs leave the posting index before the self-join.
+  *    shared by > TextOps.SubstringStopCap docs leave the posting index
+  *    before the self-join.
   *  - RareDfCap: bigrams with document frequency > 50 never generate
   *    candidate pairs in the n-gram dedup family.
   *
@@ -31,11 +32,12 @@ object CapProbe {
       val docs = graft.Tables.documents(spark, dir)
       val winDf = graft.queries.TextOps.anchoredWindows(docs)
         .groupBy("w").agg(count(lit(1)).as("n_docs"))
+      val stopCap = graft.queries.TextOps.SubstringStopCap
       val w = winDf.agg(
         sum("n_docs").as("post"),
-        sum(when(col("n_docs") > 64, col("n_docs"))).as("purged"),
+        sum(when(col("n_docs") > stopCap, col("n_docs"))).as("purged"),
         count(lit(1)).as("keys"),
-        count(when(col("n_docs") > 64, lit(1))).as("purged_keys")).head
+        count(when(col("n_docs") > stopCap, lit(1))).as("purged_keys")).head
       println(f"CAPPROBE $dir stopwin  postings=${w.getLong(0)}%10d purged=${Option(w.get(1)).map(_.toString).getOrElse("0")}%10s " +
         f"frac=${Option(w.get(1)).map(_.asInstanceOf[Long].toDouble).getOrElse(0.0) / w.getLong(0)}%8.4f " +
         f"keys=${w.getLong(2)}%9d purged_keys=${w.getLong(3)}%6d")

@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
   *    denser activity, the realistic direction for user analytics).
   */
 object ScaleUp {
+  /** Derivation-recipe version, stamped into `<dst>/_derivation_version`
+    * on every FULL derivation. Consumers whose assertions depend on the
+    * recipe (ScaleSpec's ER recall floor reads the customer table's
+    * cross-copy de-duplication, added in v2) check the stamp and skip
+    * with a clear message on mismatch — a corpus left on disk by an older
+    * recipe would otherwise fail for a data-staleness reason
+    * indistinguishable from a code regression (PERF.md records exactly
+    * that failure mode: 14,630/14,852 planted pairs at 100× against a
+    * pre-v2 corpus). Bump when the derivation semantics change. */
+  val DerivationVersion = 2
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "benchdata/sf1x"
@@ -255,6 +266,17 @@ object ScaleUp {
           "slice(embedding, 1, __k)) END, __sv, (x, s) -> x * s)"))
       .drop("__k", "__mg", "__sv")
     write(emb, "embeddings")
+    }
+    // Stamp the recipe version — FULL derivations only: a subset re-derive
+    // into an existing dir leaves a mixture (fresh tables beside stale
+    // ones), so the old stamp must keep gating consumers of the untouched
+    // tables.
+    if (args.length <= 3) {
+      val marker = java.nio.file.Paths.get(dst, "_derivation_version")
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker,
+        s"$DerivationVersion\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"stamped derivation version $DerivationVersion")
     }
     spark.stop()
     println(s"scaled $src x$copies -> $dst")

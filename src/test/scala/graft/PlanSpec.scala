@@ -155,6 +155,15 @@ class PlanSpec extends SparkSuite {
       val p = plan(n)
       assert(!p.contains("Window"), s"$n: winner selection regressed to a window")
     }
+    // substring dedup: the stop-window purge counts postings with a
+    // map-side-combinable groupBy + left-semi join back — a window over
+    // the shingle key would funnel a boilerplate window's whole posting
+    // list (millions of docs at 100 TB) through ONE task before the purge
+    val sub = plan("q_dedup_substring")
+    assert(!sub.contains("Window"),
+      "q_dedup_substring: stop-window purge regressed to a window on the posting key")
+    assert(sub.contains("LeftSemi"),
+      "q_dedup_substring: surviving keys must come back via a left-semi join")
     // novelty joins doc-cardinality frames — the corpus-sized bigram
     // string must not be a join key (the 13.5 s -> 3.6 s fix at 100×)
     assert(!"""SortMergeJoin \[bigram""".r.findFirstIn(plan("q_text_novelty")).isDefined &&

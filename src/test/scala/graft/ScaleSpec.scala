@@ -351,12 +351,28 @@ class ScaleSpec extends SparkSuite {
       assert(found.getInt(1) == 1, s"$tag: a planted pair scored is_match=0")
     }
     recallAt("/root/testdata/sf0.1", "sf0.1")
-    val tenx = "/root/repo/benchdata/sf1x"
-    val hundredx = "/root/repo/benchdata/sf10x"
-    if (new java.io.File(s"$tenx/customer.parquet").exists()) recallAt(tenx, "10x")
-    else info("10x derived corpus absent; sf0.1 floor only")
-    if (new java.io.File(s"$hundredx/customer.parquet").exists()) recallAt(hundredx, "100x")
-    else info("100x derived corpus absent")
+    // Derived corpora only count when their on-disk recipe stamp matches
+    // the current ScaleUp.DerivationVersion: a pre-v2 corpus (verbatim
+    // cloned names/balances) fails the floor for a DATA-staleness reason
+    // indistinguishable from a code regression. Missing/old stamp → skip
+    // loudly, naming the re-derive command.
+    def recallAtIfCurrent(dir: String, tag: String): Unit = {
+      if (!new java.io.File(s"$dir/customer.parquet").exists()) {
+        info(s"$tag derived corpus absent"); return
+      }
+      val marker = java.nio.file.Paths.get(dir, "_derivation_version")
+      val v = if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
+      else None
+      val want = graft.tools.ScaleUp.DerivationVersion
+      if (v.contains(want)) recallAt(dir, tag)
+      else info(s"$tag corpus at $dir has derivation stamp " +
+        s"${v.map(_.toString).getOrElse("<none>")} (current recipe v$want) — " +
+        s"stale data, not a code signal; re-run graft.tools.ScaleUp to refresh")
+    }
+    recallAtIfCurrent("/root/repo/benchdata/sf1x", "10x")
+    recallAtIfCurrent("/root/repo/benchdata/sf10x", "100x")
   }
 
   test("ngramEdges memoizes: the second request serves the SAME materialized frame") {
