@@ -899,10 +899,21 @@ object Behavior {
   }
 
   /** Block-size cap for [[qErBlocking]] — a (segment, bin, pass) block
-    * bigger than this has lost its discriminating power and is purged
-    * before the self-join (the q_dedup_near BucketCap discipline,
+    * bigger than this has lost its discriminating power and is RE-BLOCKED
+    * by PassJoin name segments before the self-join (purged only if still
+    * oversized after re-blocking — the q_dedup_near BucketCap discipline,
     * mirrored in the oracle). */
   private[graft] val ErBlockCap = 256L
+
+  /** Edit-distance match threshold for [[qErBlocking]]'s scoring rule —
+    * ONE definition shared by the score predicate, the PassJoin segment
+    * count ([[ErNameSegments]] = this + 1: pigeonhole over τ+1 contiguous
+    * segments), and the oracle string. */
+  private[graft] val ErEditMax = 4
+  /** PassJoin segment count: τ+1 segments guarantee two equal-length
+    * names within [[ErEditMax]] substitutions share at least one segment
+    * verbatim. */
+  private[graft] val ErNameSegments = ErEditMax + 1
 
   /** Floor for [[qErBlocking]]'s adaptive bin width, in cents. The
     * half-bin-offset second pass guarantees any pair within width/2 of
@@ -920,12 +931,24 @@ object Behavior {
     * both binnings — the standard multi-pass fix for blocking's
     * boundary-miss problem. Candidate pairs are scored (name edit
     * distance, exact balance-cents gap) and flagged when both features
-    * agree. Oversized blocks are PURGED before the self-join (cap
-    * [[ErBlockCap]]): a block that big has lost its discriminating power
-    * and would go quadratic — production ER purges or re-blocks it with
-    * a finer key. Balances shift by +100000 cents before binning so
-    * floor-division semantics never see a negative operand (Spark div
-    * truncates toward zero; DuckDB // floors).
+    * agree. Oversized blocks (cap [[ErBlockCap]]) are RE-BLOCKED with a
+    * finer key before the self-join — the production-ER escalation: each
+    * member splits its name into [[ErNameSegments]] = τ+1 contiguous
+    * PassJoin segments (Li et al. 2011) and the sub-block key becomes
+    * (block, segment index, segment text); by pigeonhole, two equal-length
+    * names within τ = [[ErEditMax]] substitutions leave at least one
+    * segment untouched, so a true duplicate pair inside an oversized
+    * block still shares a sub-block (unequal-length pairs lose the
+    * guarantee — full PassJoin's shifted-substring match is the
+    * generalization; account-name typos are overwhelmingly
+    * length-preserving, as is the fixture's plant). A sub-block STILL
+    * over the cap (every copy of a boilerplate name) is purged — that
+    * mass is duplicate-farm, not signal. Blocks at or under the cap join
+    * directly on a degenerate sub-key, so the re-blocking costs nothing
+    * until a block actually exceeds the cap. Balances shift by +100000
+    * cents before binning so floor-division semantics never see a
+    * negative operand (Spark div truncates toward zero; DuckDB //
+    * floors).
     *
     * The bin width is CORPUS-ADAPTIVE, derived in-plan from a broadcast
     * 1-row (count, min, max) aggregate — the semK/ivfNlist clamped-sizing
@@ -938,9 +961,11 @@ object Behavior {
     * [[ErMinWidth]] so near-identical-balance pairs (diff ≤ width/2 = 50
     * cents) are ALWAYS candidates; the floor re-binds the cap around
     * n ≈ cap·span/(2·ErMinWidth) ≈ 1.4e9/100 rows (≈1000× here) — past
-    * that, balance alone is exhausted as a blocking feature and a second
-    * key (e.g. PassJoin name segments) must join the block key; purges
-    * resume there BY DESIGN rather than silently going quadratic.
+    * that, balance alone is exhausted as a blocking feature, and exactly
+    * there the PassJoin name-segment RE-BLOCKING above takes over: the
+    * floor-bound bins exceed the cap, re-block on (segment idx, segment
+    * text), and recall stays floored instead of collapsing (measured at
+    * 1000×: ScaleSpec deep leg + ErProbe four-decade row in PERF.md).
     *
     * Scale: pair fanout is Σ|block|² ≈ #blocks·(cap/2)² with #blocks ∝ n
     * — LINEAR pair mass per corpus row (measured flat across
@@ -965,19 +990,47 @@ object Behavior {
     val blocks = cw.withColumn("bin", expr("cents div bw")).withColumn("pass", lit(0))
       .unionAll(
         cw.withColumn("bin", expr("(cents + bw div 2) div bw")).withColumn("pass", lit(1)))
+    // block sizes as a map-side-combinable groupBy, routed back by two
+    // tiny key-frame semi-joins — NOT count().over(Window.partitionBy):
+    // the oversized keys are BY DEFINITION the hot ones, and a window
+    // would funnel each hot block's whole membership through one sort
+    // task just to learn it is oversized (the q_dedup_substring lesson)
+    val bcnt = blocks.groupBy("seg", "bin", "pass").agg(count(lit(1)).as("bsz"))
+    val smallKeys = bcnt.filter(col("bsz") <= ErBlockCap).select("seg", "bin", "pass")
+    val bigKeys = bcnt.filter(col("bsz") > ErBlockCap).select("seg", "bin", "pass")
+    // at-or-under-cap blocks pair directly under a degenerate sub-key
+    val small = blocks.join(smallKeys, Seq("seg", "bin", "pass"), "left_semi")
+      .select(col("seg"), col("bin"), col("pass"),
+        lit(-1).as("sidx"), lit("").as("sstr"), col("k"))
+    // oversized blocks re-block on PassJoin name segments: τ+1 contiguous
+    // even-length-split segments per member, sub-key = (idx, text); the
+    // explode is bounded to oversized-block members only
+    val segArm = (0 until ErNameSegments).map(i =>
+      s"struct($i AS sidx, substring(n, ($i * length(n)) div $ErNameSegments + 1, " +
+        s"(($i + 1) * length(n)) div $ErNameSegments - ($i * length(n)) div $ErNameSegments) AS sstr)")
+      .mkString("array(", ", ", ")")
+    val bigSeg = blocks.join(bigKeys, Seq("seg", "bin", "pass"), "left_semi")
+      .select(col("seg"), col("bin"), col("pass"), col("k"),
+        explode(expr(segArm)).as("sg"))
+      .select(col("seg"), col("bin"), col("pass"),
+        col("sg.sidx").as("sidx"), col("sg.sstr").as("sstr"), col("k"))
+    // re-apply the cap on the sub-blocks: a segment shared by more than
+    // cap members of one block is boilerplate and purged for real
+    val subKeys = bigSeg.groupBy("seg", "bin", "pass", "sidx", "sstr")
+      .agg(count(lit(1)).as("ssz")).filter(col("ssz") <= ErBlockCap)
+      .select("seg", "bin", "pass", "sidx", "sstr")
+    val bigKept = bigSeg.join(subKeys, Seq("seg", "bin", "pass", "sidx", "sstr"), "left_semi")
     // the self-join and the cross-pass DISTINCT carry ONLY the key pair —
     // names and cents are functions of the key, so deduping the full
     // payload shuffles ~6× the bytes for the same pair set; attributes
     // re-attach AFTER the dedup by two customer-domain equi-joins (the
     // planner broadcasts them at small SFs, shuffles on k at scale), and
     // levenshtein runs once per DISTINCT pair either way
-    val kept = blocks.select("seg", "bin", "pass", "k")
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy("seg", "bin", "pass")))
-      .filter(col("bsz") <= ErBlockCap).drop("bsz")
+    val kept = small.unionAll(bigKept)
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.seg") === col("b.seg") && col("a.bin") === col("b.bin") &&
-          col("a.pass") === col("b.pass") && col("a.k") < col("b.k"))
+          col("a.pass") === col("b.pass") && col("a.sidx") === col("b.sidx") &&
+          col("a.sstr") === col("b.sstr") && col("a.k") < col("b.k"))
       .select(col("a.k").as("k_a"), col("b.k").as("k_b"))
       .distinct()
     pairs
@@ -989,7 +1042,7 @@ object Behavior {
         levenshtein(col("n_a"), col("n_b")).cast("long").as("name_dist"),
         abs(col("c_a") - col("c_b")).as("bal_diff_cents"))
       .withColumn("is_match",
-        (col("bal_diff_cents") <= 2500 && col("name_dist") <= 4).cast("int"))
+        (col("bal_diff_cents") <= 2500 && col("name_dist") <= ErEditMax).cast("int"))
       .orderBy("k_a", "k_b")
   }
 
@@ -1216,16 +1269,31 @@ object Behavior {
         |blocks AS (SELECT k, n, seg, cents, cents // bw AS bin, 0 AS pass FROM cw
         |           UNION ALL
         |           SELECT k, n, seg, cents, (cents + bw // 2) // bw AS bin, 1 AS pass FROM cw),
-        |kept AS (SELECT * FROM
-        |           (SELECT *, count(*) OVER (PARTITION BY seg, bin, pass) AS bsz FROM blocks)
-        |         WHERE bsz <= $ErBlockCap),
+        |bcnt AS (SELECT seg, bin, pass, count(*) AS bsz FROM blocks GROUP BY 1, 2, 3),
+        |small AS (SELECT b.seg, b.bin, b.pass, -1 AS sidx, '' AS sstr, b.k, b.n, b.cents
+        |          FROM blocks b JOIN bcnt USING (seg, bin, pass) WHERE bsz <= $ErBlockCap),
+        |bigseg AS (SELECT b.seg, b.bin, b.pass, CAST(i AS INT) AS sidx,
+        |                  substring(b.n, (i * length(b.n)) // $ErNameSegments + 1,
+        |                            ((i + 1) * length(b.n)) // $ErNameSegments
+        |                              - (i * length(b.n)) // $ErNameSegments) AS sstr,
+        |                  b.k, b.n, b.cents
+        |           FROM blocks b JOIN bcnt USING (seg, bin, pass),
+        |                UNNEST(range(0, $ErNameSegments)) AS t(i)
+        |           WHERE bsz > $ErBlockCap),
+        |scnt AS (SELECT seg, bin, pass, sidx, sstr, count(*) AS ssz
+        |         FROM bigseg GROUP BY 1, 2, 3, 4, 5),
+        |bigkept AS (SELECT b.seg, b.bin, b.pass, b.sidx, b.sstr, b.k, b.n, b.cents
+        |            FROM bigseg b JOIN scnt USING (seg, bin, pass, sidx, sstr)
+        |            WHERE ssz <= $ErBlockCap),
+        |kept AS (SELECT * FROM small UNION ALL SELECT * FROM bigkept),
         |pairs AS (SELECT DISTINCT a.k AS k_a, b.k AS k_b, a.n AS n_a, b.n AS n_b,
         |                 a.cents AS c_a, b.cents AS c_b
         |          FROM kept a JOIN kept b ON a.seg = b.seg AND a.bin = b.bin
-        |               AND a.pass = b.pass AND a.k < b.k)
+        |               AND a.pass = b.pass AND a.sidx = b.sidx AND a.sstr = b.sstr
+        |               AND a.k < b.k)
         |SELECT k_a, k_b, CAST(levenshtein(n_a, n_b) AS BIGINT) AS name_dist,
         |       abs(c_a - c_b) AS bal_diff_cents,
-        |       CAST(CASE WHEN abs(c_a - c_b) <= 2500 AND levenshtein(n_a, n_b) <= 4
+        |       CAST(CASE WHEN abs(c_a - c_b) <= 2500 AND levenshtein(n_a, n_b) <= $ErEditMax
         |                 THEN 1 ELSE 0 END AS INT) AS is_match
         |FROM pairs ORDER BY k_a, k_b""".stripMargin,
     "q_interval_alloc" ->

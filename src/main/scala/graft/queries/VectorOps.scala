@@ -115,10 +115,16 @@ object VectorOps {
 
   /** Bucketed ANN: bounded probes (every 50th vector under [[Llm.ProbeCap]])
     * search only corpus vectors sharing an SRP band bucket — the 100 TB
-    * path where brute force (q_sim_topk) is the verified baseline. NOT
-    * oracled (candidate set is hash-dependent); scalatest checks structure
-    * + self-retrieval + subset-of-brute-force + sub-quadratic candidate
-    * growth. */
+    * path where brute force (q_sim_topk) is the verified baseline.
+    * FULL-REPLAY ORACLED since round 16: the SRP plane matrix is a fixed
+    * seeded constant, so the oracle embeds all 64 planes as DOUBLE[]
+    * literals (printed shortest-roundtrip — any correctly-rounding parser
+    * recovers the exact bits) and re-derives every signature with the
+    * same dim-ordered sequential fold the [[graft.functions.SrpPlanes]]
+    * kernel runs (DuckDB list_reduce is a left fold), so each `dot > 0`
+    * sign decision is bit-identical and the candidate set replays
+    * exactly. Scalatest additionally checks self-retrieval,
+    * subset-of-brute-force, and sub-quadratic candidate growth. */
   def qSimLsh(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(s, sf).withColumn("sig", srpSignature(col("embedding")))
     val corpusBands = bandRows(e.select(col("vec_id").as("neighbor_id"), col("sig")), "neighbor_id")
@@ -158,44 +164,68 @@ object VectorOps {
     * [[IvfNprobe]] nearest centroids, and exact scoring touches only those
     * lists. At scale the centroid id is the shuffle key and pair work is
     * ~n·nprobe/nlist per probe, never n²; the corpus-side quantizer is a
-    * per-row argmax aggregation (`max_by` with partial map-side combine —
+    * per-row argmin aggregation (`min_by` with partial map-side combine —
     * no per-row window sort over the n·K scored rows, no driver state).
     * Self-retrieval is guaranteed (a probe's top-1 centroid is within its
-    * probed set). NOT oracled (candidate sets are quantizer-dependent);
-    * scalatest asserts structure, self-retrieval, subset-of-brute-force,
-    * bounded candidate count, and MEASURED recall@5 floors vs the exact
-    * baseline (ExtraOpsSpec; numbers in PERF.md). */
+    * probed set — the posting and probe sides share one metric and
+    * tiebreak). FULL-REPLAY ORACLED since round 16: assignment and probe
+    * fan-out decide on EXACT integer squared-Euclidean d² over floor(x·128)
+    * quantized lanes (the q_semdedup/q_kmeans idiom; Euclidean-nearest is
+    * also the standard IVF coarse quantizer — FAISS IndexIVF assigns in
+    * L2), so the candidate set replays bit-identically in SQL; the
+    * previously float-cosine argmax was the one hash-undecidable stage.
+    * Scalatest additionally asserts structure, self-retrieval,
+    * subset-of-brute-force, bounded candidate count, and MEASURED recall@5
+    * floors vs the exact baseline (ExtraOpsSpec; numbers in PERF.md). */
   /** Probe fan-out — the recall/cost knob every IVF deployment tunes.
     * 4 probes of an nlist-256 deployment scan ~1.6% of the corpus per
     * query; on this near-random 64-dim fixture the measured recall@5 vs
-    * exact brute force is 0.47 at nprobe=4 (0.375 at 2, 0.63 at 8 —
-    * diminishing returns because the fixture's true neighbors sit at
-    * cos ≤ 0.49, barely above the random-pair band; a clustered corpus
-    * recalls far higher at the same nprobe, see ExtraOpsSpec's planted
-    * and doubled-corpus recall tests). */
+    * exact brute force is 0.455 at nprobe=4 under the exact-d² quantizer
+    * (0.49 at 10×; planted-twin recall 0.975 — diminishing returns on
+    * the random fixture because its true neighbors sit at cos ≤ 0.49,
+    * barely above the random-pair band; a clustered corpus recalls far
+    * higher at the same nprobe, see ExtraOpsSpec's planted and
+    * doubled-corpus recall tests). */
   private[graft] val IvfNprobe = 4
-  /** Corpus-side quantizer (nprobe=1): argmax over the broadcast centroid
-    * set via max_by — aggregates partially map-side, ships one row per
-    * vector, and never materializes a sorted n·K window. Tiebreak (csim
-    * desc, cid asc) is encoded as max of struct(csim, -cid). `private
-    * [graft]` so tests can drive it with synthetic centroid sets. */
-  private[graft] def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame): DataFrame = {
-    import graft.functions.VectorExpressions.cosineSim
-    df.crossJoin(broadcast(cents))
-      .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
-      .groupBy(idCol)
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+  /** Quantized-lane frame (idCol, qv = floor(x·128) lanes as FLOAT —
+    * graft_dot's probe type, values ≤ 129 exactly representable —, nn =
+    * ‖qv‖²): the exact-integer space [[ivfAssign]]/[[ivfProbe]] decide in.
+    * Every downstream d² operand is an integer-valued double < 2²³, so
+    * argmin decisions are bit-identical to the oracle's BIGINT
+    * arithmetic. */
+  private[graft] def ivfQuantize(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    import graft.functions.VectorExpressions.dot
+    df.select(col(idCol),
+      expr(s"transform($vecCol, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT) AS FLOAT))")
+        .as("qv"))
+      .withColumn("nn", dot(col("qv"), col("qv")))
   }
 
-  /** Probe-side fan-out: top-`nprobe` centroids per probe. A row_number
-    * window is fine here — the probe set is bounded (|probes| · K rows). */
-  private[graft] def ivfProbe(df: DataFrame, idCol: String, vecCol: String,
+  /** Corpus-side quantizer (nprobe=1): nearest centroid by EXACT integer
+    * d² = ‖v‖² − 2·v·c + ‖c‖² over the broadcast centroid set via min_by
+    * (cid-ascending tiebreak, struct(d2, cid)) — aggregates partially
+    * map-side, ships one row per vector, and never materializes a sorted
+    * n·K window. Takes an [[ivfQuantize]]d frame; `private[graft]` so
+    * tests can drive it with synthetic centroid sets. */
+  private[graft] def ivfAssign(q: DataFrame, idCol: String,
+      cents: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.dot
+    q.crossJoin(broadcast(cents))
+      .withColumn("d2", col("nn") - lit(2d) * dot(col("qv"), col("cv")) + col("nc"))
+      .groupBy(idCol)
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+  }
+
+  /** Probe-side fan-out: top-`nprobe` centroids per probe by the same
+    * exact d² (ascending, cid ascending). A row_number window is fine
+    * here — the probe set is bounded (|probes| · K rows). */
+  private[graft] def ivfProbe(q: DataFrame, idCol: String,
       cents: DataFrame, nprobe: Int): DataFrame = {
-    import graft.functions.VectorExpressions.cosineSim
-    val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
-    df.crossJoin(broadcast(cents))
-      .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
+    import graft.functions.VectorExpressions.dot
+    val w = Window.partitionBy(idCol).orderBy(col("d2").asc, col("cid").asc)
+    q.crossJoin(broadcast(cents))
+      .withColumn("d2", col("nn") - lit(2d) * dot(col("qv"), col("cv")) + col("nc"))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= nprobe)
       .select(col(idCol), col("cid"))
@@ -203,22 +233,24 @@ object VectorOps {
 
   def qSimIvf(s: SparkSession, sf: String): DataFrame = {
     import graft.functions.VectorExpressions.cosineSim
-    val e = Tables.embeddings(s, sf).repartition(col("vec_id"))
+    // cached: the quantized frame feeds the centroid filter, the posting
+    // assignment and the probe fan-out (harness-drained via Caches);
+    // repartition BEFORE quantizing — a single-file corpus otherwise pins
+    // the n·K assignment fan-out to one input partition
+    val q = Caches.registered(ivfQuantize(
+      Tables.embeddings(s, sf).repartition(col("vec_id")), "vec_id", "embedding"))
     // nlist from the corpus count (≈√n, capped — see ivfNlist); centroids
     // are an id-stride sample so exactly nlist of them exist at any SF
     val n = Tables.embeddings(s, sf).count()
     val k = ivfNlist(n)
     val stride = math.max(1L, n / k)
-    val cents = Tables.embeddings(s, sf)
-      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cents = q.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("nc"))
     val posting = ivfAssign(
-      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
-      "neighbor_id", "nvec", cents)
+      q.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", cents)
     val probeLists = ivfProbe(
-      e.filter(Llm.probeFilter)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec")),
-      "probe_id", "pvec", cents, IvfNprobe)
+      q.filter(Llm.probeFilter).withColumnRenamed("vec_id", "probe_id"),
+      "probe_id", cents, IvfNprobe)
     // each neighbor sits in exactly one posting list, so (probe, neighbor)
     // pairs are already unique — no post-join distinct needed
     val candidates = probeLists.join(posting, Seq("cid"))
@@ -1482,7 +1514,98 @@ object VectorOps {
       |        UNION ALL SELECT b_id AS src, a_id AS dst FROM e),
       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
+  // The fixed SRP hyperplane matrix as a 64-row SQL VALUES list
+  // (p, DOUBLE[64]) — generated from the SAME SrpPlanes.planes array the
+  // Catalyst kernel reads, printed via Double.toString (shortest
+  // round-trip decimal: any correctly-rounding parser, DuckDB included,
+  // recovers the exact bits), so the oracle can re-derive every signature
+  // from raw floats. ~95 KB of SQL text — the price of a full replay.
+  private def srpPlanesSqlValues: String = {
+    val sp = graft.functions.SrpPlanes
+    (0 until sp.NumPlanes).map { p =>
+      val vec = (0 until sp.Dim).map(i => sp.planes(p * sp.Dim + i).toString).mkString(", ")
+      s"($p, [$vec]::DOUBLE[])"
+    }.mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    // Full SRP-LSH replay: per-plane dots via list_reduce — DuckDB's
+    // guaranteed LEFT fold, the same dim-ordered sequential accumulation
+    // (((0+p₁)+p₂)+… the SrpPlanes kernel runs — so every `dot > 0` sign
+    // decision is bit-identical and band buckets (bit p of the signature
+    // → bit p%16 of band p//16, exactly shiftright(sig,16b)&0xFFFF)
+    // reproduce the candidate set exactly. Exact scoring then mirrors the
+    // q_sim_topk cosine idiom.
+    "q_sim_lsh" ->
+      s"""WITH planes(p, pv) AS (VALUES
+         |$srpPlanesSqlValues),
+         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dots AS (
+         |  SELECT vec_id, p // $PlaneBits AS band_idx, p % $PlaneBits AS bit,
+         |         list_reduce(list_transform(range(1, ${graft.functions.SrpPlanes.Dim + 1}), i -> v[i] * pv[i]),
+         |                     (a, b) -> a + b) AS dot
+         |  FROM emb, planes),
+         |bands AS (
+         |  SELECT vec_id, band_idx,
+         |         CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id, band_idx),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${Llm.ProbeCap}),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         round(list_sum(list_transform(range(1, 65), i -> pe.v[i] * ne.v[i])) /
+         |               (sqrt(list_sum(list_transform(pe.v, x -> x * x))) *
+         |                sqrt(list_sum(list_transform(ne.v, x -> x * x)))), 6) AS cos
+         |  FROM cand JOIN emb pe ON probe_id = pe.vec_id JOIN emb ne ON neighbor_id = ne.vec_id)
+         |SELECT probe_id,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk,
+         |       neighbor_id, cos
+         |FROM scored QUALIFY rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    // Full IVF replay: k/stride re-derived from the corpus count
+    // (ivfNlist's clamp in SQL), id-stride centroids, exact-BIGINT d²
+    // argmin assignment via the q_kmeans packing idiom (d²·2²⁴+cid),
+    // probe fan-out as a row_number over the same exact d², then the
+    // q_sim_topk cosine idiom over the replayed candidate set.
+    "q_sim_ivf" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, i - 1 AS pos,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT) AS qx
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
+         |nd AS (SELECT count(*) AS n FROM embeddings),
+         |st AS (SELECT greatest(4, least(256, CAST(round(sqrt(CAST(n AS DOUBLE))) AS BIGINT))) AS k,
+         |              greatest(1, n // greatest(4, least(256, CAST(round(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))) AS stride
+         |       FROM nd),
+         |cents AS (SELECT q.vec_id AS cid, pos, qx AS qc FROM q, st
+         |          WHERE q.vec_id % st.stride = 0 AND q.vec_id < st.stride * st.k),
+         |norms AS (SELECT vec_id, sum(qx * qx) AS nn FROM q GROUP BY 1),
+         |cnorms AS (SELECT cid, sum(qc * qc) AS nc FROM cents GROUP BY 1),
+         |cdots AS (SELECT q.vec_id, c.cid, sum(q.qx * c.qc) AS dt
+         |          FROM q JOIN cents c USING (pos) GROUP BY 1, 2),
+         |dist AS (SELECT d.vec_id, d.cid, nn - 2 * dt + nc AS d2
+         |         FROM cdots d JOIN norms USING (vec_id) JOIN cnorms USING (cid)),
+         |posting AS (SELECT vec_id AS neighbor_id,
+         |                   CAST(min(d2 * 16777216 + cid) % 16777216 AS BIGINT) AS cid
+         |            FROM dist GROUP BY 1),
+         |plist AS (SELECT vec_id AS probe_id, cid
+         |          FROM (SELECT vec_id, cid,
+         |                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS cr
+         |                FROM dist
+         |                WHERE vec_id % 50 = 0 AND vec_id < ${Llm.ProbeCap})
+         |          WHERE cr <= $IvfNprobe),
+         |cand AS (SELECT probe_id, neighbor_id FROM plist JOIN posting USING (cid)),
+         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         round(list_sum(list_transform(range(1, 65), i -> pe.v[i] * ne.v[i])) /
+         |               (sqrt(list_sum(list_transform(pe.v, x -> x * x))) *
+         |                sqrt(list_sum(list_transform(ne.v, x -> x * x)))), 6) AS cos
+         |  FROM cand JOIN emb pe ON probe_id = pe.vec_id JOIN emb ne ON neighbor_id = ne.vec_id)
+         |SELECT probe_id,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk,
+         |       neighbor_id, cos
+         |FROM scored QUALIFY rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
     "q_two_hop_reach" ->
       s"""WITH $pairGraphSql,
          |h AS (SELECT DISTINCT x.src AS src, y.dst AS dst2

@@ -54,8 +54,9 @@ class ExtraOpsSpec extends SparkSuite {
     val ivf01 = recallAt5(sf01, VectorOps.qSimIvf(spark, sf01))
     Caches.drain(spark)
     info(f"recall@5 sf0.1: lsh=$lsh01%.3f ivf=$ivf01%.3f")
-    // floors pinned just under the round-12 measurements (PERF.md:
-    // lsh 0.20, ivf 0.47 at nprobe=4) so a recall collapse fails loudly
+    // floors pinned just under the measured levels (PERF.md: lsh 0.20;
+    // ivf 0.455 at nprobe=4 under the round-16 exact-d² quantizer, 0.47
+    // under the float-cosine argmax it replaced) so a recall collapse fails loudly
     // while hash-seed-level jitter does not. The absolute level is a
     // FIXTURE property — this corpus's true neighbors sit at cos ≤ 0.49,
     // barely above random pairs, the worst case for any bucketed ANN;
@@ -223,17 +224,15 @@ class ExtraOpsSpec extends SparkSuite {
         (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
         .toDF("vec_id", "embedding")
     }
-    val cents = corpus(16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cents = VectorOps.ivfQuantize(corpus(16), "vec_id", "embedding")
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("nc"))
     def candidates(n: Int): Long = {
-      val c = corpus(n)
+      val q = VectorOps.ivfQuantize(corpus(n), "vec_id", "embedding")
       val posting = VectorOps.ivfAssign(
-        c.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
-        "neighbor_id", "nvec", cents)
+        q.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", cents)
       assert(posting.count() == n, "quantizer must emit exactly one centroid per vector")
-      val probes = c.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
-      VectorOps.ivfProbe(probes, "probe_id", "pvec", cents, 2)
+      val probes = q.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "probe_id")
+      VectorOps.ivfProbe(probes, "probe_id", cents, 2)
         .join(posting, Seq("cid")).count()
     }
     val small = candidates(400)
@@ -267,15 +266,14 @@ class ExtraOpsSpec extends SparkSuite {
       val n = nClusters * 8L
       val k = VectorOps.ivfNlist(n)
       val stride = math.max(1L, n / k)
-      val cents = c.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = VectorOps.ivfQuantize(c, "vec_id", "embedding")
+      val cents = q.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("nc"))
       assert(cents.count() == k, s"stride sample must yield exactly $k centroids")
       val posting = VectorOps.ivfAssign(
-        c.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
-        "neighbor_id", "nvec", cents)
-      val probes = c.filter(col("vec_id") % 8 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
-      val cand = VectorOps.ivfProbe(probes, "probe_id", "pvec", cents, 2)
+        q.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", cents)
+      val probes = q.filter(col("vec_id") % 8 === 0).withColumnRenamed("vec_id", "probe_id")
+      val cand = VectorOps.ivfProbe(probes, "probe_id", cents, 2)
         .join(posting, Seq("cid")).select("probe_id", "neighbor_id")
       val av = c.select(col("vec_id").as("probe_id"), col("embedding").as("av"))
       val bv = c.select(col("vec_id").as("neighbor_id"), col("embedding").as("bv"))

@@ -164,6 +164,14 @@ class PlanSpec extends SparkSuite {
       "q_dedup_substring: stop-window purge regressed to a window on the posting key")
     assert(sub.contains("LeftSemi"),
       "q_dedup_substring: surviving keys must come back via a left-semi join")
+    // ER blocking: block sizing is a groupBy routed back by semi-joins —
+    // the oversized keys are by definition the hot ones, so a window over
+    // the block key would funnel exactly them
+    val er = plan("q_er_blocking")
+    assert(!er.contains("Window"),
+      "q_er_blocking: block sizing regressed to a window on the block key")
+    assert(er.contains("LeftSemi"),
+      "q_er_blocking: small/oversized routing must ride semi-joins")
     // novelty joins doc-cardinality frames — the corpus-sized bigram
     // string must not be a join key (the 13.5 s -> 3.6 s fix at 100×)
     assert(!"""SortMergeJoin \[bigram""".r.findFirstIn(plan("q_text_novelty")).isDefined &&

@@ -349,6 +349,7 @@ class ScaleSpec extends SparkSuite {
       assert(found.getLong(0) == nPlanted,
         s"$tag: recall floor broken — ${found.getLong(0)} of $nPlanted planted pairs survived blocking")
       assert(found.getInt(1) == 1, s"$tag: a planted pair scored is_match=0")
+      info(s"$tag: all $nPlanted planted pairs recovered")
     }
     recallAt("/root/testdata/sf0.1", "sf0.1")
     // Derived corpora only count when their on-disk recipe stamp matches
@@ -373,6 +374,14 @@ class ScaleSpec extends SparkSuite {
     }
     recallAtIfCurrent("/root/repo/benchdata/sf1x", "10x")
     recallAtIfCurrent("/root/repo/benchdata/sf10x", "100x")
+    // 1000× — the decade where the balance width floor binds (bins hit
+    // the cap) and the PassJoin name-segment re-blocking must carry the
+    // floor instead of the round-14-style recall collapse. ~15M planted
+    // corpus = minutes of wall, so opt-in; run it whenever the blocking
+    // recipe changes and record the board in PERF.md.
+    if (sys.env.get("SPARK_GRAFT_SCALE_DEEP").contains("1"))
+      recallAtIfCurrent("/root/repo/benchdata/sf1000x", "1000x")
+    else info("1000x deep leg skipped (set SPARK_GRAFT_SCALE_DEEP=1 to run)")
   }
 
   test("ngramEdges memoizes: the second request serves the SAME materialized frame") {
