@@ -905,6 +905,19 @@ object Behavior {
     * mirrored in the oracle). */
   private[graft] val ErBlockCap = 256L
 
+  /** Cap for PassJoin sub-blocks, HALF the primary cap: the adaptive bin
+    * width is sized for an expected occupancy of [[ErBlockCap]]/2, so a
+    * sub-block still above that target says the segment failed to refine
+    * its oversized parent — it is constant (or near-constant) on the
+    * block, contributes no discriminating power, and would simply
+    * replicate the quadratic mass the parent's purge existed to kill.
+    * Measured at 1000×: the name template's leading-zero digit segment
+    * ("0000" on every row) re-formed ~73% of the purged mass as
+    * just-under-cap sub-blocks until this rule cut it (178 → ~10 raw
+    * pairs/row). A true near-dup pair loses nothing: it shares its
+    * LETTER segments, whose sub-blocks are tiny. */
+  private[graft] val ErSubBlockCap = ErBlockCap / 2
+
   /** Edit-distance match threshold for [[qErBlocking]]'s scoring rule —
     * ONE definition shared by the score predicate, the PassJoin segment
     * count ([[ErNameSegments]] = this + 1: pigeonhole over τ+1 contiguous
@@ -974,13 +987,22 @@ object Behavior {
   def qErBlocking(s: SparkSession, sf: String): DataFrame =
     erCandidates(Tables.customer(s, sf))
 
-  /** The blocking + scoring core over a raw customer frame — factored so
-    * ScaleSpec can plant duplicate records and assert the recall floor
-    * at several corpus sizes. */
-  private[graft] def erCandidates(customer: DataFrame): DataFrame = {
-    val cust = customer.select(
+  /** The final blocked frame (seg, bin, pass, sidx, sstr, k) the
+    * candidate self-join runs on — factored out of [[erCandidates]] so
+    * tools.ErProbe can measure the raw pair mass Σ C(|block|,2) from
+    * block SIZES alone (one groupBy, no join): at 1000× the self-join's
+    * ~1G raw pairs out-spill a single box's /tmp even under a count,
+    * while the size-derived mass is exact and corpus-cheap. ONE
+    * definition — the probe can never drift from the query's blocking. */
+  /** Normalized (k, n, seg, cents) frame shared by the blocking and the
+    * scoring re-attach. */
+  private def erCust(customer: DataFrame): DataFrame =
+    customer.select(
       col("c_custkey").as("k"), col("c_name").as("n"), col("c_mktsegment").as("seg"),
       (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + lit(100000L)).as("cents"))
+
+  private[graft] def erKeptBlocks(customer: DataFrame): DataFrame = {
+    val cust = erCust(customer)
     val stats = cust.agg(count(lit(1)).as("n_c"),
       min("cents").as("mn"), max("cents").as("mx"))
     val cw = cust.crossJoin(broadcast(stats))
@@ -990,16 +1012,19 @@ object Behavior {
     val blocks = cw.withColumn("bin", expr("cents div bw")).withColumn("pass", lit(0))
       .unionAll(
         cw.withColumn("bin", expr("(cents + bw div 2) div bw")).withColumn("pass", lit(1)))
-    // block sizes as a map-side-combinable groupBy, routed back by two
-    // tiny key-frame semi-joins — NOT count().over(Window.partitionBy):
+    // block sizes as a map-side-combinable groupBy, routed back against
+    // the OVERSIZED-key frame only — NOT count().over(Window.partitionBy):
     // the oversized keys are BY DEFINITION the hot ones, and a window
     // would funnel each hot block's whole membership through one sort
-    // task just to learn it is oversized (the q_dedup_substring lesson)
-    val bcnt = blocks.groupBy("seg", "bin", "pass").agg(count(lit(1)).as("bsz"))
-    val smallKeys = bcnt.filter(col("bsz") <= ErBlockCap).select("seg", "bin", "pass")
-    val bigKeys = bcnt.filter(col("bsz") > ErBlockCap).select("seg", "bin", "pass")
+    // task just to learn it is oversized (the q_dedup_substring lesson).
+    // Both routes join the same tiny frame (at most rows/cap oversized
+    // keys exist), so the planner/AQE broadcasts it: small = anti, big =
+    // semi, and the block frame never reshuffles for the routing.
+    val bigKeys = blocks.groupBy("seg", "bin", "pass")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > ErBlockCap).select("seg", "bin", "pass")
     // at-or-under-cap blocks pair directly under a degenerate sub-key
-    val small = blocks.join(smallKeys, Seq("seg", "bin", "pass"), "left_semi")
+    val small = blocks.join(bigKeys, Seq("seg", "bin", "pass"), "left_anti")
       .select(col("seg"), col("bin"), col("pass"),
         lit(-1).as("sidx"), lit("").as("sstr"), col("k"))
     // oversized blocks re-block on PassJoin name segments: τ+1 contiguous
@@ -1014,19 +1039,29 @@ object Behavior {
         explode(expr(segArm)).as("sg"))
       .select(col("seg"), col("bin"), col("pass"),
         col("sg.sidx").as("sidx"), col("sg.sstr").as("sstr"), col("k"))
-    // re-apply the cap on the sub-blocks: a segment shared by more than
-    // cap members of one block is boilerplate and purged for real
-    val subKeys = bigSeg.groupBy("seg", "bin", "pass", "sidx", "sstr")
-      .agg(count(lit(1)).as("ssz")).filter(col("ssz") <= ErBlockCap)
+    // re-apply a HALVED cap on the sub-blocks (see [[ErSubBlockCap]]): a
+    // segment that cannot refine its parent below the width rule's target
+    // occupancy is constant on the block — boilerplate, purged for real
+    // (anti against the oversized sub-keys — same tiny-hot-side rule)
+    val hotSub = bigSeg.groupBy("seg", "bin", "pass", "sidx", "sstr")
+      .agg(count(lit(1)).as("ssz")).filter(col("ssz") > ErSubBlockCap)
       .select("seg", "bin", "pass", "sidx", "sstr")
-    val bigKept = bigSeg.join(subKeys, Seq("seg", "bin", "pass", "sidx", "sstr"), "left_semi")
+    val bigKept = bigSeg.join(hotSub, Seq("seg", "bin", "pass", "sidx", "sstr"), "left_anti")
+    small.unionAll(bigKept)
+  }
+
+  /** The blocking + scoring core over a raw customer frame — factored so
+    * ScaleSpec can plant duplicate records and assert the recall floor
+    * at several corpus sizes. */
+  private[graft] def erCandidates(customer: DataFrame): DataFrame = {
+    val cust = erCust(customer)
     // the self-join and the cross-pass DISTINCT carry ONLY the key pair —
     // names and cents are functions of the key, so deduping the full
     // payload shuffles ~6× the bytes for the same pair set; attributes
     // re-attach AFTER the dedup by two customer-domain equi-joins (the
     // planner broadcasts them at small SFs, shuffles on k at scale), and
     // levenshtein runs once per DISTINCT pair either way
-    val kept = small.unionAll(bigKept)
+    val kept = erKeptBlocks(customer)
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.seg") === col("b.seg") && col("a.bin") === col("b.bin") &&
           col("a.pass") === col("b.pass") && col("a.sidx") === col("b.sidx") &&
@@ -1284,7 +1319,7 @@ object Behavior {
         |         FROM bigseg GROUP BY 1, 2, 3, 4, 5),
         |bigkept AS (SELECT b.seg, b.bin, b.pass, b.sidx, b.sstr, b.k, b.n, b.cents
         |            FROM bigseg b JOIN scnt USING (seg, bin, pass, sidx, sstr)
-        |            WHERE ssz <= $ErBlockCap),
+        |            WHERE ssz <= $ErSubBlockCap),
         |kept AS (SELECT * FROM small UNION ALL SELECT * FROM bigkept),
         |pairs AS (SELECT DISTINCT a.k AS k_a, b.k AS k_b, a.n AS n_a, b.n AS n_b,
         |                 a.cents AS c_a, b.cents AS c_b

@@ -1336,17 +1336,21 @@ object TextOps {
 
   def qDedupSubstring(s: SparkSession, sf: String): DataFrame = {
     val wins = anchoredWindows(Tables.documents(s, sf))
-    // Posting counts as a map-side-combinable groupBy + LEFT-SEMI join
-    // back on the surviving keys — NOT count().over(Window.partitionBy) :
+    // Posting counts as a map-side-combinable groupBy + LEFT-ANTI join
+    // against the PURGED keys — NOT count().over(Window.partitionBy) :
     // the cap exists precisely for real boilerplate (a license header
     // shared by millions of docs), and a window would funnel exactly that
     // hot key's whole posting list through ONE task (full shuffle +
     // per-partition sort, no map-side combine) just to compute the count
-    // that purges it. The q_text_line_dedup winner-selection idiom.
-    val keptKeys = wins.groupBy("w").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") <= SubstringStopCap)
+    // that purges it. Anti against the hot keys rather than semi against
+    // the surviving ones because the hot side is SMALL by construction
+    // (every purged key accounts for > cap postings, so there are at most
+    // postings/cap of them) — the planner/AQE broadcasts it and the
+    // posting frame never reshuffles for the purge.
+    val hotKeys = wins.groupBy("w").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > SubstringStopCap)
       .select("w")
-    val kept = wins.join(keptKeys, Seq("w"), "left_semi")
+    val kept = wins.join(hotKeys, Seq("w"), "left_anti")
     kept.select(col("doc_id").as("a_id"), col("w"))
       .join(kept.select(col("doc_id").as("b_id"), col("w")), Seq("w"))
       .filter(col("a_id") < col("b_id"))

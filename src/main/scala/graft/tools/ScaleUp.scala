@@ -44,8 +44,12 @@ object ScaleUp {
     * recipe would otherwise fail for a data-staleness reason
     * indistinguishable from a code regression (PERF.md records exactly
     * that failure mode: 14,630/14,852 planted pairs at 100× against a
-    * pre-v2 corpus). Bump when the derivation semantics change. */
-  val DerivationVersion = 2
+    * pre-v2 corpus). Bump when the derivation semantics change.
+    * v3: the per-copy balance offset is splitmix64-hashed instead of
+    * linear in the copy index — the linear shift correlated balance bins
+    * with key digits (both linear in c) and neutered the ER re-blocking's
+    * digit segments at 1000×. */
+  val DerivationVersion = 3
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -180,21 +184,39 @@ object ScaleUp {
     // purge. So per copy: letters of c_name go through the same
     // bijective substitution as document text (digits untouched —
     // within-copy name structure and lengths are preserved exactly), and
-    // balance cents shift by copy·9973 (prime) cyclically inside the
-    // source's own [min, max] span — distribution support and
+    // balance cents shift by a SPLITMIX64-HASHED per-copy offset inside
+    // the source's own [min, max] span — distribution support and
     // within-copy diffs preserved (mod wrap), cross-copy atoms gone.
-    // Copy 0 is the identity for both, as everywhere in this derivation.
+    // The offset is hashed, NOT linear in the copy index (v2 used
+    // copy·9973): keys shift linearly in the copy, so a linear cents
+    // shift makes balance and key BOTH linear in c — a narrow balance
+    // bin then selects a narrow copy band, the key's middle digits go
+    // near-constant inside every ER block, and the PassJoin digit
+    // segments lose their discriminating power (measured at 1000×:
+    // 178 raw pairs/row, 73% of it from one digit segment). A real
+    // corpus has NO balance↔key correlation; the hash removes the
+    // manufactured one. Copy 0 is the identity for both maps, as
+    // everywhere in this derivation.
     if (include("customer")) {
       val balBounds = tbl("customer")
         .agg(min(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("mn"),
           max(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("mx")).head
       val (balMn, balSpan) = (balBounds.getLong(0), balBounds.getLong(1) - balBounds.getLong(0) + 1)
+      def balOffset(c: Int): Long = if (c == 0) 0L else {
+        var z = c.toLong * 0x9E3779B97F4A7C15L + 0xC2B2AE3D27D4EB4FL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        java.lang.Long.remainderUnsigned(z ^ (z >>> 31), balSpan)
+      }
+      val balMaps = spark.createDataFrame(
+        (0 until copies).map(c => (c.toLong, balOffset(c)))).toDF("__bc", "__bo")
       val cust = replicate(tbl("customer"), Map("c_custkey" -> custStride), np(4))
         .join(broadcast(letterMaps), col("__c") === col("__mc"))
+        .join(broadcast(balMaps), col("__c") === col("__bc"))
         .withColumn("c_name", expr("translate(c_name, __from, __to)"))
         .withColumn("c_acctbal", expr(
-          s"CAST(pmod(CAST(round(c_acctbal * 100) AS BIGINT) - ${balMn}L + __c * 9973L, ${balSpan}L) + ${balMn}L AS DOUBLE) / 100.0"))
-        .drop("__mc", "__from", "__to")
+          s"CAST(pmod(CAST(round(c_acctbal * 100) AS BIGINT) - ${balMn}L + __bo, ${balSpan}L) + ${balMn}L AS DOUBLE) / 100.0"))
+        .drop("__mc", "__from", "__to", "__bc", "__bo")
       write(cust, "customer")
     }
     write(replicate(tbl("supplier"), Map("s_suppkey" -> suppStride), np(1)), "supplier")

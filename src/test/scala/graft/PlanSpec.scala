@@ -162,16 +162,17 @@ class PlanSpec extends SparkSuite {
     val sub = plan("q_dedup_substring")
     assert(!sub.contains("Window"),
       "q_dedup_substring: stop-window purge regressed to a window on the posting key")
-    assert(sub.contains("LeftSemi"),
-      "q_dedup_substring: surviving keys must come back via a left-semi join")
-    // ER blocking: block sizing is a groupBy routed back by semi-joins —
-    // the oversized keys are by definition the hot ones, so a window over
-    // the block key would funnel exactly them
+    assert(sub.contains("LeftAnti"),
+      "q_dedup_substring: the purge must be an anti-join against the (tiny) hot-key frame")
+    // ER blocking: block sizing is a groupBy routed back by joins against
+    // the tiny oversized-key frame (anti for the small route, semi for
+    // the re-block route) — the oversized keys are by definition the hot
+    // ones, so a window over the block key would funnel exactly them
     val er = plan("q_er_blocking")
     assert(!er.contains("Window"),
       "q_er_blocking: block sizing regressed to a window on the block key")
-    assert(er.contains("LeftSemi"),
-      "q_er_blocking: small/oversized routing must ride semi-joins")
+    assert(er.contains("LeftAnti") && er.contains("LeftSemi"),
+      "q_er_blocking: small/oversized routing must ride anti/semi joins on the hot-key frame")
     // novelty joins doc-cardinality frames — the corpus-sized bigram
     // string must not be a join key (the 13.5 s -> 3.6 s fix at 100×)
     assert(!"""SortMergeJoin \[bigram""".r.findFirstIn(plan("q_text_novelty")).isDefined &&
