@@ -61,8 +61,78 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared kernel for [[ShingleHashes]] — every width-`w` character
+  * shingle's [[RollHash]] in ONE linear pass over the document: code
+  * points are decoded once (one toString per DOCUMENT, not per shingle),
+  * then each window folds the identical (acc·31 + cp) mod 1e9+7
+  * arithmetic over its `w` code points. By construction
+  * `hashes(s, w)(i) == RollHash.hash(substring(s, i+1, w))` — the
+  * equality a per-position substring route pays O(doc²) UTF-8 re-scans
+  * and a per-shingle String allocation for (locked in LlmSpec). */
+object ShingleHash {
+  def hashes(s: UTF8String, width: Int): Array[Long] = {
+    val str = s.toString
+    val cps = new Array[Int](str.length)
+    var i = 0
+    var n = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n < width) return Array.emptyLongArray
+    val out = new Array[Long](n - width + 1)
+    var p = 0
+    while (p <= n - width) {
+      var acc = 0L
+      var j = 0
+      while (j < width) { acc = (acc * 31 + cps(p + j)) % RollHash.Mod; j += 1 }
+      out(p) = acc
+      p += 1
+    }
+    out
+  }
+}
+
+/** All width-`width` shingle [[RollHash]]es of a string column as ONE
+  * codegen'd array expression — `explode` it for the (position-ordered)
+  * shingle id stream. Replaces explode(sequence) + per-position
+  * `rollhash(substring(text, i+1, w))`, which re-scans the string from
+  * the start per position (UTF-8 offsets aren't random access) and
+  * allocates a String per shingle. Values are IDENTICAL by construction
+  * (same fold, same code-point walk). */
+case class ShingleHashes(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1, s"graft_shingle_hashes width must be >= 1, got $width")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects string, got $t")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleHash.hashes(a.asInstanceOf[UTF8String], width))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleHash.hashes($a, $width));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Rolling polynomial hash of a string column (see [[RollingHash]]). */
   def rollHash(s: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(s)))
+
+  /** Array of all width-`w` shingle rollhashes (see [[ShingleHashes]]). */
+  def shingleHashes(s: Column, width: Int): Column =
+    GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(s), width))
 }

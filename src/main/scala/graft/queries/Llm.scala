@@ -75,24 +75,46 @@ object Llm {
   }
 
   /** Character 5-gram shingles per document (NOT deduplicated), pre-hashed
-    * to 64-bit longs. explode(sequence) + a codegen'd substring instead of
+    * to longs. explode(sequence) + a codegen'd substring instead of
     * a transform(...) lambda (higher-order lambdas are interpreted —
     * CodegenFallback — and dominated the near-dup runtime), and hashing at
-    * the source means no downstream shuffle ever carries shingle strings. */
+    * the source means no downstream shuffle ever carries shingle strings.
+    *
+    * The shingle id is the codegen'd [[graft.functions.RollingHash]]
+    * (base-31 polynomial over code points, mod 1e9+7) rather than
+    * xxhash64: the value is ENGINE-SHARED arithmetic, so the DuckDB
+    * oracle re-derives every shingle id and the whole pipeline replays
+    * (round-17; xxhash64 was the one non-replayable stage). A 5-char
+    * shingle folds to < 127·(31⁴+…+1) ≈ 1.26e8 — the mod never wraps, so
+    * collisions come only from the base-31 carry structure (measured at
+    * sf0.01/sf0.1: distinct 5-gram strings == distinct rollhash ids,
+    * 1,981 and 2,041 — zero colliding pairs), and the minhash family
+    * below is universal over ANY distinct-id set, so dispersion of the
+    * ids themselves is irrelevant to LSH quality.
+    *
+    * All of a document's shingle hashes come from the ONE-PASS
+    * [[graft.functions.ShingleHashes]] kernel (value-identical to
+    * rollhash(substring(text, i+1, 5)) per position, locked in LlmSpec) —
+    * explode(sequence) + per-position substring would re-scan the string
+    * per position and allocate a String per shingle. */
   private def shingles(docs: DataFrame): DataFrame =
-    // length >= 5 guard: a shorter doc has no 5-gram — unguarded,
-    // sequence(0, length - 5) auto-descends (Spark defaults step to -1
-    // when start > stop) and emits bogus negative positions. Short docs
-    // simply contribute zero shingles, like an empty range() would.
+    // length >= 5 guard kept as a cheap scan-side prune (a shorter doc
+    // yields an empty hash array anyway — the kernel guards n < width)
     docs.filter(length(col("text")) >= 5)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(0, length(text) - 5)")).as("i"))
-      .select(col("doc_id"), xxhash64(expr("substring(text, i + 1, 5)")).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.shingleHashes(col("text"), 5)).as("sh"))
 
   /** Near-duplicate pairs: 5-gram shingles -> 32 MinHashes -> 8 bands of 4
-    * -> bucket join -> exact-Jaccard verify >= 0.8. NOT oracled (LSH recall
-    * is probabilistic below ~0.9 similarity); scalatest asserts recall 1.0
-    * on exact duplicates and precision vs brute-force Jaccard. */
+    * -> bucket join -> exact-Jaccard verify >= 0.8. FULL-REPLAY ORACLED
+    * since round 17: the pipeline was always deterministic (seeded hash
+    * family, fixed layout); the one barrier was xxhash64 at the shingle
+    * and band sites, which DuckDB lacks. Shingle ids are now the
+    * engine-shared [[graft.functions.RollingHash]] and band buckets the
+    * lossless minhash pack (see [[bandsOfSig]]), so the oracle re-derives
+    * shingles → 32 minhashes → band buckets → bucket-cap purge →
+    * candidates → estimate sieve → exact Jaccard, and every emitted pair
+    * hash-matches. Scalatest additionally asserts recall 1.0 on exact
+    * duplicates and the bucket-cap purge trade. */
   def qDedupNear(s: SparkSession, sf: String): DataFrame =
     nearDupPairs(Tables.documents(s, sf))
 
@@ -108,9 +130,24 @@ object Llm {
     require(nBands > 0 && NumHashes % nBands == 0,
       s"bandsOfSig: nBands must be a positive divisor of NumHashes=$NumHashes, got $nBands")
     val rowsPer = NumHashes / nBands
+    // The band key is the LOSSLESS two-minhashes-per-long pack (the sieve's
+    // shuffle idiom: every minhash < 2³¹ after mod the Mersenne prime, so
+    // m₂ⱼ | m₂ⱼ₊₁ << 32 loses nothing), carried as a struct — band equality
+    // is then EXACTLY "all rowsPer minhashes equal", not a hash image of it,
+    // which (a) removes the only false-positive source a band hash has and
+    // (b) makes the bucket key plain BIGINT arithmetic the DuckDB oracle
+    // replays verbatim (round-17; the previous xxhash64 band hash was
+    // engine-private). Struct keys group/join natively; the shuffle carries
+    // rowsPer/2 longs instead of 1 — 8 extra bytes per band row at the
+    // production 8×4 layout.
     val bandStructs = (0 until nBands).map { b =>
       val rows = (b * rowsPer until (b + 1) * rowsPer).map(i => col(s"m$i"))
-      struct(lit(b).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
+      val packed = rows.grouped(2).zipWithIndex.map { case (pair, j) =>
+        val lo = pair.head
+        val hi = if (pair.size > 1) pair(1) else lit(0L)
+        lo.bitwiseOR(shiftleft(hi, 32)).as(s"k$j")
+      }.toSeq
+      struct(lit(b).as("band_idx"), struct(packed: _*).as("band_hash"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
@@ -516,7 +553,82 @@ object Llm {
       |                   ELSE coalesce(f.fp, 0) END AS BIGINT) AS fingerprint
       |  FROM documents d LEFT JOIN fpu f USING (doc_id))""".stripMargin
 
+  // Full near-dup LSH replay (round 17): the entire pipeline is
+  // engine-shared arithmetic — rollhash shingle ids (the simhashFpSql
+  // list_reduce idiom), the seeded 32-hash affine minhash family
+  // interpolated as literals (every product < 2^62, plain BIGINT), the
+  // lossless two-per-long band pack, the ≤ BucketCap purge, the ≥ 17/32
+  // estimate sieve, and the exact distinct-shingle Jaccard — so DuckDB
+  // re-derives the exact candidate set and every emitted pair
+  // hash-matches. Generated from the SAME constants the Spark pipeline
+  // reads (hashA/hashB/Bands/RowsPerBand/BucketCap/SieveFrac): the two
+  // sides cannot drift independently.
+  private[queries] def nearDupOracleSql: String = {
+    val P = MersennePrime
+    val minhashCols = (0 until NumHashes)
+      .map(i => s"min((sh * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i")
+      .mkString(",\n      ")
+    val nKeys = (RowsPerBand + 1) / 2
+    val keyCols = (0 until nKeys).map(j => s"k$j").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val ks = (b * RowsPerBand until (b + 1) * RowsPerBand).grouped(2)
+        .zipWithIndex.map { case (pair, j) =>
+          val hiTerm = if (pair.size > 1) s" + m${pair(1)} * 4294967296" else ""
+          s"m${pair.head}$hiTerm AS k$j"
+        }.mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, $ks FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString("\n           + ")
+    val sieveMin = (NumHashes * SieveFrac).toInt
+    s"""WITH shp AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 6), j -> CAST(ascii(substring(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+       |  FROM documents, UNNEST(range(0, CAST(length(text) AS INT) - 4)) AS t(i)
+       |  WHERE length(text) >= 5),
+       |sig AS (
+       |  SELECT doc_id,
+       |      $minhashCols
+       |  FROM shp GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |okb AS (SELECT band_idx, $keyCols FROM bands
+       |        GROUP BY band_idx, $keyCols HAVING count(*) <= $BucketCap),
+       |bok AS (SELECT b.doc_id, b.band_idx, $keyCols
+       |        FROM bands b JOIN okb USING (band_idx, $keyCols)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bok a JOIN bok b USING (band_idx, $keyCols)
+       |         WHERE a.doc_id < b.doc_id),
+       |strong AS (
+       |  SELECT a_id, b_id FROM cand
+       |  JOIN sig sa ON sa.doc_id = a_id
+       |  JOIN sig sb ON sb.doc_id = b_id
+       |  WHERE $agree >= $sieveMin),
+       |cd AS (SELECT DISTINCT doc_id
+       |       FROM (SELECT a_id AS doc_id FROM strong
+       |             UNION ALL SELECT b_id FROM strong)),
+       |shd AS (SELECT DISTINCT s.doc_id, s.sh FROM shp s JOIN cd USING (doc_id)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT st.a_id, st.b_id, count(*) AS n_inter
+       |  FROM strong st
+       |  JOIN shd x ON x.doc_id = st.a_id
+       |  JOIN shd y ON y.doc_id = st.b_id AND y.sh = x.sh
+       |  GROUP BY st.a_id, st.b_id)
+       |SELECT i.a_id, i.b_id,
+       |       CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) AS jaccard
+       |FROM inter i
+       |JOIN sz za ON za.doc_id = i.a_id
+       |JOIN sz zb ON zb.doc_id = i.b_id
+       |WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_near" -> nearDupOracleSql,
     "q_udf_scalar" ->
       s"""WITH $simhashFpSql
          |SELECT doc_id, fingerprint FROM fp ORDER BY doc_id""".stripMargin,

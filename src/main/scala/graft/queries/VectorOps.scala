@@ -178,15 +178,20 @@ object VectorOps {
     * subset-of-brute-force, bounded candidate count, and MEASURED recall@5
     * floors vs the exact baseline (ExtraOpsSpec; numbers in PERF.md). */
   /** Probe fan-out — the recall/cost knob every IVF deployment tunes.
-    * 4 probes of an nlist-256 deployment scan ~1.6% of the corpus per
-    * query; on this near-random 64-dim fixture the measured recall@5 vs
-    * exact brute force is 0.455 at nprobe=4 under the exact-d² quantizer
-    * (0.49 at 10×; planted-twin recall 0.975 — diminishing returns on
-    * the random fixture because its true neighbors sit at cos ≤ 0.49,
-    * barely above the random-pair band; a clustered corpus recalls far
-    * higher at the same nprobe, see ExtraOpsSpec's planted and
-    * doubled-corpus recall tests). */
-  private[graft] val IvfNprobe = 4
+    * 16 since round 17 (the r16 nprobe=4 left random-corpus recall@5 at
+    * 0.455, the one quality floor a user would notice): the measured
+    * frontier on this near-random 64-dim fixture (`tools.IvfSweep`,
+    * recall@5 vs exact brute force / wall min-of-2) is
+    * nprobe 4 → 0.455, 8 → 0.620, 12 → 0.695, 16 → 0.755, 24 → 0.860 at
+    * sf0.1 (10×: 0.490 / 0.645 / 0.740 / 0.795 / 0.880) with wall FLAT
+    * across the grid at these SFs — candidate scoring is linear in
+    * nprobe but small against the pipeline's fixed stages. 16 clears the
+    * ~0.7 bar with margin on a fixture whose true neighbors sit at
+    * cos ≤ 0.49 (barely above the random-pair band — the worst case for
+    * any bucketed ANN; planted-twin recall was already 0.975 at
+    * nprobe=4). Scan fraction nprobe/nlist shrinks as the corpus grows
+    * (36% at sf0.1's nlist=45, 11% at 10×'s 141, 6% at the 256 cap). */
+  private[graft] val IvfNprobe = 16
   /** Quantized-lane frame (idCol, qv = floor(x·128) lanes as FLOAT —
     * graft_dot's probe type, values ≤ 129 exactly representable —, nn =
     * ‖qv‖²): the exact-integer space [[ivfAssign]]/[[ivfProbe]] decide in.
@@ -231,7 +236,14 @@ object VectorOps {
       .select(col(idCol), col("cid"))
   }
 
-  def qSimIvf(s: SparkSession, sf: String): DataFrame = {
+  def qSimIvf(s: SparkSession, sf: String): DataFrame =
+    ivfTopk(s, sf, IvfNprobe)
+
+  /** Full IVF pipeline with the probe fan-out threaded ([[qSimIvf]] binds
+    * the production [[IvfNprobe]]; `tools.IvfSweep` threads alternatives
+    * to measure the recall/wall frontier — candidates are exact-scored
+    * regardless, so nprobe only moves RECALL, never precision). */
+  private[graft] def ivfTopk(s: SparkSession, sf: String, nprobe: Int): DataFrame = {
     import graft.functions.VectorExpressions.cosineSim
     // cached: the quantized frame feeds the centroid filter, the posting
     // assignment and the probe fan-out (harness-drained via Caches);
@@ -244,13 +256,21 @@ object VectorOps {
     val n = Tables.embeddings(s, sf).count()
     val k = ivfNlist(n)
     val stride = math.max(1L, n / k)
+    // Centroid ids are raw vec_ids < stride·k, and the DuckDB oracle's
+    // d²·2²⁴+cid argmin packing is only faithful while cid < 2²⁴ — fail
+    // the QUERY loudly at the bound instead of letting an oracle replay
+    // silently corrupt its assignment (remap cids to a dense 0..k-1
+    // index, or switch the oracle to arg_min(cid, ROW(d2, cid)), before
+    // lifting this). Headroom is ~8,000× the sf0.1 corpus.
+    require(stride * k <= (1L << 24),
+      s"qSimIvf: centroid id domain ${stride * k} exceeds the oracle's 2^24 packing bound")
     val cents = q.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("nc"))
     val posting = ivfAssign(
       q.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", cents)
     val probeLists = ivfProbe(
       q.filter(Llm.probeFilter).withColumnRenamed("vec_id", "probe_id"),
-      "probe_id", cents, IvfNprobe)
+      "probe_id", cents, nprobe)
     // each neighbor sits in exactly one posting list, so (probe, neighbor)
     // pairs are already unique — no post-join distinct needed
     val candidates = probeLists.join(posting, Seq("cid"))
@@ -878,6 +898,10 @@ object VectorOps {
     val n = Tables.embeddings(s, sf).count()
     val k = semK(n)
     val stride = math.max(1L, n / k)
+    // same oracle-packing bound as qSimIvf: cids are raw vec_ids and the
+    // DuckDB replay's d²·2²⁴+cid argmin needs cid < 2²⁴ — fail loudly here
+    require(stride * k <= (1L << 24),
+      s"qSemdedup: centroid id domain ${stride * k} exceeds the oracle's 2^24 packing bound")
     // FLOAT lanes (graft_dot's probe type): the quantized values are
     // small integers (|qx| ≤ 129 « 2^24), exactly representable. Cached:
     // the frame feeds the centroid filter, the assignment fan-out and
@@ -1568,6 +1592,14 @@ object VectorOps {
     // argmin assignment via the q_kmeans packing idiom (d²·2²⁴+cid),
     // probe fan-out as a row_number over the same exact d², then the
     // q_sim_topk cosine idiom over the replayed candidate set.
+    // PACKING BOUND: the d²·2²⁴+cid argmin (and its cid-ascending
+    // tiebreak) is only faithful while every centroid id < 2²⁴ — cid is
+    // a raw vec_id ≤ stride·k, so an oracle replay against a corpus with
+    // vec_id ≥ 16,777,216 would silently corrupt the assignment. Safe at
+    // every verify SF (embeddings ≤ 2,000 rows) and guarded LOUDLY on
+    // the Spark side (qSimIvf requires stride·k < 2²⁴, so a too-big
+    // corpus fails the query before an oracle could silently diverge).
+    // The unpacked alternative is DuckDB arg_min(cid, ROW(d2, cid)).
     "q_sim_ivf" ->
       s"""WITH q AS (
          |  SELECT vec_id, i - 1 AS pos,

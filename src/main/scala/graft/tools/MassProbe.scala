@@ -40,8 +40,11 @@ object MassProbe {
           sum(expr("CAST(sz AS BIGINT) * (sz - 1) div 2")).as("mass"),
           max("sz").as("maxsz")).head
       val tB = (System.nanoTime() - t0) / 1e9
+      // Option-wrap like the neardup branch below: sum/max are NULL over
+      // an empty lineitem dir, and a probe tool should report 0, not NPE
       println(f"MASSPROBE $dir%-24s basket   orders=${b.getLong(0)}%11d " +
-        f"pairmass=${b.getLong(1)}%12d maxbasket=${b.getInt(2)}%3d wall=$tB%7.2f s")
+        f"pairmass=${Option(b.get(1)).map(_.toString).getOrElse("0")}%12s " +
+        f"maxbasket=${Option(b.get(2)).map(_.toString).getOrElse("0")}%3s wall=$tB%7.2f s")
       val t1 = System.nanoTime()
       val docs = graft.Tables.documents(spark, dir)
       val sig = graft.queries.Llm.sigOf(docs)

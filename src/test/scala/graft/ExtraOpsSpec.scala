@@ -55,15 +55,15 @@ class ExtraOpsSpec extends SparkSuite {
     Caches.drain(spark)
     info(f"recall@5 sf0.1: lsh=$lsh01%.3f ivf=$ivf01%.3f")
     // floors pinned just under the measured levels (PERF.md: lsh 0.20;
-    // ivf 0.455 at nprobe=4 under the round-16 exact-d² quantizer, 0.47
-    // under the float-cosine argmax it replaced) so a recall collapse fails loudly
-    // while hash-seed-level jitter does not. The absolute level is a
-    // FIXTURE property — this corpus's true neighbors sit at cos ≤ 0.49,
-    // barely above random pairs, the worst case for any bucketed ANN;
-    // the planted-twin test below pins the high-similarity regime the
-    // operators actually target.
+    // ivf 0.755 at the round-17 nprobe=16 fan-out — the IvfSweep
+    // frontier lifted it from 0.455 at nprobe=4) so a recall collapse
+    // fails loudly while hash-seed-level jitter does not. The absolute
+    // level is a FIXTURE property — this corpus's true neighbors sit at
+    // cos ≤ 0.49, barely above random pairs, the worst case for any
+    // bucketed ANN; the planted-twin test below pins the high-similarity
+    // regime the operators actually target.
     assert(lsh01 >= 0.12, f"sf0.1 LSH recall@5 collapsed: $lsh01%.3f")
-    assert(ivf01 >= 0.38, f"sf0.1 IVF recall@5 collapsed: $ivf01%.3f")
+    assert(ivf01 >= 0.70, f"sf0.1 IVF recall@5 collapsed: $ivf01%.3f")
     val tenx = "/root/repo/benchdata/sf1x"
     if (new java.io.File(s"$tenx/embeddings.parquet").exists) {
       val lsh10 = recallAt5(tenx, VectorOps.qSimLsh(spark, tenx))
@@ -72,7 +72,7 @@ class ExtraOpsSpec extends SparkSuite {
       Caches.drain(spark)
       info(f"recall@5 10x: lsh=$lsh10%.3f ivf=$ivf10%.3f")
       assert(lsh10 >= 0.10, f"10x LSH recall@5 collapsed: $lsh10%.3f")
-      assert(ivf10 >= 0.30, f"10x IVF recall@5 collapsed: $ivf10%.3f")
+      assert(ivf10 >= 0.72, f"10x IVF recall@5 collapsed: $ivf10%.3f")
     } else info("10x derived corpus absent; sf0.1 floors only")
   }
 

@@ -146,6 +146,28 @@ class LlmSpec extends SparkSuite {
       SimHash.tokenHash64(new String(Array('a'.toInt, 'b'.toInt), 0, 2)))
   }
 
+  test("shingle-hash kernel ≡ rollhash(substring) per position (oracle-replay contract)") {
+    // The one-pass ShingleHashes array must equal the per-position
+    // rollhash-of-substring fold the DuckDB oracle replays — checked on
+    // real corpus text plus a surrogate-pair doc ('𝄞' = U+1D11E, two
+    // UTF-16 units), the case where a charAt/byte-walk regression would
+    // silently diverge from code-point semantics.
+    import graft.functions.TextExpressions.{rollHash, shingleHashes}
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .unionAll(Seq(Doc(90001L, "ab𝄞cd𝄞ef gh"), Doc(90002L, "tiny")).toDF())
+    val viaKernel = docs
+      .select(col("doc_id"), posexplode(shingleHashes(col("text"), 5)))
+      .select(col("doc_id"), col("pos"), col("col").as("sh"))
+    val viaSubstr = docs.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, length(text) - 5)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        rollHash(expr("substring(text, pos + 1, 5)")).as("sh"))
+    assert(viaKernel.count() == viaSubstr.count())
+    assert(viaKernel.exceptAll(viaSubstr).isEmpty && viaSubstr.exceptAll(viaKernel).isEmpty,
+      "one-pass shingle hashes must be bit-identical to the substring route")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = Llm.queries("q_sim_topk") // touch map to ensure wiring
     val ev = Tables.events(spark, sf001)

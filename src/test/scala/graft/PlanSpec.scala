@@ -156,7 +156,8 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("Window"), s"$n: winner selection regressed to a window")
     }
     // substring dedup: the stop-window purge counts postings with a
-    // map-side-combinable groupBy + left-semi join back — a window over
+    // map-side-combinable groupBy + left-anti join against the (tiny)
+    // hot-key frame — a window over
     // the shingle key would funnel a boilerplate window's whole posting
     // list (millions of docs at 100 TB) through ONE task before the purge
     val sub = plan("q_dedup_substring")
