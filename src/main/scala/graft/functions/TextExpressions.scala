@@ -127,6 +127,78 @@ case class ShingleHashes(child: Expression, width: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** The MinHash family: 32 affine hashes (a·h + b) mod the 31-bit Mersenne
+  * prime, seeds fixed by one seeded generator — the SINGLE SOURCE both the
+  * Spark pipeline and the DuckDB oracle generator read (graft.queries.Llm
+  * interpolates these exact longs into the replay SQL), so the two sides
+  * cannot drift. Seeds are bounded to 31 bits so a·h + b stays well under
+  * 2^63 (Spark 4 ANSI mode makes long overflow an error, not a wrap). */
+object MinHash {
+  final val NumHashes = 32
+  final val MersennePrime = 2147483647L // 2^31 - 1
+  val (hashA, hashB): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue - 2).toLong + 1)
+    val b = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** All 32 minhashes of a NON-EMPTY shingle-id array in one pass —
+    * per-element: h = sh mod P, then min-fold the 32 affine images.
+    * Equals min-aggregating (h·aᵢ + bᵢ) mod P over the exploded shingle
+    * stream (min is multiplicity- and order-insensitive; locked in
+    * LlmSpec). Callers filter empty inputs (a doc with no shingles has NO
+    * signature row, matching the groupBy route's semantics). */
+  def signature(shs: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
+    val n = shs.numElements()
+    val m = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = shs.getLong(i) % MersennePrime
+      var j = 0
+      while (j < NumHashes) {
+        val v = (h * hashA(j) + hashB(j)) % MersennePrime
+        if (v < m(j)) m(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+}
+
+/** Fused per-document MinHash signature: array<long> of shingle ids →
+  * array<long> of [[MinHash.NumHashes]] minhashes, ONE codegen'd map-side
+  * expression. Replaces explode(shingles) + a 32-way min hash-aggregate:
+  * the signature becomes plain per-row map work — no agg hash table, no
+  * aggregate buffer per doc, nothing between the scan and the banding —
+  * which is the shape that matters at 100 TB where the signature pass IS
+  * the dominant near-dup stage. Values are identical by construction
+  * (min over a multiset, exact integer arithmetic; locked in LlmSpec). */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig expects array<bigint>, got $t")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      MinHash.signature(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinHash.signature($a));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Rolling polynomial hash of a string column (see [[RollingHash]]). */
   def rollHash(s: Column): Column =
@@ -135,4 +207,9 @@ object TextExpressions {
   /** Array of all width-`w` shingle rollhashes (see [[ShingleHashes]]). */
   def shingleHashes(s: Column, width: Int): Column =
     GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(s), width))
+
+  /** Fused 32-minhash signature of a shingle-id array (see
+    * [[MinHashSignature]]). */
+  def minHashSig(shingles: Column): Column =
+    GraftSqlBridge.column(MinHashSignature(GraftSqlBridge.expression(shingles)))
 }

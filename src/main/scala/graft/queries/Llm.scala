@@ -44,10 +44,13 @@ object Llm {
       .orderBy("keeper_id")
 
   // ------------------------------------------------- MinHash + LSH near-dup
-  private val NumHashes = 32
+  // family constants live in graft.functions.MinHash — the single source
+  // the fused signature kernel, this pipeline, and the oracle generator
+  // all read, so none of the three can drift
+  private val NumHashes = graft.functions.MinHash.NumHashes
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
-  private val MersennePrime = 2147483647L // 2^31 - 1
+  private val MersennePrime = graft.functions.MinHash.MersennePrime
   /** Max docs per LSH band bucket before the bucket is dropped from
     * candidate generation (see [[nearDupPairs]]). Constant, deliberately
     * not corpus-relative: per-bucket join work is then bounded at cap²/2
@@ -64,15 +67,10 @@ object Llm {
     * bound there, not verification-bound), so the default keeps the
     * ~40× tighter boundary-recall guarantee. */
   private[graft] val SieveFrac = 0.55
-  /** Fixed hash family seeds, bounded to 31 bits so a*h + b stays well
-    * under 2^63 (Spark 4 ANSI mode makes long overflow an error, not a
-    * wrap). Deterministic across runs/JVMs. */
-  private val (hashA, hashB) = {
-    val rnd = new scala.util.Random(42)
-    val a = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue - 2).toLong + 1)
-    val b = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
-    (a, b)
-  }
+  /** Fixed hash family seeds (see [[graft.functions.MinHash]] — 31-bit
+    * bounded, deterministic across runs/JVMs/engines). */
+  private val (hashA, hashB) =
+    (graft.functions.MinHash.hashA, graft.functions.MinHash.hashB)
 
   /** Character 5-gram shingles per document (NOT deduplicated), pre-hashed
     * to longs. explode(sequence) + a codegen'd substring instead of
@@ -154,7 +152,9 @@ object Llm {
   }
 
   /** Signature frame (doc_id, m0..m31) from a raw shingle frame — the
-    * MinHash state the banding and estimate sieve both read. */
+    * 32-way min-aggregate REFERENCE shape; the pipeline itself rides the
+    * fused per-row kernel ([[sigOf]]), and LlmSpec locks the two
+    * bit-identical. Kept for tools.NearStage's stage-split probe. */
   private[graft] def sigFromShingles(shRaw: DataFrame): DataFrame = {
     val hashed = shRaw.withColumn("h", pmod(col("sh"), lit(MersennePrime)))
     val minhashAggs = (0 until NumHashes).map { i =>
@@ -163,10 +163,22 @@ object Llm {
     hashed.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
   }
 
-  /** Signature frame for a (doc_id, text) frame. Exposed for
-    * tools.NearDbg. */
-  private[graft] def sigOf(docs: DataFrame): DataFrame =
-    sigFromShingles(shingles(docs.repartition(col("doc_id"))))
+  /** Signature frame for a (doc_id, text) frame — the production path
+    * since round 17: the fused [[graft.functions.MinHashSignature]]
+    * kernel turns the signature into per-row MAP work (scan → 32-col
+    * project), eliminating the explode + 32-way min hash-aggregate whose
+    * buffer table was the dominant near-dup stage at every decade. No
+    * repartition needed: map work parallelizes with the scan, and a doc
+    * with no 5-gram (length < 5) has NO signature row, exactly like the
+    * groupBy route. Exposed for tools.NearDbg/MassProbe. */
+  private[graft] def sigOf(docs: DataFrame): DataFrame = {
+    import graft.functions.TextExpressions.{minHashSig, shingleHashes}
+    docs.filter(length(col("text")) >= 5)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), minHashSig(shingleHashes(col("text"), 5)).as("ms"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("ms").getItem(i).as(s"m$i")): _*)
+  }
 
   /** Raw repartitioned shingle frame — exposed for tools.NearStage's
     * stage-split probe so it times the pipeline's exact stage shapes. */
@@ -182,20 +194,18 @@ object Llm {
   def nearDupPairs(docs: DataFrame,
       bucketCap: Int = BucketCap, sieveFrac: Double = SieveFrac,
       nBands: Int = Bands): DataFrame = {
-    // MinHash mins are invariant under shingle multiplicity, so the
-    // signature path streams raw (non-distinct) shingles — no global
-    // 2M-row distinct shuffle; exact sets are materialized only for the
+    // Signatures ride the fused per-row kernel (sigOf): scan → shingle
+    // array → 32 minhashes in one codegen'd map stage — no exploded
+    // shingle stream, no 32-way min hash-aggregate (the r16 shape; the
+    // agg buffer table was the dominant stage at every decade). MinHash
+    // mins are multiplicity-invariant, so the kernel streams raw
+    // (non-distinct) shingles; exact sets are materialized only for the
     // (orders-of-magnitude smaller) candidate subset below.
-    // Repartition the (tiny) docs BEFORE exploding: a single-file corpus
-    // otherwise pins the whole shingle+minhash computation to 1-2 input
-    // partitions however many cores the session has, and partitioning by
-    // doc_id lets the signature groupBy reuse the partitioning.
-    val shRaw = shingles(docs.repartition(col("doc_id")))
     // cache: sig is tiny (one 33-col row per doc) but its lineage is the
-    // full 2M-row shingle scan + 32-way min agg, and it feeds FIVE
-    // consumers (bucket sizes, band left/right, estimate sieve a/b) —
-    // uncached, Spark recomputes the whole pipeline per consumer
-    val sig = Caches.registered(sigFromShingles(shRaw))
+    // full-corpus signature scan, and it feeds FIVE consumers (bucket
+    // sizes, band left/right, estimate sieve a/b) — uncached, Spark
+    // recomputes the whole pipeline per consumer
+    val sig = Caches.registered(sigOf(docs))
     // Oversized-bucket cap: a band bucket of n docs generates n²/2
     // candidate pairs, and real corpora produce giant buckets (boilerplate
     // / templated docs whose low-information bands collide en masse — the
@@ -252,11 +262,17 @@ object Llm {
       candidates.join(sigA, Seq("a_id")).join(sigB, Seq("b_id"))
         .filter(estMatches >= (NumHashes * sieveFrac).toInt)
         .select("a_id", "b_id"))
-    // exact verification on the sieved candidates only
+    // exact verification on the sieved candidates only — and the shingle
+    // EXPLODE runs only for candidate docs: the semi-join lands on the
+    // doc frame BEFORE the generator (Catalyst won't push a join below a
+    // Generate on its own), so the full corpus never materializes a
+    // shingle stream anywhere in this pipeline (round 17; previously the
+    // corpus-wide stream fed the signature agg and was semi-joined after)
     val candDocs = strong.select(col("a_id").as("doc_id"))
       .union(strong.select(col("b_id").as("doc_id"))).distinct()
     val sh = Caches.registered(
-      shRaw.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct())
+      shingles(docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .repartition(col("doc_id"))).distinct())
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val sa = sh.select(col("doc_id").as("a_id"), col("sh"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh"))

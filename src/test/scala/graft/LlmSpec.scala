@@ -168,6 +168,20 @@ class LlmSpec extends SparkSuite {
       "one-pass shingle hashes must be bit-identical to the substring route")
   }
 
+  test("fused minhash signature ≡ 32-way min aggregate (oracle-replay contract)") {
+    // The production signature path is the per-row MinHashSignature
+    // kernel; the oracle replays the min-AGGREGATE formulation. Lock them
+    // bit-identical on real corpus text + a surrogate-pair doc + a
+    // length<5 doc (which must have NO signature row on either route).
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .unionAll(Seq(Doc(90001L, "ab𝄞cd𝄞ef gh"), Doc(90002L, "tiny")).toDF())
+    val fused = Llm.sigOf(docs)
+    val agg = Llm.sigFromShingles(Llm.sigShingles(docs))
+    assert(fused.count() == agg.count())
+    assert(fused.exceptAll(agg).isEmpty && agg.exceptAll(fused).isEmpty,
+      "fused signature kernel must be bit-identical to the aggregate route")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = Llm.queries("q_sim_topk") // touch map to ensure wiring
     val ev = Tables.events(spark, sf001)
