@@ -64,6 +64,15 @@ object GraftFunctions {
         "graft_kll_quantile(x, rank) - mergeable DataSketches KLL quantile aggregate (rank must be a literal in [0,1])"),
       (es: Seq[Expression]) => KllQuantile(es(0),
         es(1).eval().asInstanceOf[Number].doubleValue())),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", classOf[ShingleHashes],
+        "graft_shingle_hashes(s, w) - array of every width-w character-shingle rollhash of a string, one linear pass (w must be a literal >= 1)"),
+      (es: Seq[Expression]) => ShingleHashes(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", classOf[MinHashSignature],
+        "graft_minhash_sig(shingles) - fused 32-minhash signature of an array<bigint> of shingle ids (seeded affine family mod 2^31-1)"),
+      (es: Seq[Expression]) => MinHashSignature(es.head)),
   )
 
   /** Register every graft function into an existing session (temp-function

@@ -593,6 +593,18 @@ class ExtraOpsSpec extends SparkSuite {
       .orderBy("vec_id").limit(20)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sqlCodes == colCodes, "SQL and Column API must produce identical codes")
+    // the near-dup kernels are SQL-reachable and match the Column API
+    val sqlSig = spark.sql(
+      "SELECT doc_id, graft_minhash_sig(graft_shingle_hashes(text, 5)) AS ms " +
+        "FROM documents WHERE length(text) >= 5 ORDER BY doc_id LIMIT 20")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val colSig = Tables.documents(spark, sf001)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), graft.functions.TextExpressions.minHashSig(
+        graft.functions.TextExpressions.shingleHashes(col("text"), 5)).as("ms"))
+      .orderBy("doc_id").limit(20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sqlSig == colSig, "SQL and Column API must produce identical minhash signatures")
   }
 
   test("chunker covers every token exactly: windows tile the doc with stride overlap") {

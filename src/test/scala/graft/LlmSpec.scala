@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 
 case class Doc(doc_id: Long, text: String)
 
-/** Property tests for the non-oracled LLM operators (SURVEY.md §5.2.3). */
+/** Property tests for the LLM dedup/search operators: recall/precision
+  * locks for the LSH pipeline (fully oracled since r17 — these keep the
+  * STRUCTURAL guarantees the hash compare can't state), kernel≡reference
+  * bit-identity contracts, and the remaining non-oracled sketch ops. */
 class LlmSpec extends SparkSuite {
   import spark.implicits._
 
