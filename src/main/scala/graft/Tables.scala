@@ -87,6 +87,58 @@ object Tables {
     unified.withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  // ---- scan-spread mitigation for unsplittable inputs -------------------
+  // A parquet scan parallelizes at ROW-GROUP granularity: byte-range splits
+  // beyond the row-group count read nothing (each row group is decoded by
+  // the split holding its midpoint). The test corpora ship as ONE file with
+  // ONE row group per table, so every scan stage — and all map-side work
+  // fused into it (partial aggregates, expression lanes, per-row kernels) —
+  // runs on ONE core regardless of session parallelism (measured: the
+  // 15-lane corr aggregate reads 1.47 s as-is vs 0.80 s behind a
+  // repartition at local[32]). The optimization guide's prescription for
+  // exactly this is "repartition immediately after the read" (§2.5 input
+  // skew, one huge unsplittable file).
+  //
+  // At production layouts the mitigation must DISAPPEAR: repartitioning a
+  // well-split 100 TB table before a groupBy replaces map-side partial
+  // aggregation with a full-corpus shuffle. So the helper is gated on the
+  // actual layout, decided from file sizes alone (driver-cheap, no footer
+  // reads): a table whose bytes yield >= half the session's default
+  // parallelism in maxPartitionBytes-sized splits is left untouched — a
+  // 100 TB directory short-circuits on size and never repartitions; only a
+  // table too small to split wide (where the repartition moves KBs..tens of
+  // MB once) gets spread. The byte test over-estimates splittability for
+  // few-row-group layouts (splits beyond row groups are empty), which only
+  // makes the gate CONSERVATIVE about inserting the exchange.
+  private val sizeCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Long]
+  private def tableBytes(spark: SparkSession, sf: String, name: String): Long =
+    sizeCache.getOrElseUpdate((sf, name), {
+      val p = new org.apache.hadoop.fs.Path(s"$sf/$name.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).iterator.filterNot(_.getPath.getName.startsWith("_"))
+          .map(_.getLen).sum
+      else st.getLen
+    })
+
+  /** `reader.repartition(key)` when the table's layout cannot feed the
+    * session's cores, the reader unchanged otherwise (see gate above).
+    * `key`-hashed (never round-robin) so the spread is deterministic under
+    * task retry. Callers are the scan-stage-bound queries whose per-row
+    * work dominates a one-core scan; queries that immediately reduce the
+    * table (selective filters, semi-joins) keep the bare reader. */
+  private[graft] def spread(spark: SparkSession, sf: String, name: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    // events goes through its normalizing reader, never the raw file
+    val df = if (name == "events") events(spark, sf) else read(spark, sf, name)
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = (tableBytes(spark, sf, name) + maxSplit - 1) / maxSplit
+    if (2 * splits >= spark.sparkContext.defaultParallelism) df
+    else df.repartition(key)
+  }
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

@@ -99,7 +99,7 @@ object Analytics {
     * cannot hash-match a second engine; the decimal-moment formulation is
     * exact AND order-free. */
   def qAggRegression(s: SparkSession, sf: String): DataFrame =
-    Tables.lineitem(s, sf)
+    Tables.spread(s, sf, "lineitem", col("l_orderkey"))
       .groupBy("l_returnflag")
       .agg(expr(regSums.head), regSums.tail.map(expr): _*)
       .select(col("l_returnflag") +: regOut.map(expr): _*)
@@ -307,21 +307,33 @@ object Analytics {
     * clipped sum is decimal-exact; the interpolated bounds are the same
     * p·(n-1) arithmetic both engines use (q_agg_percentile's contract). */
   def qWinsorize(s: SparkSession, sf: String): DataFrame = {
-    val li = Tables.lineitem(s, sf)
-    val bounds = li.groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
-        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    // ONE corpus pass compacts to the exact (flag, price, cnt) value
+    // histogram — a map-side-combinable count groupBy whose size is the
+    // value domain, far below the row count at any scale. Both the exact
+    // percentile (its 3-arg frequency form is definitionally the
+    // expanded-multiset percentile — identical p·(n-1) interpolation) and
+    // the clip aggregate then run on the cached histogram: the previous
+    // shape paid TWO full scans (an all-values percentile buffer, then the
+    // clip pass) where one histogram pass carries the same information.
+    val hist = Caches.registered(
+      Tables.spread(s, sf, "lineitem", col("l_orderkey"))
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(count(lit(1)).as("cnt")))
+    val bounds = hist.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.05, cnt)").as("lo"),
+        expr("percentile(l_extendedprice, 0.95, cnt)").as("hi"))
     // the winsorized sum decomposes EXACTLY: in-range originals are
-    // 2-decimal (decimal sum is lossless), clipped rows contribute
-    // n·bound — one double multiply-add per group at the end. Summing the
-    // clipped doubles directly would need a decimal cast of the
-    // INTERPOLATED bounds, whose rounding the engines disagree on.
-    li.join(broadcast(bounds), Seq("l_returnflag"))
+    // 2-decimal (decimal sum is lossless; the cnt-weighted product stays
+    // an exact decimal), clipped rows contribute n·bound — one double
+    // multiply-add per group at the end. Summing the clipped doubles
+    // directly would need a decimal cast of the INTERPOLATED bounds,
+    // whose rounding the engines disagree on.
+    hist.join(broadcast(bounds), Seq("l_returnflag"))
       .groupBy("l_returnflag")
       .agg(
-        count(when(col("l_extendedprice") < col("lo"), 1)).as("n_clip_lo"),
-        count(when(col("l_extendedprice") > col("hi"), 1)).as("n_clip_hi"),
-        expr("CAST(sum(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)").as("sum_mid"),
+        coalesce(sum(when(col("l_extendedprice") < col("lo"), col("cnt"))), lit(0L)).as("n_clip_lo"),
+        coalesce(sum(when(col("l_extendedprice") > col("hi"), col("cnt"))), lit(0L)).as("n_clip_hi"),
+        expr("CAST(sum(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi THEN CAST(l_extendedprice AS DECIMAL(18,2)) * cnt END) AS DOUBLE)").as("sum_mid"),
         min(col("lo")).as("lo"), min(col("hi")).as("hi"))
       .select(col("l_returnflag"), col("n_clip_lo"), col("n_clip_hi"),
         expr("sum_mid + CAST(n_clip_lo AS DOUBLE) * lo + CAST(n_clip_hi AS DOUBLE) * hi").as("sum_winsorized"))
@@ -358,7 +370,7 @@ object Analytics {
     * deterministic IEEE evaluation per GROUP (3 groups), not per row.
     * One shuffle of 6 fixed-size partial sums per group at any scale. */
   def qAggSkewKurt(s: SparkSession, sf: String): DataFrame =
-    Tables.lineitem(s, sf)
+    Tables.spread(s, sf, "lineitem", col("l_orderkey"))
       .groupBy("l_returnflag")
       .agg(expr(momentSums.head), momentSums.tail.map(expr): _*)
       .withColumn("mean", expr(momentOut(0).stripSuffix(" AS mean")))
@@ -794,7 +806,9 @@ object Analytics {
   def qCorrMatrix(s: SparkSession, sf: String): DataFrame = {
     val aggCols = count(lit(1)).as("n") +:
       corrAggs.map { case (alias, e) => expr(e).as(alias) }
-    val base = Tables.lineitem(s, sf)
+    // spread: the 15-lane partial agg is the whole cost and fuses into the
+    // scan stage — one core on an unsplittable input (Tables.spread gate)
+    val base = Tables.spread(s, sf, "lineitem", col("l_orderkey"))
       .groupBy("l_returnflag").agg(aggCols.head, aggCols.tail: _*)
     val stackArgs = corrPairs.map { case ((a, _), (b, _)) =>
       s"'${a}_$b', ${corrFinish(a, b)}" }.mkString(", ")
@@ -1046,7 +1060,7 @@ object Analytics {
     * comparison at the boundary. Lower weighted median (the smallest
     * value whose cumulative weight reaches half). */
   def qWeightedMedian(s: SparkSession, sf: String): DataFrame = {
-    val dom = Tables.lineitem(s, sf)
+    val dom = Tables.spread(s, sf, "lineitem", col("l_orderkey"))
       .groupBy(col("l_returnflag").as("flag"),
         expr("CAST(l_quantity AS BIGINT)").as("qty"))
       .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0))")).as("w"))

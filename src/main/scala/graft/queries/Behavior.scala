@@ -1009,9 +1009,14 @@ object Behavior {
       .withColumn("bw", expr(
         s"greatest(${ErMinWidth}L, ((mx - mn + 1L) * ${ErBlockCap}L) div (2L * n_c))"))
       .select("k", "n", "seg", "cents", "bw")
-    val blocks = cw.withColumn("bin", expr("cents div bw")).withColumn("pass", lit(0))
-      .unionAll(
-        cw.withColumn("bin", expr("(cents + bw div 2) div bw")).withColumn("pass", lit(1)))
+    // cached: the two-pass block frame feeds THREE consumers below (size
+    // census, under-cap anti route, oversized semi route) — uncached, each
+    // consumer replays the scan + stats broadcast + union (and the final
+    // self-join doubles all of it again via both join sides)
+    val blocks = Caches.registered(
+      cw.withColumn("bin", expr("cents div bw")).withColumn("pass", lit(0))
+        .unionAll(
+          cw.withColumn("bin", expr("(cents + bw div 2) div bw")).withColumn("pass", lit(1))))
     // block sizes as a map-side-combinable groupBy, routed back against
     // the OVERSIZED-key frame only — NOT count().over(Window.partitionBy):
     // the oversized keys are BY DEFINITION the hot ones, and a window
@@ -1061,7 +1066,10 @@ object Behavior {
     // re-attach AFTER the dedup by two customer-domain equi-joins (the
     // planner broadcasts them at small SFs, shuffles on k at scale), and
     // levenshtein runs once per DISTINCT pair either way
-    val kept = erKeptBlocks(customer)
+    // cached: the blocked frame is BOTH sides of the self-join — uncached,
+    // Spark evaluates the full blocking lineage twice (the r17 baseline
+    // plan carried 160+ Exchange nodes from exactly this duplication)
+    val kept = Caches.registered(erKeptBlocks(customer))
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.seg") === col("b.seg") && col("a.bin") === col("b.bin") &&
           col("a.pass") === col("b.pass") && col("a.sidx") === col("b.sidx") &&

@@ -31,7 +31,9 @@ object Funcs {
       .orderBy("p_partkey")
 
   def qDateFuncs(s: SparkSession, sf: String): DataFrame =
+    // orderBy first: lanes run post-sort in parallel (see qMathFuncs)
     Tables.orders(s, sf)
+      .orderBy("o_orderkey")
       .select(
         col("o_orderkey"),
         year(col("o_orderdate")).as("yr"),
@@ -41,10 +43,15 @@ object Funcs {
         (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("plus30"),
         datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_95"),
         last_day(col("o_orderdate")).as("eom"))
-      .orderBy("o_orderkey")
 
   def qMathFuncs(s: SparkSession, sf: String): DataFrame =
+    // orderBy BEFORE the lanes: the Project stays above the Sort, so the
+    // per-row lanes run in the parallel post-exchange stage instead of
+    // fusing into the one-task scan of the unsplittable input (the sort
+    // keys are base columns, so rows, values and output order are
+    // identical either way)
     Tables.lineitem(s, sf)
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_extendedprice") * lit(-1)).as("abs_price"),
@@ -56,7 +63,6 @@ object Funcs {
         greatest(col("l_discount"), col("l_tax")).as("max_rate"),
         least(col("l_discount"), col("l_tax")).as("min_rate"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** Higher-order functions over the embedding vector — the whole point:
     * vector math stays inside codegen'd Catalyst expressions, no UDF. */
@@ -87,7 +93,10 @@ object Funcs {
     * parse/format analogue): from_json to a typed struct AND a MapType,
     * field access on both, then to_json back out. */
   def qJsonRoundtrip(s: SparkSession, sf: String): DataFrame =
+    // orderBy first: the two from_json parses and the to_json formats run
+    // post-sort in parallel (see qMathFuncs)
     Tables.events(s, sf)
+      .orderBy("event_id")
       .withColumn("j", expr("from_json(props, 'k INT')"))
       .withColumn("m", expr("from_json(props, 'map<string,int>')"))
       .select(
@@ -96,10 +105,11 @@ object Funcs {
         element_at(col("m"), "k").as("k_from_map"),
         to_json(col("j")).as("js"),
         to_json(expr("named_struct('k', j.k * 2)")).as("js_doubled"))
-      .orderBy("event_id")
 
   def qCastCase(s: SparkSession, sf: String): DataFrame =
+    // orderBy first: lanes run post-sort in parallel (see qMathFuncs)
     Tables.lineitem(s, sf)
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         floor(col("l_quantity")).cast("int").as("qty_int"),
@@ -110,13 +120,15 @@ object Funcs {
           when(col("l_quantity") >= 25, "big_return").otherwise("small_return"))
           .otherwise(when(col("l_linestatus") === "O", "open").otherwise("closed"))
           .as("status_class"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** MapType function surface over schema'd JSON: keys/values access and
     * the map higher-order functions (transform_values, map_filter) —
     * flattened to scalars for cross-engine comparability. */
   def qMapFuncs(s: SparkSession, sf: String): DataFrame =
+    // orderBy first: the map parse + HOFs run post-sort in parallel (see
+    // qMathFuncs)
     Tables.events(s, sf)
+      .orderBy("event_id")
       .withColumn("m", expr("from_json(props, 'map<string,int>')"))
       .select(
         col("event_id"),
@@ -124,7 +136,6 @@ object Funcs {
         expr("element_at(map_values(m), 1)").as("first_val"),
         expr("element_at(transform_values(m, (k, v) -> v * 2), 'k')").as("doubled"),
         expr("size(map_filter(m, (k, v) -> v > 50))").as("n_big"))
-      .orderBy("event_id")
 
   /** ANSI-safe arithmetic: try_divide / try_add / try_cast return NULL
     * where strict ANSI mode would raise (division by zero, long overflow,
@@ -137,7 +148,10 @@ object Funcs {
     * upstream, not a workload, and benching one distorts the board
     * (the pre-fix shape cost 30 s under honest materialization). */
   def qTryArith(s: SparkSession, sf: String): DataFrame =
+    // orderBy first: the exception-backed try_ lanes run post-sort in
+    // parallel (see qMathFuncs)
     Tables.lineitem(s, sf)
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         expr("try_divide(l_extendedprice, floor(l_quantity) - 25)").as("div_maybe0"),
@@ -147,7 +161,6 @@ object Funcs {
         expr("try_cast(CASE WHEN l_orderkey % 100 = 0 THEN l_returnflag " +
           "ELSE CAST(l_linenumber AS STRING) END AS INT)").as("cast_bad"),
         expr("try_cast(cast(l_orderkey AS STRING) AS INT)").as("cast_ok"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** Null-preserving generator: explode_outer keeps a row (with NULL) for
     * documents whose filtered token list is empty — the LEFT-JOIN-shaped

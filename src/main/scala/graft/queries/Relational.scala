@@ -51,7 +51,12 @@ object Relational {
   /** Per-row double arithmetic: raw IEEE ops, same shape as the oracle —
     * bit-identical without rounding (Det rule 1). */
   def qProjectExpr(s: SparkSession, sf: String): DataFrame =
+    // orderBy first: the Project stays above the Sort, so the per-row
+    // lanes run in the parallel post-exchange stage instead of the
+    // one-task scan of the unsplittable input (rows, values and output
+    // order are identical — the sort keys are base columns)
     Tables.lineitem(s, sf)
+      .orderBy("l_orderkey", "l_linenumber")
       .withColumn("revenue", expr("l_extendedprice * (1 - l_discount)"))
       .withColumn("charge", expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)"))
       .withColumn("flag_class",
@@ -59,7 +64,6 @@ object Relational {
           .when(col("l_returnflag") === "R", "returned")
           .otherwise("none"))
       .select("l_orderkey", "l_linenumber", "revenue", "charge", "flag_class")
-      .orderBy("l_orderkey", "l_linenumber")
 
   // --------------------------------------------------------------- B.3 joins
   /** Tiny build side — explicitly broadcast (at 100 TB the fact side never
@@ -272,7 +276,7 @@ object Relational {
   // -------------------------------------------------------- B.4 aggregations
   /** TPC-H Q1 pricing summary (partial+final hash agg). */
   def qAggQ1(s: SparkSession, sf: String): DataFrame =
-    Tables.lineitem(s, sf)
+    Tables.spread(s, sf, "lineitem", col("l_orderkey"))
       .filter(expr("l_shipdate <= timestamp'2000-01-01'"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -352,7 +356,7 @@ object Relational {
   }
 
   def qAggCube(s: SparkSession, sf: String): DataFrame =
-    Tables.lineitem(s, sf)
+    Tables.spread(s, sf, "lineitem", col("l_orderkey"))
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), expr(sumDec2("l_quantity")).as("sum_qty"))
       .select(
@@ -400,7 +404,7 @@ object Relational {
     * `percentile` and DuckDB `quantile_cont` share the p·(n-1) linear
     * interpolation definition. */
   def qAggPercentile(s: SparkSession, sf: String): DataFrame =
-    Tables.lineitem(s, sf)
+    Tables.spread(s, sf, "lineitem", col("l_orderkey"))
       .groupBy("l_returnflag")
       .agg(
         expr("percentile(l_quantity, 0.5)").as("median_qty"),
@@ -561,7 +565,7 @@ object Relational {
       max("o_orderdate").as("max_date"))
 
   def qAggStats(s: SparkSession, sf: String): DataFrame =
-    Tables.lineitem(s, sf)
+    Tables.spread(s, sf, "lineitem", col("l_orderkey"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),

@@ -255,12 +255,15 @@ object TextOps {
     * shuffle of the corpus shingles. */
   def qDecontaminate(s: SparkSession, sf: String): DataFrame = {
     def hits(w: Int): DataFrame = {
-      val sh = Tables.documents(s, sf).repartition(col("doc_id"))
+      // cached: the distinct shingle frame is BOTH the bench side and the
+      // corpus side of the contamination join — uncached, the corpus-wide
+      // explode + distinct runs twice per width (four times per query)
+      val sh = Caches.registered(Tables.documents(s, sf).repartition(col("doc_id"))
         .select(col("doc_id"), expr("split(text, ' ')").as("t"))
         .filter(size(col("t")) >= w)
         .select(col("doc_id"), explode(expr(s"sequence(1, size(t) - ${w - 1})")).as("i"), col("t"))
         .select(col("doc_id"), expr(s"concat_ws(' ', slice(t, i, $w))").as("sh"))
-        .distinct()
+        .distinct())
       val bench = sh.filter(col("doc_id") < 50).select("sh").distinct()
       sh.filter(col("doc_id") >= 50)
         .join(bench, Seq("sh"))
