@@ -139,6 +139,22 @@ object Tables {
     else df.repartition(key)
   }
 
+  /** The SQL-text twin of [[spread]]: a `/*+ REPARTITION(key) */` hint
+    * string when the layout gate says the table cannot feed the session's
+    * cores, empty otherwise. Lets the text-SQL surface stay pure SQL while
+    * keeping the mitigation layout-adaptive (a production-scale table gets
+    * no hint and keeps map-side partial aggregation). */
+  private[graft] def spreadFrom(spark: SparkSession, sf: String, name: String,
+      key: String): String = {
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = (tableBytes(spark, sf, name) + maxSplit - 1) / maxSplit
+    val ref = s"parquet.`$sf/$name.parquet`"
+    if (2 * splits >= spark.sparkContext.defaultParallelism) ref
+    // predicate pushdown still reaches the scan: Catalyst pushes filters
+    // through RepartitionByExpression (PushedFilters plan-checked)
+    else s"(SELECT /*+ REPARTITION($key) */ * FROM $ref)"
+  }
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

@@ -889,11 +889,14 @@ object Analytics {
     * is float-deterministic: both engines interpolate the same two sample
     * doubles and compare the same products. */
   def qOutlierMad(s: SparkSession, sf: String): DataFrame = {
-    val e = Tables.events(s, sf).select("event_type", "value")
+    val e = Tables.spread(s, sf, "events", col("event_id"))
+      .select("event_type", "value")
     val med = e.groupBy("event_type")
       .agg(expr("percentile(value, 0.5)").as("med"))
-    val dev = e.join(broadcast(med), Seq("event_type"))
-      .withColumn("adev", expr("abs(value - med)"))
+    // cached: the deviation frame feeds BOTH the MAD percentile and the
+    // final outlier rollup — uncached, the scan + median join replays
+    val dev = Caches.registered(e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", expr("abs(value - med)")))
     val mad = dev.groupBy("event_type")
       .agg(expr("percentile(adev, 0.5)").as("mad"))
     dev.join(broadcast(mad), Seq("event_type"))

@@ -219,17 +219,23 @@ object Llm {
     // and an exact duplicate collides in EVERY band, so it is only lost if
     // all nBands of its buckets are oversized — meaning thousands of docs
     // with the full signature, i.e. the pair is boilerplate, not signal).
-    val okBuckets = bandsOfSig(sig, nBands).groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= bucketCap)
-      .select("band_idx", "band_hash")
-    val bands = bandsOfSig(sig, nBands).join(okBuckets, Seq("band_idx", "band_hash"))
-    val left = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
-    val right = bands.select(col("band_idx").as("band_idx_r"), col("band_hash").as("band_hash_r"),
-      col("doc_id").as("b_id"))
-    val candidates = left.join(right,
-        col("band_idx") === col("band_idx_r") && col("band_hash") === col("band_hash_r") &&
-          col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // ONE shuffle of the band frame: group each bucket's members into a
+    // sorted array (bounded state — the cap that gates the bucket also
+    // bounds the collected set at `bucketCap`, the q_market_basket
+    // precedent), drop oversized buckets on the array length, and emit the
+    // a < b pairs by a posexplode + suffix-slice explode over the sorted
+    // ids. The candidate SET is identical to the former census
+    // (groupBy-count) + keep-join + self-join shape — "count ≤ cap" ≡
+    // "size(collect_set) ≤ cap" since a doc contributes exactly one row
+    // per band — but the band frame now shuffles ONCE instead of three
+    // times (census, left side, right side) and the pair generator is a
+    // codegen'd Generate chain instead of a join (guide §2.4).
+    val candidates = bandsOfSig(sig, nBands).groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= bucketCap)
+      .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+      .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
+      .distinct()
     // cheap sieve before exact verification: estimate Jaccard from the
     // signatures already in hand (fraction of agreeing minhashes) and keep
     // only pairs estimated >= 0.55 — same-vocab corpora produce tens of

@@ -1273,6 +1273,10 @@ object Relational {
     * partsupp) the SQL surface carries all 22 TPC-H shapes on this
     * schema — a user can run the whole suite as text. */
   def qSqlQ1(s: SparkSession, sf: String): DataFrame =
+    // FROM rides the layout-gated scan-spread (Tables.spreadFrom): the
+    // bare table ref at production layouts, a REPARTITION(l_orderkey)
+    // subquery when the input cannot split wide enough to parallelize
+    // the decimal-lane partial agg
     s.sql(
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sumDec2("l_quantity")} AS sum_qty,
@@ -1283,7 +1287,7 @@ object Relational {
          |       ${avgDec2("l_extendedprice")} AS avg_price,
          |       ${avgDec2("l_discount")} AS avg_disc,
          |       count(*) AS count_order
-         |FROM parquet.`$sf/lineitem.parquet`
+         |FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_orderkey")}
          |WHERE l_shipdate <= timestamp'2000-01-01'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin)

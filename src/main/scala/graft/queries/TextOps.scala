@@ -387,7 +387,9 @@ object TextOps {
       .select(col("doc_id"), explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
       .select(col("doc_id"), expr("concat_ws(' ', slice(t, i, 3))").as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("bigint").as("dl"))
+    // cached: dl feeds the 1-row stats aggregate AND the candidate join
+    val dl = Caches.registered(
+      tf.groupBy("doc_id").agg(sum("tf").cast("bigint").as("dl")))
     val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").cast("bigint").as("sum_dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val wq = Window.partitionBy("probe_id").orderBy(col("df").asc, col("term").asc)

@@ -547,14 +547,49 @@ class PlanSpec extends SparkSuite {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      // ENSURE_REQUIREMENTS exchanges are the aggregation's own shuffles —
+      // exactly one may exist (the single groupBy carrying every power
+      // sum). A REPARTITION_BY_COL exchange is the layout-gated scan
+      // spread (Tables.spread — fires only on inputs too narrow to split,
+      // never at production layouts) and is allowed but not required.
       val live = SparkEntry.queries("q_corr_matrix")(spark, sf001)
         .queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
             if e.outputPartitioning
-              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e }
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+              && e.shuffleOrigin ==
+                org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e }
       assert(live.size == 1,
-        s"expected exactly one hash shuffle (the single groupBy carrying every power sum), got ${live.size}")
+        s"expected exactly one aggregation hash shuffle (the single groupBy carrying every power sum), got ${live.size}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("Tables.spread/spreadFrom: layout gate fires on narrow inputs, no-ops on wide ones") {
+    // narrow branch: the test tables are single-row-group files far below
+    // defaultParallelism * maxPartitionBytes, so the gate must insert the
+    // repartition (DataFrame path) / the REPARTITION subquery (SQL path)
+    val narrow = Tables.spread(spark, sf001, "lineitem",
+      org.apache.spark.sql.functions.col("l_orderkey"))
+    assert(narrow.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+      }.nonEmpty, "narrow input must be spread")
+    assert(Tables.spreadFrom(spark, sf001, "lineitem", "l_orderkey")
+      .startsWith("(SELECT /*+ REPARTITION"), "narrow input must get the hint subquery")
+    // wide branch: shrink maxPartitionBytes so the same bytes yield >=
+    // defaultParallelism/2 splits — the gate must return the bare reader
+    // (this is the production-layout posture: no extra exchange, map-side
+    // partial aggregation preserved)
+    val was = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try {
+      val wide = Tables.spread(spark, sf001, "lineitem",
+        org.apache.spark.sql.functions.col("l_orderkey"))
+      assert(wide.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+        }.isEmpty, "wide input must stay untouched")
+      assert(Tables.spreadFrom(spark, sf001, "lineitem", "l_orderkey")
+        .startsWith("parquet."), "wide input must keep the bare table ref")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", was)
   }
 
   test("q_bfs_dist: every round reads the cached edge frame; shuffles stay bounded") {
