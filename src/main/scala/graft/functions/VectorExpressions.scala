@@ -38,14 +38,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  // elements are read IN PLACE via ArrayData.getFloat — toFloatArray()
+  // allocated and copied both vectors on EVERY evaluation, which dominates
+  // a pair scan (an O(n²) join evaluates the kernel per pair; the copies
+  // made q_dedup_embcos allocation-bound). Accumulation order and values
+  // are unchanged (getFloat(i) == toFloatArray()(i) for non-null elements;
+  // the fixture arrays carry none).
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
-    val ys = b.asInstanceOf[ArrayData].toFloatArray()
-    if (xs.length != ys.length) throw new IllegalArgumentException(
-      s"graft_cosine: vector length mismatch (${xs.length} vs ${ys.length})")
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) throw new IllegalArgumentException(
+      s"graft_cosine: vector length mismatch ($n vs ${ys.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < xs.length) {
-      val x = xs(i).toDouble; val y = ys(i).toDouble
+    while (i < n) {
+      val x = xs.getFloat(i).toDouble; val y = ys.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
@@ -53,19 +60,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
       s"""
-         |float[] $xs = $a.toFloatArray();
-         |float[] $ys = $b.toFloatArray();
-         |if ($xs.length != $ys.length) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  throw new IllegalArgumentException(
-         |    "graft_cosine: vector length mismatch (" + $xs.length + " vs " + $ys.length + ")");
+         |    "graft_cosine: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
          |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $xs.length; $i++) {
-         |  double x = (double) $xs[$i]; double y = (double) $ys[$i];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $a.getFloat($i); double y = (double) $b.getFloat($i);
          |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -99,39 +105,37 @@ case class DotProduct(left: Expression, right: Expression)
   private def rightIsDouble: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
+  // in-place ArrayData reads for the same reason as CosineSimilarity:
+  // per-pair toFloatArray()/toDoubleArray() copies dominated the O(n²)
+  // scans this kernel exists for. Same fold order, same values.
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) throw new IllegalArgumentException(
+      s"graft_dot: vector length mismatch ($n vs ${ys.numElements()})")
     var dot = 0.0; var i = 0
     if (rightIsDouble) {
-      val ys = b.asInstanceOf[ArrayData].toDoubleArray()
-      if (xs.length != ys.length) throw new IllegalArgumentException(
-        s"graft_dot: vector length mismatch (${xs.length} vs ${ys.length})")
-      while (i < xs.length) { dot += xs(i).toDouble * ys(i); i += 1 }
+      while (i < n) { dot += xs.getFloat(i).toDouble * ys.getDouble(i); i += 1 }
     } else {
-      val ys = b.asInstanceOf[ArrayData].toFloatArray()
-      if (xs.length != ys.length) throw new IllegalArgumentException(
-        s"graft_dot: vector length mismatch (${xs.length} vs ${ys.length})")
-      while (i < xs.length) { dot += xs(i).toDouble * ys(i).toDouble; i += 1 }
+      while (i < n) { dot += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble; i += 1 }
     }
     dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
-      val i = ctx.freshName("i")
-      val (yType, yConv) =
-        if (rightIsDouble) ("double", "toDoubleArray") else ("float", "toFloatArray")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val yGet = if (rightIsDouble) "getDouble" else "getFloat"
       s"""
-         |float[] $xs = $a.toFloatArray();
-         |$yType[] $ys = $b.$yConv();
-         |if ($xs.length != $ys.length) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  throw new IllegalArgumentException(
-         |    "graft_dot: vector length mismatch (" + $xs.length + " vs " + $ys.length + ")");
+         |    "graft_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
          |}
          |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $xs.length; $i++) {
-         |  ${ev.value} += ((double) $xs[$i]) * ((double) $ys[$i]);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += ((double) $a.getFloat($i)) * ((double) $b.$yGet($i));
          |}
        """.stripMargin
     })

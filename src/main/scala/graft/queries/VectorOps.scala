@@ -57,9 +57,19 @@ object VectorOps {
     // first: a_id < b_id short-circuits half the pair space before the
     // 64-dim dot runs (a separate .filter(cos >= …) gets pushed into the
     // join AHEAD of the cheap test — measured 2x slower); the survivors
-    // (a handful of rows) recompute the dot once more in the projection
-    val cosExpr = round(dot(col("av"), col("bv")) / (col("na") * col("nb")), 6)
-    a.join(broadcast(b), col("a_id") < col("b_id") && cosExpr >= 0.45)
+    // (a handful of rows) recompute the dot once more in the projection.
+    //
+    // round() on a double is BigDecimal-backed (RoundBase allocates and
+    // re-scales per evaluation) and dominated the pair scan when it ran
+    // per pair. The raw-cosine guard in front is SOUND: round(c, 6) ≥ 0.45
+    // (HALF_UP) requires the exact decimal of c ≥ 0.4499995, and every
+    // such double compares > 0.4499, so no qualifying pair is dropped —
+    // the BigDecimal path now runs only for the boundary band + survivors
+    // while the verdict stays the identical rounded comparison.
+    val rawCos = dot(col("av"), col("bv")) / (col("na") * col("nb"))
+    val cosExpr = round(rawCos, 6)
+    a.join(broadcast(b),
+        col("a_id") < col("b_id") && rawCos >= 0.4499 && cosExpr >= 0.45)
       .select(col("a_id"), col("b_id"), cosExpr.as("cos"))
       .orderBy("a_id", "b_id")
   }
