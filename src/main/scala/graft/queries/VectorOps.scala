@@ -704,13 +704,19 @@ object VectorOps {
     val tagged = clusters
       .withColumn("split", splitOf("cluster_id"))
       .withColumn("naive_split", splitOf("doc_id"))
-    val naiveLeaky = tagged.groupBy("cluster_id")
-      .agg(countDistinct(col("naive_split")).as("ns"), count(lit(1)).as("sz"))
-      .filter(col("sz") > 1 && col("ns") > 1)
+    // ONE per-cluster rollup feeds both report lanes (cached, tiny):
+    // within a cluster the split is constant (it hashes the cluster id),
+    // so min(split) IS the split; "naive split would leak" ≡ the 2-valued
+    // naive tag is mixed ≡ min ≠ max. The former shape ran tagged twice
+    // (labels join + sha2 per consumer) and paid TWO countDistinct
+    // expand-shuffles for what one groupBy carries.
+    val perCluster = Caches.registered(tagged.groupBy("cluster_id")
+      .agg(min("split").as("split"), count(lit(1)).as("sz"),
+        (min("naive_split") =!= max("naive_split")).as("naive_mixed")))
+    val naiveLeaky = perCluster.filter(col("sz") > 1 && col("naive_mixed"))
       .agg(count(lit(1)).as("naive_leaky_clusters"))
-    tagged.groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("cluster_id")).as("n_clusters"))
+    perCluster.groupBy("split")
+      .agg(sum("sz").as("n_docs"), count(lit(1)).as("n_clusters"))
       .crossJoin(broadcast(naiveLeaky))
       .orderBy("split")
   }
