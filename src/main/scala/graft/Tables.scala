@@ -101,15 +101,25 @@ object Tables {
   //
   // At production layouts the mitigation must DISAPPEAR: repartitioning a
   // well-split 100 TB table before a groupBy replaces map-side partial
-  // aggregation with a full-corpus shuffle. So the helper is gated on the
-  // actual layout, decided from file sizes alone (driver-cheap, no footer
-  // reads): a table whose bytes yield >= half the session's default
-  // parallelism in maxPartitionBytes-sized splits is left untouched — a
-  // 100 TB directory short-circuits on size and never repartitions; only a
-  // table too small to split wide (where the repartition moves KBs..tens of
-  // MB once) gets spread. The byte test over-estimates splittability for
-  // few-row-group layouts (splits beyond row groups are empty), which only
-  // makes the gate CONSERVATIVE about inserting the exchange.
+  // aggregation with a full-corpus shuffle. TWO gates, both from file
+  // sizes alone (driver-cheap, no footer reads):
+  //
+  //  1. splittability — a table whose bytes yield >= half the session's
+  //     default parallelism in maxPartitionBytes-sized splits is left
+  //     untouched (a 100 TB directory short-circuits here and never
+  //     repartitions). The byte test over-estimates splittability for
+  //     few-row-group layouts (splits beyond row groups are empty), which
+  //     only makes the gate conservative about inserting the exchange.
+  //  2. absolute volume — the spread makes the ONE scan task hash,
+  //     serialize and write the whole table to the exchange before
+  //     anything parallelizes, so it only pays while that serial write is
+  //     cheaper than the serial map-side work it displaces. Measured at
+  //     the 10.8 MB sf0.1 lineitem the spread wins (15-lane agg 1.47 →
+  //     0.80 s); at the 77 MB 10× twin it INVERTS (exact-percentile agg
+  //     0.85 → 2.9 s — the one-task shuffle write of 6M rows dwarfs the
+  //     partial-agg saving). The bound is maxPartitionBytes/4 (32 MB at
+  //     defaults): comfortably above the measured win regime, below the
+  //     measured inversion.
   private val sizeCache =
     new scala.collection.concurrent.TrieMap[(String, String), Long]
   private def tableBytes(spark: SparkSession, sf: String, name: String): Long =
@@ -129,14 +139,18 @@ object Tables {
     * task retry. Callers are the scan-stage-bound queries whose per-row
     * work dominates a one-core scan; queries that immediately reduce the
     * table (selective filters, semi-joins) keep the bare reader. */
+  private def shouldSpread(spark: SparkSession, sf: String, name: String): Boolean = {
+    val bytes = tableBytes(spark, sf, name)
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = (bytes + maxSplit - 1) / maxSplit
+    2 * splits < spark.sparkContext.defaultParallelism && bytes <= maxSplit / 4
+  }
+
   private[graft] def spread(spark: SparkSession, sf: String, name: String,
       key: org.apache.spark.sql.Column): DataFrame = {
     // events goes through its normalizing reader, never the raw file
     val df = if (name == "events") events(spark, sf) else read(spark, sf, name)
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val splits = (tableBytes(spark, sf, name) + maxSplit - 1) / maxSplit
-    if (2 * splits >= spark.sparkContext.defaultParallelism) df
-    else df.repartition(key)
+    if (shouldSpread(spark, sf, name)) df.repartition(key) else df
   }
 
   /** The SQL-text twin of [[spread]]: a `/*+ REPARTITION(key) */` hint
@@ -146,13 +160,11 @@ object Tables {
     * no hint and keeps map-side partial aggregation). */
   private[graft] def spreadFrom(spark: SparkSession, sf: String, name: String,
       key: String): String = {
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val splits = (tableBytes(spark, sf, name) + maxSplit - 1) / maxSplit
     val ref = s"parquet.`$sf/$name.parquet`"
-    if (2 * splits >= spark.sparkContext.defaultParallelism) ref
     // predicate pushdown still reaches the scan: Catalyst pushes filters
     // through RepartitionByExpression (PushedFilters plan-checked)
-    else s"(SELECT /*+ REPARTITION($key) */ * FROM $ref)"
+    if (shouldSpread(spark, sf, name)) s"(SELECT /*+ REPARTITION($key) */ * FROM $ref)"
+    else ref
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
