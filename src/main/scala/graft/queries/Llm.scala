@@ -219,20 +219,26 @@ object Llm {
     // and an exact duplicate collides in EVERY band, so it is only lost if
     // all nBands of its buckets are oversized — meaning thousands of docs
     // with the full signature, i.e. the pair is boilerplate, not signal).
-    // ONE shuffle of the band frame: group each bucket's members into a
-    // sorted array (bounded state — the cap that gates the bucket also
-    // bounds the collected set at `bucketCap`, the q_market_basket
-    // precedent), drop oversized buckets on the array length, and emit the
-    // a < b pairs by a posexplode + suffix-slice explode over the sorted
-    // ids. The candidate SET is identical to the former census
-    // (groupBy-count) + keep-join + self-join shape — "count ≤ cap" ≡
-    // "size(collect_set) ≤ cap" since a doc contributes exactly one row
-    // per band — but the band frame now shuffles ONCE instead of three
-    // times (census, left side, right side) and the pair generator is a
-    // codegen'd Generate chain instead of a join (guide §2.4).
-    val candidates = bandsOfSig(sig, nBands).groupBy("band_idx", "band_hash")
+    // Census FIRST (bounded count state), THEN collect: the oversized-
+    // bucket purge must happen BEFORE any membership is materialized — a
+    // collect_set-then-filter shape would gather a boilerplate bucket's
+    // entire million-doc membership into one aggregation buffer just to
+    // drop it (the hot-key funnel in aggregate-buffer costume). After the
+    // anti-join every surviving bucket is ≤ bucketCap by construction, so
+    // the collected array is BOUNDED state (the q_market_basket rule),
+    // and the a < b pairs come from a codegen'd posexplode + suffix-slice
+    // explode over the sorted members instead of a self-join — one fewer
+    // shuffle of the band frame than the census + keep-join + self-join
+    // shape, with the identical candidate set (guide §2.4). The hot side
+    // of the anti-join is tiny by construction (> cap postings per purged
+    // key), so the planner/AQE broadcasts it.
+    val bands = bandsOfSig(sig, nBands)
+    val hotBuckets = bands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > bucketCap)
+      .select("band_idx", "band_hash")
+    val candidates = bands.join(hotBuckets, Seq("band_idx", "band_hash"), "left_anti")
+      .groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= bucketCap)
       .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
       .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
       .distinct()

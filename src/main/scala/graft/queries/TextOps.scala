@@ -1355,10 +1355,16 @@ object TextOps {
     val hotKeys = wins.groupBy("w").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > SubstringStopCap)
       .select("w")
-    val kept = wins.join(hotKeys, Seq("w"), "left_anti")
-    kept.select(col("doc_id").as("a_id"), col("w"))
-      .join(kept.select(col("doc_id").as("b_id"), col("w")), Seq("w"))
-      .filter(col("a_id") < col("b_id"))
+    // after the anti-join every surviving window has ≤ cap postings, so
+    // collecting its sorted member set is BOUNDED state and the a < b
+    // pairs come from a codegen'd posexplode + suffix-slice explode —
+    // one fewer shuffle of the posting frame than the self-join shape,
+    // identical pair multiset ((doc_id, w) is distinct upstream, so each
+    // kept window contributes each ordered pair exactly once either way).
+    wins.join(hotKeys, Seq("w"), "left_anti")
+      .groupBy("w").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+      .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("a_id", "b_id")
   }

@@ -221,8 +221,14 @@ class PlanSpec extends SparkSuite {
         s"$n: bigram verify join lost its candidate-doc semi-join prune")
     }
     val near = plan("q_dedup_near")
-    assert(near.contains(s"<= ${graft.queries.Llm.BucketCap}"),
-      "q_dedup_near: band buckets are no longer capped before the self-join")
+    // r17 shape: census groupBy-count finds oversized buckets (> cap) and a
+    // LeftAnti purge drops them BEFORE any bucket membership is collected —
+    // the collect_set aggregation buffer is bounded at BucketCap by
+    // construction, never fed a boilerplate bucket's full membership.
+    assert(near.contains(s"> ${graft.queries.Llm.BucketCap}"),
+      "q_dedup_near: the oversized-bucket census filter (> BucketCap) is gone")
+    assert(near.contains("LeftAnti"),
+      "q_dedup_near: the hot-bucket purge must be an anti-join ahead of the membership collect")
   }
 
   test("no query plans a CartesianProduct except the declared cross join") {
