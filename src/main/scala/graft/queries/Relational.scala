@@ -655,7 +655,14 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("l_suppkey")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-    Tables.lineitem(s, sf)
+    // layout-gated spread ON THE WINDOW'S OWN KEY: at the one-row-group
+    // fixture layout the map-side (Partial) WindowGroupLimit heap pass
+    // would run inside the single-task scan stage; the l_suppkey
+    // repartition satisfies the window's required distribution, so the
+    // plan keeps ONE exchange and the heap pass + sort run post-exchange
+    // on all cores. Bare reader (and the partial heap below the window
+    // exchange) at production layouts.
+    Tables.spread(s, sf, "lineitem", col("l_suppkey"))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
@@ -783,10 +790,10 @@ object Relational {
       s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
          |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
          |FROM parquet.`$sf/customer.parquet` c
-         |JOIN parquet.`$sf/orders.parquet` o ON c_custkey = o_custkey
-         |JOIN parquet.`$sf/lineitem.parquet` l ON o_orderkey = l_orderkey
+         |JOIN ${Tables.spreadFrom(s, sf, "orders", "o_orderkey")} o ON c_custkey = o_custkey
+         |JOIN ${Tables.spreadFrom(s, sf, "lineitem", "l_orderkey")} l ON o_orderkey = l_orderkey
          |WHERE o_orderkey IN (
-         |  SELECT l_orderkey FROM parquet.`$sf/lineitem.parquet`
+         |  SELECT l_orderkey FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_orderkey")}
          |  GROUP BY l_orderkey
          |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
@@ -903,14 +910,14 @@ object Relational {
     s.sql(
       s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
          |       count(*) AS n_lines
-         |FROM parquet.`$sf/lineitem.parquet` l
+         |FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_partkey")} l
          |JOIN parquet.`$sf/part.parquet` p ON p_partkey = l_partkey
          |WHERE p_size <= 10 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
          |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 *
-         |      (SELECT count(*) FROM parquet.`$sf/lineitem.parquet` l2
+         |      (SELECT count(*) FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_partkey")} l2
          |       WHERE l2.l_partkey = p.p_partkey)
          |    < (SELECT sum(CAST(l_quantity AS DECIMAL(12,2)))
-         |       FROM parquet.`$sf/lineitem.parquet` l2
+         |       FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_partkey")} l2
          |       WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
 
   /** TPC-H Q22 shape (global sales opportunity) — the ANTI-JOIN +
@@ -948,8 +955,8 @@ object Relational {
     s.sql(
       s"""SELECT n_name, ${sumAsDouble(revDec)} AS revenue, count(*) AS n_items
          |FROM parquet.`$sf/customer.parquet`
-         |JOIN parquet.`$sf/orders.parquet`   ON c_custkey = o_custkey
-         |JOIN parquet.`$sf/lineitem.parquet` ON l_orderkey = o_orderkey
+         |JOIN ${Tables.spreadFrom(s, sf, "orders", "o_orderkey")}   ON c_custkey = o_custkey
+         |JOIN ${Tables.spreadFrom(s, sf, "lineitem", "l_orderkey")} ON l_orderkey = o_orderkey
          |JOIN parquet.`$sf/supplier.parquet` ON l_suppkey = s_suppkey
          |                                    AND c_nationkey = s_nationkey
          |JOIN parquet.`$sf/nation.parquet`   ON s_nationkey = n_nationkey
@@ -974,8 +981,8 @@ object Relational {
          |       CAST(year(l_shipdate) AS INT) AS l_year,
          |       ${sumAsDouble(revDec)} AS revenue, count(*) AS n_items
          |FROM parquet.`$sf/supplier.parquet`
-         |JOIN parquet.`$sf/lineitem.parquet` ON s_suppkey = l_suppkey
-         |JOIN parquet.`$sf/orders.parquet`   ON o_orderkey = l_orderkey
+         |JOIN ${Tables.spreadFrom(s, sf, "lineitem", "l_orderkey")} ON s_suppkey = l_suppkey
+         |JOIN ${Tables.spreadFrom(s, sf, "orders", "o_orderkey")}   ON o_orderkey = l_orderkey
          |JOIN parquet.`$sf/customer.parquet` ON c_custkey = o_custkey
          |JOIN parquet.`$sf/nation.parquet` n1 ON s_nationkey = n1.n_nationkey
          |JOIN parquet.`$sf/nation.parquet` n2 ON c_nationkey = n2.n_nationkey
@@ -992,32 +999,38 @@ object Relational {
     * plus ONE LeftAnti against re-scanned lineitem — never per-row
     * subquery execution (quadratic at any scale). "Late" adapts the
     * official commit-vs-receipt comparison to the fixture's columns
-    * (shipped >60 days after the order date), re-derived inside the
-    * anti side via its own orders join so the correlation stays a pure
-    * orderkey equality. Both probe sides shuffle on l_orderkey — at
-    * 100 TB that is three column-pruned passes over lineitem, each
-    * exchanged on the order key (the probes project different columns,
-    * so the exchanges are distinct subtrees — no ReusedExchange; this
-    * is Q21's textbook cost). Counts are exact ints. */
+    * (shipped >60 days after the order date). The anti side correlates
+    * on the OUTER order's date (r17): o_orderkey is unique in orders, so
+    * the o3 re-join the round-16 form used to re-derive lateness read
+    * the very row the outer side already holds — o3.o_orderdate ≡
+    * o.o_orderdate row-for-row, and dropping the re-join removes an
+    * orders scan + join from the anti probe while the decorrelated
+    * LeftAnti keeps its l_orderkey equality (plus the date bound as a
+    * join condition). Both probe sides shuffle on l_orderkey — at 100 TB
+    * that is three column-pruned passes over lineitem, each exchanged on
+    * the order key (the probes project different columns, so the
+    * exchanges are distinct subtrees — no ReusedExchange; this is Q21's
+    * textbook cost). The FROM refs ride the layout-gated scan-spread
+    * ([[graft.Tables.spreadFrom]]) so the broadcast-probe chain leaves
+    * the one-task scan at narrow layouts; bare refs at production
+    * layouts. Counts are exact ints. */
   def qSqlQ21(s: SparkSession, sf: String): DataFrame =
     s.sql(
       s"""SELECT s_name, count(*) AS numwait
          |FROM parquet.`$sf/supplier.parquet` s
-         |JOIN parquet.`$sf/lineitem.parquet` l1 ON s_suppkey = l1.l_suppkey
+         |JOIN ${Tables.spreadFrom(s, sf, "lineitem", "l_orderkey")} l1 ON s_suppkey = l1.l_suppkey
          |JOIN parquet.`$sf/orders.parquet` o ON o_orderkey = l1.l_orderkey
          |JOIN parquet.`$sf/nation.parquet` n ON s_nationkey = n_nationkey
          |WHERE o.o_orderstatus = 'F'
          |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
          |  AND n_nationkey < 13
-         |  AND EXISTS (SELECT 1 FROM parquet.`$sf/lineitem.parquet` l2
+         |  AND EXISTS (SELECT 1 FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_orderkey")} l2
          |              WHERE l2.l_orderkey = l1.l_orderkey
          |                AND l2.l_suppkey <> l1.l_suppkey)
-         |  AND NOT EXISTS (SELECT 1 FROM parquet.`$sf/lineitem.parquet` l3
-         |                  JOIN parquet.`$sf/orders.parquet` o3
-         |                    ON l3.l_orderkey = o3.o_orderkey
+         |  AND NOT EXISTS (SELECT 1 FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_orderkey")} l3
          |                  WHERE l3.l_orderkey = l1.l_orderkey
          |                    AND l3.l_suppkey <> l1.l_suppkey
-         |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+         |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
          |GROUP BY s_name ORDER BY numwait DESC, s_name
          |LIMIT 50""".stripMargin)
 
@@ -1083,7 +1096,7 @@ object Relational {
       s"""SELECT s_suppkey, s_name, s_acctbal
          |FROM parquet.`$sf/supplier.parquet`
          |WHERE s_suppkey IN (
-         |  SELECT l_suppkey FROM parquet.`$sf/lineitem.parquet`
+         |  SELECT l_suppkey FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_suppkey")}
          |  WHERE l_partkey IN (SELECT p_partkey
          |                      FROM parquet.`$sf/part.parquet`
          |                      WHERE p_name LIKE 'small%')
