@@ -117,9 +117,12 @@ object Tables {
   //     the 10.8 MB sf0.1 lineitem the spread wins (15-lane agg 1.47 →
   //     0.80 s); at the 77 MB 10× twin it INVERTS (exact-percentile agg
   //     0.85 → 2.9 s — the one-task shuffle write of 6M rows dwarfs the
-  //     partial-agg saving). The bound is maxPartitionBytes/4 (32 MB at
-  //     defaults): comfortably above the measured win regime, below the
-  //     measured inversion.
+  //     partial-agg saving), and the 16.7 MB 10× orders ALSO inverts in
+  //     the SQL-join family (q_sql_q18 1.73 → 2.16 s, q5/q7 similar: at
+  //     that size AQE broadcasts the join side anyway, so the hinted
+  //     exchange is pure added work). The bound is maxPartitionBytes/8
+  //     (16 MB at defaults): above every measured win (2.7–10.8 MB),
+  //     below both measured inversions (16.7, 77 MB).
   private val sizeCache =
     new scala.collection.concurrent.TrieMap[(String, String), Long]
   private def tableBytes(spark: SparkSession, sf: String, name: String): Long =
@@ -143,7 +146,7 @@ object Tables {
     val bytes = tableBytes(spark, sf, name)
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val splits = (bytes + maxSplit - 1) / maxSplit
-    2 * splits < spark.sparkContext.defaultParallelism && bytes <= maxSplit / 4
+    2 * splits < spark.sparkContext.defaultParallelism && bytes <= maxSplit / 8
   }
 
   private[graft] def spread(spark: SparkSession, sf: String, name: String,
