@@ -910,14 +910,14 @@ object Relational {
     s.sql(
       s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
          |       count(*) AS n_lines
-         |FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_partkey")} l
+         |FROM parquet.`$sf/lineitem.parquet` l
          |JOIN parquet.`$sf/part.parquet` p ON p_partkey = l_partkey
          |WHERE p_size <= 10 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
          |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 *
-         |      (SELECT count(*) FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_partkey")} l2
+         |      (SELECT count(*) FROM parquet.`$sf/lineitem.parquet` l2
          |       WHERE l2.l_partkey = p.p_partkey)
          |    < (SELECT sum(CAST(l_quantity AS DECIMAL(12,2)))
-         |       FROM ${Tables.spreadFrom(s, sf, "lineitem", "l_partkey")} l2
+         |       FROM parquet.`$sf/lineitem.parquet` l2
          |       WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
 
   /** TPC-H Q22 shape (global sales opportunity) — the ANTI-JOIN +
@@ -981,8 +981,8 @@ object Relational {
          |       CAST(year(l_shipdate) AS INT) AS l_year,
          |       ${sumAsDouble(revDec)} AS revenue, count(*) AS n_items
          |FROM parquet.`$sf/supplier.parquet`
-         |JOIN ${Tables.spreadFrom(s, sf, "lineitem", "l_orderkey")} ON s_suppkey = l_suppkey
-         |JOIN ${Tables.spreadFrom(s, sf, "orders", "o_orderkey")}   ON o_orderkey = l_orderkey
+         |JOIN parquet.`$sf/lineitem.parquet` ON s_suppkey = l_suppkey
+         |JOIN parquet.`$sf/orders.parquet`   ON o_orderkey = l_orderkey
          |JOIN parquet.`$sf/customer.parquet` ON c_custkey = o_custkey
          |JOIN parquet.`$sf/nation.parquet` n1 ON s_nationkey = n1.n_nationkey
          |JOIN parquet.`$sf/nation.parquet` n2 ON c_nationkey = n2.n_nationkey
