@@ -20,12 +20,19 @@ object RollHash {
     val str = s.toString
     var acc = 0L
     var i = 0
+    var k = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      acc = (acc * 31 + cp) % Mod
+      // defer the mod: from a reduced acc (< Mod < 2^30) six more
+      // (acc*31 + cp) steps stay under 2^30·31^6·1.01 < 2^60, so one mod
+      // per six characters replaces one per character — identical values,
+      // since (a·31 + c) mod M folded lazily ≡ the eager per-step mod
+      acc = acc * 31 + cp
+      k += 1
+      if (k == 6) { acc %= Mod; k = 0 }
       i += Character.charCount(cp)
     }
-    acc
+    acc % Mod
   }
 }
 
@@ -84,12 +91,26 @@ object ShingleHash {
     if (n < width) return Array.emptyLongArray
     val out = new Array[Long](n - width + 1)
     var p = 0
-    while (p <= n - width) {
-      var acc = 0L
-      var j = 0
-      while (j < width) { acc = (acc * 31 + cps(p + j)) % RollHash.Mod; j += 1 }
-      out(p) = acc
-      p += 1
+    if (width <= 9) {
+      // defer the mod to once per WINDOW: code points are < 2^21, so a
+      // width-9 unreduced fold stays under 2^21·(31^9-1)/30 < 2^61 — one
+      // mod per shingle instead of one per character, identical values
+      // (lazy vs eager mod over the same fold)
+      while (p <= n - width) {
+        var acc = 0L
+        var j = 0
+        while (j < width) { acc = acc * 31 + cps(p + j); j += 1 }
+        out(p) = acc % RollHash.Mod
+        p += 1
+      }
+    } else {
+      while (p <= n - width) {
+        var acc = 0L
+        var j = 0
+        while (j < width) { acc = (acc * 31 + cps(p + j)) % RollHash.Mod; j += 1 }
+        out(p) = acc
+        p += 1
+      }
     }
     out
   }
@@ -152,14 +173,36 @@ object MinHash {
   def signature(shs: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
     val n = shs.numElements()
     val m = Array.fill(NumHashes)(Long.MaxValue)
+    val a = hashA; val b = hashB
     var i = 0
     while (i < n) {
-      val h = shs.getLong(i) % MersennePrime
-      var j = 0
-      while (j < NumHashes) {
-        val v = (h * hashA(j) + hashB(j)) % MersennePrime
-        if (v < m(j)) m(j) = v
-        j += 1
+      val s = shs.getLong(i)
+      if (s >= 0 && s < MersennePrime) {
+        // hot path (every rollhash shingle id is < 1e9+7 < P): P = 2^31-1
+        // is Mersenne, so x mod P is two shift-and-mask folds plus one
+        // conditional subtract instead of a 64-bit division — 2^31 ≡ 1
+        // (mod P) makes x ≡ (x >>> 31) + (x & P); x = s·a + b < 2^62, the
+        // first fold lands < 2^32, the second in [0, 2^31], and one
+        // subtract normalizes. Branch-free of division, the inner loop
+        // SIMD-vectorizes. Values are IDENTICAL to the % path (s ≥ 0).
+        var j = 0
+        while (j < NumHashes) {
+          var x = s * a(j) + b(j)
+          x = (x >>> 31) + (x & MersennePrime)
+          x = (x >>> 31) + (x & MersennePrime)
+          if (x >= MersennePrime) x -= MersennePrime
+          if (x < m(j)) m(j) = x
+          j += 1
+        }
+      } else {
+        // ids outside [0, P) keep the original Java % semantics verbatim
+        val h = s % MersennePrime
+        var j = 0
+        while (j < NumHashes) {
+          val v = (h * a(j) + b(j)) % MersennePrime
+          if (v < m(j)) m(j) = v
+          j += 1
+        }
       }
       i += 1
     }
