@@ -274,26 +274,38 @@ object Llm {
       candidates.join(sigA, Seq("a_id")).join(sigB, Seq("b_id"))
         .filter(estMatches >= (NumHashes * sieveFrac).toInt)
         .select("a_id", "b_id"))
-    // exact verification on the sieved candidates only — and the shingle
-    // EXPLODE runs only for candidate docs: the semi-join lands on the
-    // doc frame BEFORE the generator (Catalyst won't push a join below a
-    // Generate on its own), so the full corpus never materializes a
-    // shingle stream anywhere in this pipeline (round 17; previously the
-    // corpus-wide stream fed the signature agg and was semi-joined after)
+    // exact verification on the sieved candidates only, as per-doc SET
+    // ARRAYS instead of an exploded (doc, shingle) stream: each candidate
+    // doc's distinct shingle set rides ONE codegen'd kernel row
+    // (array_distinct over the one-pass shingle kernel), the pair joins
+    // attach two arrays, and |A∩B| is a per-row array_intersect — which
+    // replaces the stream shape's explode + DISTINCT shuffle + per-doc
+    // count aggregate + (doc, shingle) equi-join + per-pair count
+    // aggregate (FOUR exchanges of shingle-mass rows) with two joins of
+    // doc-count-bounded array rows (round 17; alternating stash A/B
+    // min-of-5 at sf0.1: stream shape 3.4–5.5 s vs array shape
+    // 2.1–2.6 s across four same-box rounds, and min-of-3 at the 10×
+    // corpus 9.9 → 4.6 s; oracle hash-green at all three SFs). Values are
+    // identical: distinct-array size ≡ distinct-stream count per doc,
+    // array_intersect cardinality ≡ the equi-join's per-pair match count,
+    // and the jaccard arithmetic is the same integer-ratio division. The
+    // semi-join still lands BEFORE the kernel, so the full corpus never
+    // materializes shingle arrays; the length filter mirrors shingles()'s
+    // scan-side prune (a doc without a 5-gram cannot be a candidate —
+    // it has no signature row — so the filter is shape, not semantics).
     val candDocs = strong.select(col("a_id").as("doc_id"))
       .union(strong.select(col("b_id").as("doc_id"))).distinct()
-    val sh = Caches.registered(
-      shingles(docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        .repartition(col("doc_id"))).distinct())
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val sa = sh.select(col("doc_id").as("a_id"), col("sh"))
-    val sb = sh.select(col("doc_id").as("b_id"), col("sh"))
-    val inter = strong.join(sa, Seq("a_id")).join(sb, Seq("b_id", "sh"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
-      .withColumn("jaccard", col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
+    val arrs = Caches.registered(
+      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), array_distinct(
+          graft.functions.TextExpressions.shingleHashes(col("text"), 5)).as("shs")))
+    strong
+      .join(arrs.select(col("doc_id").as("a_id"), col("shs").as("shs_a")), Seq("a_id"))
+      .join(arrs.select(col("doc_id").as("b_id"), col("shs").as("shs_b")), Seq("b_id"))
+      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard",
+        col("n_inter") / (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")))
       .filter(col("jaccard") >= 0.8)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
