@@ -229,6 +229,15 @@ class PlanSpec extends SparkSuite {
       "q_dedup_near: the oversized-bucket census filter (> BucketCap) is gone")
     assert(near.contains("LeftAnti"),
       "q_dedup_near: the hot-bucket purge must be an anti-join ahead of the membership collect")
+    // r17 exact-verify shape: the Jaccard verdict is a per-row
+    // array_intersect over per-doc distinct shingle ARRAYS — the exploded
+    // (doc, shingle) stream shape (explode + DISTINCT shuffle + per-doc
+    // count agg + equi-join + per-pair count agg: four exchanges of
+    // shingle-mass rows) must not come back
+    assert(near.contains("array_intersect"),
+      "q_dedup_near: exact verify regressed from the per-doc array_intersect shape")
+    assert(near.contains("array_distinct"),
+      "q_dedup_near: candidate shingle sets must be per-doc distinct arrays, not a re-exploded stream")
   }
 
   test("no query plans a CartesianProduct except the declared cross join") {
