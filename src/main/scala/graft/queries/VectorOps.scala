@@ -580,6 +580,14 @@ object VectorOps {
       spark.sparkContext.defaultParallelism.toLong).toInt
     // large-star: one symmetrize-explode, one min-aggregate, one join.
     // Emitted edges keep the big→small orientation (dst > src >= m).
+    // NO trailing distinct (round 17): large-star only ever feeds
+    // small-star, whose min-aggregate is multiplicity-invariant and whose
+    // own trailing distinct dedups the round's output — so deduping here
+    // bought set-identical `next` frames for one extra exchange + hash
+    // aggregate of the edge frame per round. Duplicate (u, v) rows between
+    // the two stars are bounded by the symmetrized edge count (each input
+    // edge contributes at most one emitted row), so the undeduped frame
+    // stays linear in the edge mass at any scale.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(explode(array(
           struct(col("u").as("src"), col("v").as("dst")),
@@ -590,7 +598,6 @@ object VectorOps {
       sym.join(m, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("u"), col("m").as("v"))
-        .distinct()
     }
     // small-star: already big→small oriented, so the smaller neighborhood
     // of u is exactly its edge targets; m = min(v) < u. Re-point every
